@@ -1,0 +1,151 @@
+"""Scene: the public spawn/step/observe/rollout API.
+
+This is the API the reference never extracted (its `src/scene.rs` is an empty
+placeholder declared at src/main.rs:2 — SURVEY.md C22). The frame loop in the
+reference couples simulation to rendering (src/main.rs:892-1008); here the
+sim is a pure jitted function and rollouts are `lax.scan`, so the device
+never waits on the host.
+
+Typical use:
+
+    from nenbody_tpu import Scene, presets
+    scene = Scene(presets.PRESETS["gravity-256"]())
+    state = scene.spawn(seed=0)
+    state = scene.step(state)              # one jitted step
+    obs = scene.observe(state)             # [N, W] vision lines (if enabled)
+    state, traj = scene.rollout(state, 100)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .config import SimConfig
+from .physics import dense
+from .state import SceneState, spawn, spawn_batch
+
+
+def _resolve_backend(cfg: SimConfig) -> str:
+    if cfg.backend != "auto":
+        return cfg.backend
+    # Dense materializes [N, N] tensors: fine to ~8k agents, then tile.
+    return "dense" if cfg.n <= 8192 else "pallas"
+
+
+def make_step_fn(cfg: SimConfig) -> Callable[[SceneState], SceneState]:
+    """Build the pure `state -> state` physics step for this config.
+
+    Unbatched (acts on a single env); vmap for batched envs.
+    """
+    backend = _resolve_backend(cfg)
+    if backend == "dense" or cfg.controller == "random":
+        stepper = dense.STEPPERS[cfg.controller]
+    elif backend == "pallas":
+        from .ops import tiled  # deferred: pallas import is TPU-flavored
+
+        stepper = tiled.STEPPERS[cfg.controller]
+    elif backend == "ring":
+        from .parallel import ring
+
+        stepper = ring.STEPPERS[cfg.controller]
+    else:  # pragma: no cover
+        raise ValueError(f"unknown backend {backend!r}")
+    return functools.partial(stepper, cfg=cfg)
+
+
+def make_observe_fn(cfg: SimConfig) -> Optional[Callable[[SceneState], jax.Array]]:
+    """Build the `state -> obs[N, W]` vision function, or None if disabled."""
+    if cfg.vision is None:
+        return None
+    backend = _resolve_backend(cfg)
+    if backend == "pallas":
+        from .ops import raycast
+
+        return functools.partial(raycast.render_lines, cfg=cfg.vision)
+    from .vision import render
+
+    return functools.partial(render.render_lines, cfg=cfg.vision)
+
+
+class Scene:
+    """Owns a config and exposes jitted spawn/step/observe/rollout.
+
+    All methods accept both unbatched states ([N, 2] leaves) and batched
+    states ([B, N, 2] leaves from `spawn_batch`); batched states are stepped
+    with `vmap` under the same jit.
+    """
+
+    def __init__(self, cfg: SimConfig):
+        self.cfg = cfg
+        self._step1 = make_step_fn(cfg)
+        self._observe1 = make_observe_fn(cfg)
+        self._jit_step = jax.jit(self._batched(self._step1))
+        self._jit_observe = (
+            jax.jit(self._batched(self._observe1)) if self._observe1 else None
+        )
+
+    # -- construction -------------------------------------------------------
+
+    def spawn(self, seed: int | jax.Array = 0) -> SceneState:
+        key = seed if isinstance(seed, jax.Array) else jax.random.key(seed)
+        return spawn(key, self.cfg)
+
+    def spawn_envs(self, num_envs: int, seed: int | jax.Array = 0) -> SceneState:
+        key = seed if isinstance(seed, jax.Array) else jax.random.key(seed)
+        return spawn_batch(key, self.cfg, num_envs)
+
+    # -- stepping ------------------------------------------------------------
+
+    def _batched(self, fn):
+        def wrapped(state: SceneState, *args):
+            f = fn
+            for _ in range(len(state.batch_shape)):
+                f = jax.vmap(f)
+            return f(state, *args)
+
+        return wrapped
+
+    def step(self, state: SceneState) -> SceneState:
+        return self._jit_step(state)
+
+    def observe(self, state: SceneState) -> jax.Array:
+        if self._jit_observe is None:
+            raise ValueError("vision is disabled for this config (vision=None)")
+        return self._jit_observe(state)
+
+    # -- rollouts ------------------------------------------------------------
+
+    def rollout(
+        self,
+        state: SceneState,
+        num_steps: int,
+        record: Tuple[str, ...] = (),
+    ) -> Tuple[SceneState, Any]:
+        """Advance `num_steps` under one `lax.scan`.
+
+        record: subset of ("pos", "vel", "obs") to stack along a leading
+        time axis. Empty tuple records nothing (fastest path).
+        """
+        step1 = self._batched(self._step1)
+        observe1 = self._batched(self._observe1) if self._observe1 else None
+
+        def body(s, _):
+            s = step1(s)
+            out = {}
+            if "pos" in record:
+                out["pos"] = s.pos
+            if "vel" in record:
+                out["vel"] = s.vel
+            if "obs" in record:
+                if observe1 is None:
+                    raise ValueError("cannot record obs: vision disabled")
+                out["obs"] = observe1(s)
+            return s, out
+
+        return jax.jit(
+            lambda s: jax.lax.scan(body, s, None, length=num_steps)
+        )(state)
