@@ -1,0 +1,96 @@
+"""Dense jnp eye renderer — the vision oracle.
+
+Observational equivalence contract with the reference rasterizer
+(SURVEY.md §7 hard-part 1): same occlusion ordering (nearest agent wins each
+pixel, the depth test of src/main.rs:608-632's depth-attached passes), the
+same squared-radial vignette shading profile (shaders/scene.frag:15-16:
+`mix(tex, 0, mag^2)` with mag the uv distance from sprite center), the same
+apparent-size-vs-distance law (perspective division), and the same clear
+color for uncovered pixels (src/main.rs:543). Not pixel-exact sRGB: the
+wireframe-triangle sprite + skin texture is modeled as a disc of constant
+albedo with the vignette profile.
+
+The Pallas kernel in nenbody_tpu/ops/raycast.py must match THIS module
+bit-for-bit-ish (fp32 tolerances); this module is validated against a
+brute-force Python oracle in tests/test_vision.py.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import VisionConfig
+from ..state import SceneState
+from . import camera
+
+
+def _agent_row(
+    p_i: jax.Array,  # [2] eye position
+    d_i: jax.Array,  # [2] unit heading
+    pos: jax.Array,  # [M, 2] all target positions (including self)
+    cfg: VisionConfig,
+) -> Tuple[jax.Array, jax.Array]:
+    """Render one agent's 1D line. Returns (shade [W], depth [W]).
+
+    The self-target is culled for free: rel=0 gives forward depth 0 < near.
+    """
+    rel = pos - p_i  # [M, 2]
+    u_c, du, f, visible = camera.project(rel, d_i, cfg)
+    u_p = camera.pixel_centers(cfg)  # [W]
+
+    # Normalized offset of each pixel within each target's splat, [M, W].
+    safe_du = jnp.maximum(du, 1e-30)
+    off = (u_p[None, :] - u_c[:, None]) / safe_du[:, None]
+    cover = visible[:, None] & (jnp.abs(off) < 1.0)
+
+    # Depth test: nearest covering target wins the pixel.
+    depth_field = jnp.where(cover, f[:, None], jnp.inf)  # [M, W]
+    winner = jnp.argmin(depth_field, axis=0)  # [W]
+    best = jnp.min(depth_field, axis=0)  # [W]
+    hit = jnp.isfinite(best)
+
+    # Vignette: uv distance from sprite center is |off|/2 (uv spans [0,1]);
+    # frag does mix(tex, 0, mag^2) => shade = albedo * (1 - off^2/4).
+    o = jnp.take_along_axis(off, winner[None, :], axis=0)[0]  # [W]
+    shade = cfg.sprite_albedo * (1.0 - 0.25 * o * o)
+
+    shade = jnp.where(hit, shade, cfg.background)
+    depth = jnp.where(hit, best, cfg.far)
+    return shade.astype(jnp.float32), depth.astype(jnp.float32)
+
+
+def render_rows(
+    pos: jax.Array,
+    vel: jax.Array,
+    cfg: VisionConfig,
+    chunk: int = 128,
+) -> Tuple[jax.Array, jax.Array]:
+    """Render every agent's eye line. pos, vel: [N, 2].
+
+    Returns (shade [N, W], depth [N, W]). Work is O(N^2 * W); `chunk` bounds
+    the materialized [chunk, N, W] intermediates (the dense analog of the
+    reference's GRANULARITY=100 command-buffer batching, src/main.rs:584).
+    """
+    dirs = camera.unit_heading(vel)
+    fn = lambda args: _agent_row(args[0], args[1], pos, cfg)
+    n = pos.shape[0]
+    return jax.lax.map(fn, (pos, dirs), batch_size=min(chunk, n))
+
+
+def render_lines(state: SceneState, cfg: VisionConfig) -> jax.Array:
+    """`observe()`: the [N, W] float32 observation tensor (SURVEY.md §3.4 —
+    the resolved eye texture array, except it lives on device and is
+    returned to the caller instead of being locked inside the UI)."""
+    return render_rows(state.pos, state.vel, cfg)[0]
+
+
+def render_lines_with_depth(
+    state: SceneState, cfg: VisionConfig
+) -> Tuple[jax.Array, jax.Array]:
+    """(shade [N, W], depth [N, W]) — depth is the capability the reference's
+    depth buffer has but never exposes; useful for controllers."""
+    return render_rows(state.pos, state.vel, cfg)
