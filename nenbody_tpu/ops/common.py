@@ -1,0 +1,47 @@
+"""Shared helpers for the Pallas kernels: padding, layout, interpret mode."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def interpret_mode() -> bool:
+    """Pallas kernels compile with Mosaic on TPU and run interpreted
+    elsewhere (CPU test rig, SURVEY.md §4.4)."""
+    return jax.default_backend() != "tpu"
+
+
+def round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def fit_tile(tile: int, n: int, mult: int) -> int:
+    """Shrink a power-of-two tile toward the hardware minimum `mult` while it
+    overshoots the padded problem size, keeping tile a power-of-two multiple
+    of `mult` so padded sizes divide evenly into the grid."""
+    target = round_up(n, mult)
+    while tile > mult and tile // 2 >= target:
+        tile //= 2
+    return tile
+
+
+
+def pad_axis(x: jax.Array, n_pad: int, axis: int = 0, value: float = 0.0) -> jax.Array:
+    """Pad `axis` of x up to length n_pad with a constant."""
+    n = x.shape[axis]
+    if n == n_pad:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, n_pad - n)
+    return jnp.pad(x, widths, constant_values=value)
+
+
+def col(x: jax.Array) -> jax.Array:
+    """[N] -> [N, 1] (sublane-major layout for i-resident tiles)."""
+    return x[:, None]
+
+
+def row(x: jax.Array) -> jax.Array:
+    """[N] -> [1, N] (lane-major layout for streamed j tiles)."""
+    return x[None, :]

@@ -1,0 +1,166 @@
+"""Pallas 1D raycast/rasterize kernel: the TPU eye pipeline.
+
+Replaces the reference's N-render-passes vision path (one Vulkan pass per
+agent layer, rayon-parallel command recording, src/main.rs:584-647) with a
+single grid launch: each program renders a block of eyes; for each eye, all
+target positions stream through VMEM in (TJ, W) tiles where the pixel axis
+rides the 128-wide lanes. Per tile the kernel evaluates splat coverage, a
+depth test (nearest agent wins, as the rasterizer's depth attachment), and
+the squared-radial vignette shade (shaders/scene.frag:15-16).
+
+Must match nenbody_tpu.vision.render (the jnp oracle) at fp32 tolerances —
+enforced by tests/test_kernels.py. Tie-break nuance: at EXACTLY equal
+depths the oracle takes the lowest agent index while this kernel takes the
+brightest shade within the chunk; real configurations never tie.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import VisionConfig
+from ..state import SceneState
+from ..vision import camera
+from .common import col, fit_tile, interpret_mode, pad_axis, round_up
+
+EYES_PER_PROGRAM = 8
+TILE_J = 512
+
+
+def _raycast_kernel(
+    ex_ref, ey_ref, dx_ref, dy_ref,  # [TE, 1] eye position / unit heading
+    tx_ref, ty_ref,  # [N_pad, 1] target positions (sublane-major)
+    m_ref,  # [N_pad, 1] target padding mask
+    shade_ref, depth_ref,  # [TE, W] outputs
+    *,
+    cfg: VisionConfig,
+    tj: int,
+):
+    te = ex_ref.shape[0]
+    w = shade_ref.shape[1]
+    n_pad = tx_ref.shape[0]
+    num_chunks = n_pad // tj
+    t = math.tan(math.radians(cfg.hfov_deg) * 0.5)
+
+    # Pixel centers in NDC, one per lane: (1, W).
+    u_p = (
+        2.0
+        * (jax.lax.broadcasted_iota(jnp.int32, (1, w), 1).astype(jnp.float32) + 0.5)
+        / w
+        - 1.0
+    )
+
+    for e in range(te):  # static unroll over the eye block
+        px, py = ex_ref[e, 0], ey_ref[e, 0]
+        hx, hy = dx_ref[e, 0], dy_ref[e, 0]
+
+        def body(k, carry, px=px, py=py, hx=hx, hy=hy):
+            best_d, best_s = carry
+            j0 = pl.multiple_of(k * tj, tj)
+            tx = tx_ref[pl.ds(j0, tj), :]  # (TJ, 1)
+            ty = ty_ref[pl.ds(j0, tj), :]
+            mj = m_ref[pl.ds(j0, tj), :] > 0.0
+
+            relx = tx - px
+            rely = ty - py
+            f = relx * hx + rely * hy  # view-space depth, (TJ, 1)
+            l = relx * hy - rely * hx  # rel . right, right = (hy, -hx)
+            valid = (f > cfg.near) & (f < cfg.far) & mj
+            fs = jnp.where(valid, f, 1.0)
+            inv = 1.0 / (fs * t)
+            u_c = l * inv
+            du = cfg.sprite_radius * inv
+
+            off = (u_p - u_c) / jnp.maximum(du, 1e-30)  # (TJ, W)
+            cover = valid & (jnp.abs(off) < 1.0)
+            dfield = jnp.where(cover, f, cfg.far)  # (TJ, W)
+            cmin = jnp.min(dfield, axis=0, keepdims=True)  # (1, W)
+            sh = jnp.where(
+                cover & (dfield == cmin),
+                cfg.sprite_albedo * (1.0 - 0.25 * off * off),
+                -1.0,
+            )
+            csh = jnp.max(sh, axis=0, keepdims=True)  # (1, W)
+
+            better = cmin < best_d
+            best_s = jnp.where(better, csh, best_s)
+            best_d = jnp.minimum(best_d, cmin)
+            return best_d, best_s
+
+        init = (
+            jnp.full((1, w), cfg.far, jnp.float32),
+            jnp.full((1, w), cfg.background, jnp.float32),
+        )
+        best_d, best_s = jax.lax.fori_loop(0, num_chunks, body, init)
+        shade_ref[e : e + 1, :] = best_s
+        depth_ref[e : e + 1, :] = best_d
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "te", "tj"))
+def render_rows_tiled(
+    pos: jax.Array,
+    vel: jax.Array,
+    cfg: VisionConfig,
+    te: int = EYES_PER_PROGRAM,
+    tj: int = TILE_J,
+):
+    """Pallas counterpart of vision.render.render_rows.
+
+    pos, vel: [N, 2] -> (shade [N, W], depth [N, W]) float32.
+    """
+    n = pos.shape[0]
+    tj = fit_tile(tj, n, 8)
+    n_pad_t = round_up(n, tj)  # target padding
+    n_pad_e = round_up(n, te)  # eye padding
+    dirs = camera.unit_heading(vel)
+
+    ex = pad_axis(pos[:, 0], n_pad_e)
+    ey = pad_axis(pos[:, 1], n_pad_e)
+    dx = pad_axis(dirs[:, 0], n_pad_e)
+    dy = pad_axis(dirs[:, 1], n_pad_e)
+    tx = pad_axis(pos[:, 0], n_pad_t)
+    ty = pad_axis(pos[:, 1], n_pad_t)
+    mask = pad_axis(jnp.ones((n,), jnp.float32), n_pad_t)
+
+    grid = (n_pad_e // te,)
+    kernel = functools.partial(_raycast_kernel, cfg=cfg, tj=tj)
+    espec = lambda: pl.BlockSpec((te, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    tspec = lambda: pl.BlockSpec(
+        (n_pad_t, 1), lambda i: (0, 0), memory_space=pltpu.VMEM
+    )
+    ospec = lambda: pl.BlockSpec(
+        (te, cfg.width), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    shade, depth = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[espec(), espec(), espec(), espec(), tspec(), tspec(), tspec()],
+        out_specs=[ospec(), ospec()],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_pad_e, cfg.width), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad_e, cfg.width), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=12 * n_pad_e * n_pad_t * cfg.width // tj * tj,
+            bytes_accessed=(4 * n_pad_e + 3 * n_pad_t + 2 * n_pad_e * cfg.width) * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret_mode(),
+    )(col(ex), col(ey), col(dx), col(dy), col(tx), col(ty), col(mask))
+
+    return shade[:n], depth[:n]
+
+
+def render_lines(state: SceneState, cfg: VisionConfig) -> jax.Array:
+    """`observe()` through the Pallas path: [N, W] shade rows."""
+    return render_rows_tiled(state.pos, state.vel, cfg)[0]
+
+
+def render_lines_with_depth(state: SceneState, cfg: VisionConfig):
+    return render_rows_tiled(state.pos, state.vel, cfg)

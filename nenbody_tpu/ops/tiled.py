@@ -1,0 +1,36 @@
+"""Steppers on the tiled Pallas backend — same semantics as physics.dense,
+with the O(N^2) interaction computed by the VMEM-blocked kernels and the
+O(N) integration left to XLA fusion."""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..config import SimConfig
+from ..physics import dense
+from ..state import SceneState
+from .boids import boids_velocity_tiled
+from .pairwise import gravity_forces_tiled
+
+
+def gravity_step(state: SceneState, cfg: SimConfig) -> SceneState:
+    """Reference integration (src/main.rs:434-436): v += g*dt; x += v."""
+    g = gravity_forces_tiled(state.pos, cfg.gravity)
+    vel = state.vel + g * cfg.gravity.dt
+    pos = state.pos + vel
+    return state.replace(pos=pos, vel=vel, t=state.t + 1)
+
+
+def boids_step(state: SceneState, cfg: SimConfig) -> SceneState:
+    """Reference integration (src/main.rs:514-523): replace v, clamp, x += v*dt."""
+    new_vel = boids_velocity_tiled(state.pos, state.vel, cfg.boids)
+    new_vel = dense.clamp_speed(new_vel, cfg.boids.max_speed)
+    pos = state.pos + new_vel * cfg.boids.dt
+    return state.replace(pos=pos, vel=new_vel, t=state.t + 1)
+
+
+STEPPERS = {
+    "gravity": gravity_step,
+    "boids": boids_step,
+    "random": dense.random_step,  # no pairwise interaction to tile
+}
