@@ -82,15 +82,26 @@ def gravity_forces_tiled(
     cfg: GravityConfig,
     ti: int = TILE_I,
     tj: int = TILE_J,
+    pos_j: jax.Array | None = None,
 ) -> jax.Array:
-    """Pallas counterpart of physics.dense.gravity_forces. pos: [N, 2]."""
+    """Pallas counterpart of physics.dense.gravity_forces. pos: [N, 2].
+
+    With `pos_j` [M, 2] this computes the cross-block force of the j-set on
+    the i-set (the ring backend's per-hop primitive); default is the full
+    self-interaction.
+    """
+    src = pos if pos_j is None else pos_j
     n = pos.shape[0]
+    m = src.shape[0]
     ti = fit_tile(ti, n, 8)
-    tj = fit_tile(tj, n, 128)
-    n_pad = round_up(n, max(ti, tj))
-    x = pad_axis(pos[:, 0], n_pad)
-    y = pad_axis(pos[:, 1], n_pad)
-    mask = pad_axis(jnp.ones((n,), jnp.float32), n_pad)
+    tj = fit_tile(tj, m, 128)
+    n_pad = round_up(n, ti)
+    m_pad = round_up(m, tj)
+    xi = pad_axis(pos[:, 0], n_pad)
+    yi = pad_axis(pos[:, 1], n_pad)
+    xj = pad_axis(src[:, 0], m_pad)
+    yj = pad_axis(src[:, 1], m_pad)
+    mask = pad_axis(jnp.ones((m,), jnp.float32), m_pad)
 
     grid = (n_pad // ti,)
     kernel = functools.partial(_gravity_kernel, bias=cfg.bias, tj=tj)
@@ -101,9 +112,9 @@ def gravity_forces_tiled(
         in_specs=[
             pl.BlockSpec((ti, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((ti, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((ti, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -114,12 +125,12 @@ def gravity_forces_tiled(
             jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=flops_per_pair * n_pad * n_pad,
-            bytes_accessed=5 * n_pad * 4 + 2 * n_pad * 4,
+            flops=flops_per_pair * n_pad * m_pad,
+            bytes_accessed=(2 * n_pad + 3 * m_pad + 2 * n_pad) * 4,
             transcendentals=0,
         ),
         interpret=interpret_mode(),
-    )(col(x), col(y), row(x), row(y), row(mask))
+    )(col(xi), col(yi), row(xj), row(yj), row(mask))
 
     g = jnp.concatenate([gx, gy], axis=1)[:n]
     return cfg.g * g

@@ -109,14 +109,20 @@ def render_rows_tiled(
     cfg: VisionConfig,
     te: int = EYES_PER_PROGRAM,
     tj: int = TILE_J,
+    targets: jax.Array | None = None,
 ):
     """Pallas counterpart of vision.render.render_rows.
 
     pos, vel: [N, 2] -> (shade [N, W], depth [N, W]) float32.
+    `targets` [M, 2] renders the eyes against a different position set (the
+    vision ring's per-hop primitive); partial rows depth-merge with
+    vision.render.merge_rows.
     """
+    tgt = pos if targets is None else targets
     n = pos.shape[0]
-    tj = fit_tile(tj, n, 8)
-    n_pad_t = round_up(n, tj)  # target padding
+    m = tgt.shape[0]
+    tj = fit_tile(tj, m, 8)
+    n_pad_t = round_up(m, tj)  # target padding
     n_pad_e = round_up(n, te)  # eye padding
     dirs = camera.unit_heading(vel)
 
@@ -124,9 +130,9 @@ def render_rows_tiled(
     ey = pad_axis(pos[:, 1], n_pad_e)
     dx = pad_axis(dirs[:, 0], n_pad_e)
     dy = pad_axis(dirs[:, 1], n_pad_e)
-    tx = pad_axis(pos[:, 0], n_pad_t)
-    ty = pad_axis(pos[:, 1], n_pad_t)
-    mask = pad_axis(jnp.ones((n,), jnp.float32), n_pad_t)
+    tx = pad_axis(tgt[:, 0], n_pad_t)
+    ty = pad_axis(tgt[:, 1], n_pad_t)
+    mask = pad_axis(jnp.ones((m,), jnp.float32), n_pad_t)
 
     grid = (n_pad_e // te,)
     kernel = functools.partial(_raycast_kernel, cfg=cfg, tj=tj)

@@ -1,0 +1,203 @@
+"""Agent-axis ring exchange: O(N^2) interactions across a device mesh.
+
+Each device keeps its block of agents resident and circulates position
+(and, for boids, velocity) blocks around the ring with `jax.lax.ppermute`;
+per hop it accumulates the cross-block partial (forces, rule sums, or
+depth-merged vision rows) computed by the single-chip primitives. After
+D hops every agent has interacted with every block — the ring-attention
+structure SURVEY.md §5.7 prescribes for the attention-shaped all-pairs
+folds of the reference (src/main.rs:425-432, 471-504).
+
+The hop loop is a static Python loop (D is a trace-time constant), so XLA
+sees a straight-line program and can overlap each hop's ppermute with the
+next partial's compute. Self-pair semantics are preserved: gravity needs no
+masking (bias-softened zero numerator), vision self-culls at the near plane,
+and boids masks the diagonal only on hop 0 (when a device meets its own
+block).
+
+All entry points take GLOBAL arrays and run shard_map internally; they
+also accept a leading env batch dim sharded over a data axis. Partials
+dispatch to the Pallas kernels on TPU and the dense jnp path elsewhere.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..config import SimConfig, VisionConfig
+from ..physics import dense
+from ..state import SceneState
+from ..vision import render as dense_render
+from .mesh import AGENT_AXIS, default_mesh
+
+
+def _use_pallas(backend: str) -> bool:
+    if backend == "auto":
+        return jax.default_backend() == "tpu"
+    return backend == "pallas"
+
+
+def _perm(d: int):
+    return [(i, (i + 1) % d) for i in range(d)]
+
+
+def _maybe_vmap(fn, *args):
+    """Apply fn to [N,2]-shaped args, vmapping over a leading env dim."""
+    if args[0].ndim == 3:
+        return jax.vmap(lambda *a: fn(*a))(*args)
+    return fn(*args)
+
+
+# -- gravity ------------------------------------------------------------------
+
+
+def ring_gravity_forces(
+    pos: jax.Array,
+    cfg: SimConfig,
+    mesh: Optional[Mesh] = None,
+    axis: str = AGENT_AXIS,
+    data_axis: Optional[str] = None,
+    partials: str = "auto",
+) -> jax.Array:
+    """Forces for globally-sharded pos [(B,) N, 2] over mesh[axis]."""
+    mesh = mesh or default_mesh()
+    d = mesh.shape[axis]
+    gcfg = cfg.gravity
+
+    def partial_force(pi, blk):
+        if _use_pallas(partials):
+            from ..ops import pairwise
+
+            return _maybe_vmap(
+                lambda a, b: pairwise.gravity_forces_tiled(a, gcfg, pos_j=b), pi, blk
+            )
+        return dense.gravity_forces_cross(pi, blk, gcfg)
+
+    def local(pos_l):
+        g = jnp.zeros_like(pos_l)
+        blk = pos_l
+        for k in range(d):
+            g = g + partial_force(pos_l, blk)
+            if k < d - 1:
+                blk = jax.lax.ppermute(blk, axis, _perm(d))
+        return g
+
+    lead = (data_axis,) if pos.ndim == 3 else ()
+    spec = P(*lead, axis, None)
+    return jax.shard_map(local, mesh=mesh, in_specs=spec, out_specs=spec)(pos)
+
+
+# -- boids --------------------------------------------------------------------
+
+
+def ring_boids_velocity(
+    pos: jax.Array,
+    vel: jax.Array,
+    cfg: SimConfig,
+    mesh: Optional[Mesh] = None,
+    axis: str = AGENT_AXIS,
+    data_axis: Optional[str] = None,
+) -> jax.Array:
+    """Replacement velocity (pre-clamp) for sharded pos/vel [(B,) N, 2]."""
+    mesh = mesh or default_mesh()
+    d = mesh.shape[axis]
+    bcfg = cfg.boids
+
+    def local(pos_l, vel_l):
+        parts = None
+        blk = (pos_l, vel_l)
+        for k in range(d):
+            p = dense.boids_partials_cross(
+                pos_l, vel_l, blk[0], blk[1], bcfg, exclude_diagonal=(k == 0)
+            )
+            parts = p if parts is None else jax.tree.map(jnp.add, parts, p)
+            if k < d - 1:
+                blk = jax.lax.ppermute(blk, axis, _perm(d))
+        return dense.boids_finalize(parts, bcfg)
+
+    lead = (data_axis,) if pos.ndim == 3 else ()
+    spec = P(*lead, axis, None)
+    return jax.shard_map(
+        local, mesh=mesh, in_specs=(spec, spec), out_specs=spec
+    )(pos, vel)
+
+
+# -- vision -------------------------------------------------------------------
+
+
+def ring_render_rows(
+    pos: jax.Array,
+    vel: jax.Array,
+    vcfg: VisionConfig,
+    mesh: Optional[Mesh] = None,
+    axis: str = AGENT_AXIS,
+    data_axis: Optional[str] = None,
+    partials: str = "auto",
+) -> Tuple[jax.Array, jax.Array]:
+    """(shade, depth) [(B,) N, W] with both eyes and targets sharded: each
+    hop renders the local eyes against the circulating target block and
+    depth-merges (min-depth is associative across disjoint blocks)."""
+    mesh = mesh or default_mesh()
+    d = mesh.shape[axis]
+
+    def partial_render(pi, vi, tgt):
+        if _use_pallas(partials):
+            from ..ops import raycast
+
+            return _maybe_vmap(
+                lambda a, b, t: raycast.render_rows_tiled(a, b, vcfg, targets=t),
+                pi, vi, tgt,
+            )
+        return _maybe_vmap(
+            lambda a, b, t: dense_render.render_rows(a, b, vcfg, targets=t),
+            pi, vi, tgt,
+        )
+
+    def local(pos_l, vel_l):
+        acc = None
+        blk = pos_l
+        for k in range(d):
+            part = partial_render(pos_l, vel_l, blk)
+            acc = part if acc is None else dense_render.merge_rows(acc, part)
+            if k < d - 1:
+                blk = jax.lax.ppermute(blk, axis, _perm(d))
+        return acc
+
+    lead = (data_axis,) if pos.ndim == 3 else ()
+    spec = P(*lead, axis, None)
+    return jax.shard_map(
+        local, mesh=mesh, in_specs=(spec, spec), out_specs=(spec, spec)
+    )(pos, vel)
+
+
+# -- steppers (Scene backend="ring") ------------------------------------------
+
+
+def gravity_step(state: SceneState, cfg: SimConfig) -> SceneState:
+    g = ring_gravity_forces(state.pos, cfg)
+    vel = state.vel + g * cfg.gravity.dt
+    pos = state.pos + vel
+    return state.replace(pos=pos, vel=vel, t=state.t + 1)
+
+
+def boids_step(state: SceneState, cfg: SimConfig) -> SceneState:
+    new_vel = ring_boids_velocity(state.pos, state.vel, cfg)
+    new_vel = dense.clamp_speed(new_vel, cfg.boids.max_speed)
+    pos = state.pos + new_vel * cfg.boids.dt
+    return state.replace(pos=pos, vel=new_vel, t=state.t + 1)
+
+
+def render_lines(state: SceneState, cfg: VisionConfig) -> jax.Array:
+    return ring_render_rows(state.pos, state.vel, cfg)[0]
+
+
+STEPPERS = {
+    "gravity": gravity_step,
+    "boids": boids_step,
+    "random": dense.random_step,  # no pairwise interaction to ring
+}

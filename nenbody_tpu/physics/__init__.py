@@ -3,9 +3,12 @@
 from .dense import (
     STEPPERS,
     boids_accels,
+    boids_finalize,
+    boids_partials_cross,
     boids_step,
     clamp_speed,
     gravity_forces,
+    gravity_forces_cross,
     gravity_step,
     random_step,
 )
@@ -13,9 +16,12 @@ from .dense import (
 __all__ = [
     "STEPPERS",
     "boids_accels",
+    "boids_finalize",
+    "boids_partials_cross",
     "boids_step",
     "clamp_speed",
     "gravity_forces",
+    "gravity_forces_cross",
     "gravity_step",
     "random_step",
 ]

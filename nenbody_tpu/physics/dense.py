@@ -22,6 +22,22 @@ from ..config import BoidsConfig, GravityConfig, RandomWalkConfig, SimConfig
 from ..state import SceneState
 
 
+def gravity_forces_cross(
+    pos_i: jax.Array, pos_j: jax.Array, cfg: GravityConfig
+) -> jax.Array:
+    """Gravity exerted BY the set pos_j ON the set pos_i (pre-summed).
+
+    The cross-block form is the primitive the multi-chip ring streams remote
+    position blocks through (SURVEY.md §5.7). pos_i: [..., N, 2],
+    pos_j: [..., M, 2] -> [..., N, 2]. Coincident pairs (including i == j
+    when the blocks alias) contribute zero numerator with a bias-softened
+    denominator, exactly the reference self-pair behavior.
+    """
+    diff = pos_j[..., None, :, :] - pos_i[..., :, None, :]  # [..., i, j, 2]
+    d2 = jnp.sum(diff * diff, axis=-1) + cfg.bias  # [..., i, j]
+    return cfg.g * jnp.sum(diff / d2[..., None], axis=-2)
+
+
 def gravity_forces(pos: jax.Array, cfg: GravityConfig) -> jax.Array:
     """Per-agent accumulated gravity, reference force law (src/main.rs:425-432).
 
@@ -32,9 +48,7 @@ def gravity_forces(pos: jax.Array, cfg: GravityConfig) -> jax.Array:
 
     pos: [..., N, 2] -> [..., N, 2]
     """
-    diff = pos[..., None, :, :] - pos[..., :, None, :]  # [..., i, j, 2]
-    d2 = jnp.sum(diff * diff, axis=-1) + cfg.bias  # [..., i, j]
-    return cfg.g * jnp.sum(diff / d2[..., None], axis=-2)
+    return gravity_forces_cross(pos, pos, cfg)
 
 
 def gravity_step(state: SceneState, cfg: SimConfig) -> SceneState:
@@ -47,6 +61,72 @@ def gravity_step(state: SceneState, cfg: SimConfig) -> SceneState:
     return state.replace(pos=pos, vel=vel, t=state.t + 1)
 
 
+def boids_partials_cross(
+    pos_i: jax.Array,
+    vel_i: jax.Array,
+    pos_j: jax.Array,
+    vel_j: jax.Array,
+    cfg: BoidsConfig,
+    exclude_diagonal: bool | jax.Array = True,
+):
+    """Raw flocking-rule accumulators of the j-set against the i-set.
+
+    Returns a pytree of partial sums — (sum1 [...,N,2], cnt1 [...,N],
+    repel [...,N,2], sum3 [...,N,2], cnt3 [...,N]) — which are ADDITIVE
+    across j-blocks: the ring backend merges one partial per circulating
+    block, then applies `boids_finalize` once. `exclude_diagonal` masks the
+    aligned i==j pairs (only correct when pos_j aliases pos_i; the ring sets
+    it on the step where a device meets its own block).
+    """
+    diff = pos_j[..., None, :, :] - pos_i[..., :, None, :]  # [..., i, j, 2]
+    d2 = jnp.sum(diff * diff, axis=-1)  # [..., i, j]
+
+    n = pos_i.shape[-2]
+    m = pos_j.shape[-2]
+    diag = jnp.eye(n, m, dtype=bool)
+    not_self = jnp.where(exclude_diagonal, ~diag, True)
+
+    # Rule 1 — cohesion: neighbor positions with d^2 < threshold
+    # (squared-distance threshold, src/main.rs:474).
+    m1 = (d2 < cfg.cohesion_dist_sq) & not_self
+    cnt1 = jnp.sum(m1, axis=-1).astype(pos_i.dtype)
+    sum1 = jnp.sum(jnp.where(m1[..., None], pos_j[..., None, :, :], 0.0), axis=-2)
+
+    # Rule 2 — separation: -sum (x_j - x_i) for d < threshold (UNsquared
+    # threshold, src/main.rs:485 — compare d^2 < thr^2, equivalent for
+    # non-negative d).
+    m2 = (d2 < cfg.separation_dist * cfg.separation_dist) & not_self
+    repel = -jnp.sum(jnp.where(m2[..., None], diff, 0.0), axis=-2)
+
+    # Rule 3 — alignment: v_j for |v_j - v_i| < threshold, measured in
+    # VELOCITY space (src/main.rs:497).
+    vdiff = vel_j[..., None, :, :] - vel_i[..., :, None, :]
+    vd2 = jnp.sum(vdiff * vdiff, axis=-1)
+    m3 = (vd2 < cfg.alignment_dist * cfg.alignment_dist) & not_self
+    cnt3 = jnp.sum(m3, axis=-1).astype(vel_i.dtype)
+    sum3 = jnp.sum(jnp.where(m3[..., None], vel_j[..., None, :, :], 0.0), axis=-2)
+
+    return sum1, cnt1, repel, sum3, cnt3
+
+
+def boids_finalize(partials, cfg: BoidsConfig) -> jax.Array:
+    """Combine accumulated rule partials into the replacement velocity
+    (guarded count divisions src/main.rs:506-512, weighted sum main.rs:514),
+    before the speed clamp."""
+    sum1, cnt1, repel, sum3, cnt3 = partials
+    center = jnp.where(
+        cnt1[..., None] > 0, sum1 / jnp.maximum(cnt1, 1.0)[..., None], sum1
+    )
+    vmatch = jnp.where(
+        cnt3[..., None] > 0, sum3 / jnp.maximum(cnt3, 1.0)[..., None], sum3
+    )
+    return (
+        center * cfg.cohesion_scale
+        + repel * cfg.separation_scale
+        + vmatch * cfg.alignment_scale
+    )
+
+
 def boids_accels(
     pos: jax.Array, vel: jax.Array, cfg: BoidsConfig
 ) -> jax.Array:
@@ -57,44 +137,8 @@ def boids_accels(
 
     pos, vel: [..., N, 2] -> new_vel [..., N, 2]
     """
-    n = pos.shape[-2]
-    eye = jnp.eye(n, dtype=bool)
-    not_self = ~eye
-
-    diff = pos[..., None, :, :] - pos[..., :, None, :]  # x_j - x_i, [..., i, j, 2]
-    d2 = jnp.sum(diff * diff, axis=-1)  # [..., i, j]
-
-    # Rule 1 — cohesion: mean position of neighbors with d^2 < threshold
-    # (squared-distance threshold, src/main.rs:474; raw mean position, not
-    # an offset from x_i, src/main.rs:514 uses flock_center directly).
-    m1 = (d2 < cfg.cohesion_dist_sq) & not_self
-    cnt1 = jnp.sum(m1, axis=-1).astype(pos.dtype)  # [..., i]
-    sum1 = jnp.sum(
-        jnp.where(m1[..., None], pos[..., None, :, :], 0.0), axis=-2
-    )  # [..., i, 2]
-    center = jnp.where(cnt1[..., None] > 0, sum1 / jnp.maximum(cnt1, 1.0)[..., None], sum1)
-
-    # Rule 2 — separation: -sum (x_j - x_i) for d < threshold (UNsquared
-    # distance threshold, src/main.rs:485; compare d^2 < thr^2 instead —
-    # exactly equivalent for non-negative d and threshold).
-    m2 = (d2 < cfg.separation_dist * cfg.separation_dist) & not_self
-    repel = -jnp.sum(jnp.where(m2[..., None], diff, 0.0), axis=-2)
-
-    # Rule 3 — alignment: mean v_j for |v_j - v_i| < threshold, measured in
-    # VELOCITY space (src/main.rs:497).
-    vdiff = vel[..., None, :, :] - vel[..., :, None, :]
-    vd2 = jnp.sum(vdiff * vdiff, axis=-1)
-    m3 = (vd2 < cfg.alignment_dist * cfg.alignment_dist) & not_self
-    cnt3 = jnp.sum(m3, axis=-1).astype(vel.dtype)
-    sum3 = jnp.sum(
-        jnp.where(m3[..., None], vel[..., None, :, :], 0.0), axis=-2
-    )
-    vmatch = jnp.where(cnt3[..., None] > 0, sum3 / jnp.maximum(cnt3, 1.0)[..., None], sum3)
-
-    return (
-        center * cfg.cohesion_scale
-        + repel * cfg.separation_scale
-        + vmatch * cfg.alignment_scale
+    return boids_finalize(
+        boids_partials_cross(pos, vel, pos, vel, cfg, exclude_diagonal=True), cfg
     )
 
 

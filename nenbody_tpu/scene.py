@@ -66,6 +66,10 @@ def make_observe_fn(cfg: SimConfig) -> Optional[Callable[[SceneState], jax.Array
         from .ops import raycast
 
         return functools.partial(raycast.render_lines, cfg=cfg.vision)
+    if backend == "ring":
+        from .parallel import ring
+
+        return functools.partial(ring.render_lines, cfg=cfg.vision)
     from .vision import render
 
     return functools.partial(render.render_lines, cfg=cfg.vision)
@@ -83,10 +87,23 @@ class Scene:
         self.cfg = cfg
         self._step1 = make_step_fn(cfg)
         self._observe1 = make_observe_fn(cfg)
-        self._jit_step = jax.jit(self._batched(self._step1))
-        self._jit_observe = (
-            jax.jit(self._batched(self._observe1)) if self._observe1 else None
+        # The ring backend is batch-polymorphic already (shard_map handles a
+        # leading env dim internally); vmapping over its collectives is
+        # neither needed nor allowed. The random controller's key splitting
+        # still needs vmap for batched states.
+        ring_backend = _resolve_backend(cfg) == "ring"
+        self._step_b = (
+            self._step1
+            if (ring_backend and cfg.controller != "random")
+            else self._batched(self._step1)
         )
+        self._observe_b = (
+            self._observe1
+            if (ring_backend or self._observe1 is None)
+            else self._batched(self._observe1)
+        )
+        self._jit_step = jax.jit(self._step_b)
+        self._jit_observe = jax.jit(self._observe_b) if self._observe_b else None
 
     # -- construction -------------------------------------------------------
 
@@ -130,8 +147,8 @@ class Scene:
         record: subset of ("pos", "vel", "obs") to stack along a leading
         time axis. Empty tuple records nothing (fastest path).
         """
-        step1 = self._batched(self._step1)
-        observe1 = self._batched(self._observe1) if self._observe1 else None
+        step1 = self._step_b
+        observe1 = self._observe_b
 
         def body(s, _):
             s = step1(s)

@@ -68,17 +68,33 @@ def render_rows(
     vel: jax.Array,
     cfg: VisionConfig,
     chunk: int = 128,
+    targets: jax.Array | None = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Render every agent's eye line. pos, vel: [N, 2].
 
     Returns (shade [N, W], depth [N, W]). Work is O(N^2 * W); `chunk` bounds
     the materialized [chunk, N, W] intermediates (the dense analog of the
     reference's GRANULARITY=100 command-buffer batching, src/main.rs:584).
+
+    `targets` (default: pos itself) renders the eyes against a different
+    position set — the cross-block primitive the multi-chip vision ring
+    streams remote blocks through; partial rows merge with `merge_rows`.
     """
     dirs = camera.unit_heading(vel)
-    fn = lambda args: _agent_row(args[0], args[1], pos, cfg)
+    tgt = pos if targets is None else targets
+    fn = lambda args: _agent_row(args[0], args[1], tgt, cfg)
     n = pos.shape[0]
     return jax.lax.map(fn, (pos, dirs), batch_size=min(chunk, n))
+
+
+def merge_rows(a, b):
+    """Depth-min merge of two partial renders (shade, depth) — associative
+    and commutative up to depth ties, so partial renders against disjoint
+    target blocks compose into the full render."""
+    sa, da = a
+    sb, db = b
+    take_b = db < da
+    return jnp.where(take_b, sb, sa), jnp.where(take_b, db, da)
 
 
 def render_lines(state: SceneState, cfg: VisionConfig) -> jax.Array:

@@ -3,18 +3,15 @@
 SURVEY.md §4.4: the TPU-native analog of fake backends — multi-chip code
 paths (shard_map, ppermute rings) execute on host CPU devices, and Pallas
 kernels run in interpreter mode off-TPU (selected inside nenbody_tpu.ops).
-Must run before the first jax import anywhere in the test process.
+
+jax may already be imported (and pinned to a TPU platform) by a
+sitecustomize hook before pytest starts, so environment variables are too
+late — use jax.config, which takes effect as long as no backend has been
+initialized yet.
 """
 
-import os
+import jax
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
-
-import jax  # noqa: E402
-
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_enable_x64", False)

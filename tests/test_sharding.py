@@ -1,0 +1,127 @@
+"""Multi-chip ring backend on 8 virtual CPU devices (SURVEY.md §4.4):
+the ring exchange must reproduce the dense single-device results exactly
+(same pair set, fp32-reassociation tolerances only)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nenbody_tpu import Scene, SimConfig, VisionConfig, spawn
+from nenbody_tpu.parallel import mesh as mesh_lib
+from nenbody_tpu.parallel import ring
+from nenbody_tpu.physics import dense
+from nenbody_tpu.vision import render
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    assert len(jax.devices()) == 8, "conftest must force 8 CPU devices"
+    return mesh_lib.make_mesh({"agents": 8})
+
+
+@pytest.fixture(scope="module")
+def mesh2x4():
+    return mesh_lib.make_mesh({"data": 2, "agents": 4})
+
+
+def _state(n, seed=0, controller="gravity"):
+    return spawn(jax.random.key(seed), SimConfig(n=n, controller=controller))
+
+
+def test_ring_gravity_matches_dense(mesh8):
+    st = _state(256)
+    cfg = SimConfig(n=256, controller="gravity", backend="ring")
+    got = ring.ring_gravity_forces(st.pos, cfg, mesh=mesh8)
+    want = dense.gravity_forces(st.pos, cfg.gravity)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=3e-5, atol=1e-7)
+
+
+def test_ring_boids_matches_dense(mesh8):
+    st = _state(256, seed=1, controller="boids")
+    cfg = SimConfig(n=256, controller="boids", backend="ring")
+    got = ring.ring_boids_velocity(st.pos, st.vel, cfg, mesh=mesh8)
+    want = dense.boids_accels(st.pos, st.vel, cfg.boids)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=3e-5, atol=1e-6)
+
+
+def test_ring_vision_matches_dense(mesh8):
+    st = _state(64, seed=2)
+    key = jax.random.key(5)
+    st = st.replace(
+        vel=jax.random.uniform(key, (64, 2), minval=-1, maxval=1, dtype=jnp.float32)
+    )
+    vcfg = VisionConfig(width=64)
+    got_s, got_d = ring.ring_render_rows(st.pos, st.vel, vcfg, mesh=mesh8)
+    want_s, want_d = render.render_rows(st.pos, st.vel, vcfg)
+    np.testing.assert_allclose(np.asarray(got_d), np.asarray(want_d), rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_s), np.asarray(want_s), rtol=1e-5, atol=1e-5)
+
+
+def test_ring_batched_with_data_axis(mesh2x4):
+    """Envs over the data axis, agents over the ring axis — the config-5
+    sharding (4096 envs x 256 agents scaled down)."""
+    cfg = SimConfig(n=64, controller="gravity", backend="ring")
+    keys = jax.random.split(jax.random.key(0), 4)
+    batch = jax.vmap(lambda k: spawn(k, cfg))(keys)
+    got = ring.ring_gravity_forces(
+        batch.pos, cfg, mesh=mesh2x4, data_axis="data"
+    )
+    want = jax.vmap(lambda p: dense.gravity_forces(p, cfg.gravity))(batch.pos)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=3e-5, atol=1e-7)
+
+
+def test_ring_boids_batched(mesh2x4):
+    cfg = SimConfig(n=64, controller="boids", backend="ring")
+    keys = jax.random.split(jax.random.key(1), 2)
+    batch = jax.vmap(lambda k: spawn(k, cfg))(keys)
+    got = ring.ring_boids_velocity(
+        batch.pos, batch.vel, cfg, mesh=mesh2x4, data_axis="data"
+    )
+    want = jax.vmap(lambda p, v: dense.boids_accels(p, v, cfg.boids))(
+        batch.pos, batch.vel
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=3e-5, atol=1e-6)
+
+
+def test_scene_ring_backend_end_to_end():
+    cfg = SimConfig(
+        n=128, controller="boids", backend="ring", vision=VisionConfig(width=32)
+    )
+    scene = Scene(cfg)
+    state = scene.spawn(seed=0)
+    out = scene.step(state)
+    obs = scene.observe(out)
+    assert obs.shape == (128, 32)
+
+    dense_cfg = SimConfig(
+        n=128, controller="boids", backend="dense", vision=VisionConfig(width=32)
+    )
+    dscene = Scene(dense_cfg)
+    dout = dscene.step(state)
+    np.testing.assert_allclose(
+        np.asarray(out.pos), np.asarray(dout.pos), rtol=3e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(obs), np.asarray(dscene.observe(dout)), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_ring_rollout_under_scan():
+    """ppermute rings must compose with lax.scan (the rollout driver)."""
+    cfg = SimConfig(n=64, controller="gravity", backend="ring")
+    scene = Scene(cfg)
+    state = scene.spawn(seed=3)
+    final, _ = scene.rollout(state, 5)
+    dscene = Scene(SimConfig(n=64, controller="gravity", backend="dense"))
+    dfinal, _ = dscene.rollout(state, 5)
+    np.testing.assert_allclose(
+        np.asarray(final.pos), np.asarray(dfinal.pos), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_mesh_helpers():
+    m = mesh_lib.make_mesh({"data": -1, "agents": 2})
+    assert m.shape["data"] == 4 and m.shape["agents"] == 2
+    with pytest.raises(ValueError):
+        mesh_lib.make_mesh({"agents": 16})
