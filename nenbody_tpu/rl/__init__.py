@@ -1,0 +1,14 @@
+"""RL-style control on top of the sim: vision env, policies, training.
+
+The reference's stated purpose is to be a substrate "for simple control
+algorithms and computer vision processing" (README.md:4); its controllers
+are hardcoded rules (src/main.rs:381-526). This package closes the loop the
+reference only gestures at: agents act on their 1D vision lines through a
+learned policy, rolled out in batched envs (BASELINE.json config 5) and
+trained with REINFORCE — gradients flow only through the policy, so the
+environment (including the Pallas kernels) needs no VJP.
+"""
+
+from . import env, policy, train
+
+__all__ = ["env", "policy", "train"]

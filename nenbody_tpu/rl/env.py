@@ -1,0 +1,85 @@
+"""VisionEnv: gym-style reset/step over the actuated sim.
+
+Dynamics are the reference gravity world (src/main.rs:404-441) plus a
+per-agent control acceleration: v += (gravity + action)*dt; x += v. The
+observation is each agent's 1D vision line (the reference's eye texture,
+src/main.rs:693-704) plus normalized ego velocity. Reward shapes cohesion:
+negative mean squared distance to the swarm centroid, scaled — the flocking
+objective the reference's boids rules hardcode, here learnable.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import SimConfig
+from ..state import SceneState, spawn
+from ..physics import dense
+
+
+def _forces(pos: jax.Array, cfg: SimConfig, backend: str) -> jax.Array:
+    if backend == "pallas":
+        from ..ops import pairwise
+
+        return pairwise.gravity_forces_tiled(pos, cfg.gravity)
+    return dense.gravity_forces(pos, cfg.gravity)
+
+
+def _render(pos: jax.Array, vel: jax.Array, cfg: SimConfig, backend: str):
+    if backend == "pallas":
+        from ..ops import raycast
+
+        return raycast.render_rows_tiled(pos, vel, cfg.vision)[0]
+    from ..vision import render
+
+    return render.render_rows(pos, vel, cfg.vision)[0]
+
+
+class VisionEnv:
+    """Single-env, unbatched API; `jax.vmap` the methods for batched envs
+    (see rl.train.make_train_step). All methods are pure and jittable."""
+
+    def __init__(self, cfg: SimConfig, max_accel: float = 0.05):
+        if cfg.vision is None:
+            raise ValueError("VisionEnv requires cfg.vision")
+        self.cfg = cfg
+        self.max_accel = max_accel
+        self.backend = "pallas" if jax.default_backend() == "tpu" else "dense"
+
+    @property
+    def obs_width(self) -> int:
+        return self.cfg.vision.width + 2  # vision line + ego velocity
+
+    def reset(self, key: jax.Array) -> Tuple[SceneState, jax.Array]:
+        state = spawn(key, self.cfg)
+        return state, self.observe(state)
+
+    def observe(self, state: SceneState) -> jax.Array:
+        """[N, W+2]: the eye line plus normalized ego velocity."""
+        lines = _render(state.pos, state.vel, self.cfg, self.backend)
+        return jnp.concatenate([lines, state.vel], axis=-1)
+
+    def step(
+        self, state: SceneState, action: jax.Array
+    ) -> Tuple[SceneState, jax.Array, jax.Array]:
+        """action: [N, 2] control acceleration, clipped to max_accel.
+
+        Returns (next_state, obs, reward[N]).
+        """
+        accel = jnp.clip(action, -self.max_accel, self.max_accel)
+        g = _forces(state.pos, self.cfg, self.backend)
+        vel = state.vel + (g + accel) * self.cfg.gravity.dt
+        pos = state.pos + vel
+        next_state = state.replace(pos=pos, vel=vel, t=state.t + 1)
+        return next_state, self.observe(next_state), self.reward(next_state)
+
+    def reward(self, state: SceneState) -> jax.Array:
+        """[N]: cohesion shaping — negative mean-square distance to the
+        swarm centroid (scaled to O(1) for spawn bounds +-100)."""
+        centroid = jnp.mean(state.pos, axis=-2, keepdims=True)
+        d2 = jnp.sum((state.pos - centroid) ** 2, axis=-1)
+        return -d2 / 1e4

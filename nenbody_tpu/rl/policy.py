@@ -1,0 +1,55 @@
+"""Gaussian MLP policy over per-agent 1D vision observations.
+
+One weight set is shared by all agents (the per-agent forward is a batched
+matmul over the agent axis — MXU work, bf16-friendly). Actions are 2D
+control accelerations sampled from a diagonal Gaussian with learned state-
+independent log-std, the standard continuous-control REINFORCE setup.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+class MLPPolicy(nn.Module):
+    hidden: Sequence[int] = (128, 128)
+    act_dim: int = 2
+    # compute-heavy layers in bf16 on the MXU, params + logits in fp32
+    use_bf16: bool = True
+
+    @nn.compact
+    def __call__(self, obs: jax.Array) -> Tuple[jax.Array, jax.Array]:
+        """obs: [..., W] -> (mean [..., act_dim], log_std [act_dim])."""
+        x = obs
+        if self.use_bf16:
+            x = x.astype(jnp.bfloat16)
+        dtype = jnp.bfloat16 if self.use_bf16 else jnp.float32
+        for h in self.hidden:
+            x = nn.Dense(h, dtype=dtype)(x)
+            x = nn.tanh(x)
+        mean = nn.Dense(self.act_dim, dtype=jnp.float32)(x.astype(jnp.float32))
+        log_std = self.param(
+            "log_std", nn.initializers.constant(-1.0), (self.act_dim,)
+        )
+        return mean, log_std
+
+
+def sample_action(params, apply_fn, obs, key):
+    """Sample a[..., 2] ~ N(mean, exp(log_std)); returns (action, log_prob)."""
+    mean, log_std = apply_fn(params, obs)
+    std = jnp.exp(log_std)
+    eps = jax.random.normal(key, mean.shape, dtype=mean.dtype)
+    action = mean + std * eps
+    logp = gaussian_log_prob(action, mean, log_std)
+    return action, logp
+
+
+def gaussian_log_prob(action, mean, log_std):
+    """Sum over the action dim: [..., act_dim] -> [...]."""
+    std = jnp.exp(log_std)
+    z = (action - mean) / std
+    return jnp.sum(-0.5 * z * z - log_std - 0.5 * jnp.log(2 * jnp.pi), axis=-1)

@@ -1,0 +1,167 @@
+"""REINFORCE training over batched vision envs (BASELINE.json config 5).
+
+The rollout is a `lax.scan` over time of vmapped env steps; gradients flow
+only through the policy log-probs (the sim, including Pallas kernels, stays
+VJP-free). Two execution modes:
+
+- single-host: plain vmap over the env batch.
+- mesh: envs shard over a data axis (pure DP) and agents shard over the
+  agent axis, with physics and vision running the explicit ppermute ring
+  (the sequence-parallel analog for the agent dimension) and the policy
+  replicated; XLA inserts the gradient/metric reductions.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import SimConfig
+from ..state import SceneState, spawn_batch
+from ..parallel.mesh import AGENT_AXIS, DATA_AXIS
+from .env import VisionEnv
+from .policy import MLPPolicy, gaussian_log_prob, sample_action
+
+
+class Trajectory(NamedTuple):
+    obs: jax.Array  # [T, B, N, W+2]
+    action: jax.Array  # [T, B, N, 2]
+    reward: jax.Array  # [T, B, N]
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    env_states: SceneState  # batched [B, ...]
+    key: jax.Array
+
+
+def _batched_env_fns(env: VisionEnv, mesh: Optional[Mesh]):
+    """(observe, step) over batched states [B, N, 2]."""
+    if mesh is None:
+        return jax.vmap(env.observe), jax.vmap(env.step)
+
+    from ..parallel import ring
+
+    cfg = env.cfg
+
+    def observe(states):
+        lines = ring.ring_render_rows(
+            states.pos, states.vel, cfg.vision, mesh=mesh, data_axis=DATA_AXIS
+        )[0]
+        return jnp.concatenate([lines, states.vel], axis=-1)
+
+    def step(states, action):
+        accel = jnp.clip(action, -env.max_accel, env.max_accel)
+        g = ring.ring_gravity_forces(
+            states.pos, cfg, mesh=mesh, data_axis=DATA_AXIS
+        )
+        vel = states.vel + (g + accel) * cfg.gravity.dt
+        pos = states.pos + vel
+        nxt = states.replace(pos=pos, vel=vel, t=states.t + 1)
+        return nxt, observe(nxt), jax.vmap(env.reward)(nxt)
+
+    return observe, step
+
+
+def discounted_returns(rewards: jax.Array, gamma: float) -> jax.Array:
+    """Returns-to-go along the leading time axis."""
+
+    def body(carry, r):
+        ret = r + gamma * carry
+        return ret, ret
+
+    _, rets = jax.lax.scan(body, jnp.zeros_like(rewards[0]), rewards, reverse=True)
+    return rets
+
+
+def make_train_step(
+    env: VisionEnv,
+    apply_fn: Callable,
+    optimizer: optax.GradientTransformation,
+    horizon: int = 8,
+    gamma: float = 0.99,
+    mesh: Optional[Mesh] = None,
+):
+    """Build the jitted full training step:
+    rollout (scan over vmapped env) -> returns/advantages -> REINFORCE
+    gradient -> optax update. With a mesh, env states shard (data, agents)
+    and the sim runs the ppermute ring."""
+    observe_b, step_b = _batched_env_fns(env, mesh)
+
+    def rollout(params, env_states, key):
+        obs0 = observe_b(env_states)
+
+        def body(carry, _):
+            states, obs, key = carry
+            key, sub = jax.random.split(key)
+            action, _ = sample_action(params, apply_fn, obs, sub)
+            action = jax.lax.stop_gradient(action)
+            states, next_obs, reward = step_b(states, action)
+            return (states, next_obs, key), (obs, action, reward)
+
+        (env_states, _, _), (obs, action, reward) = jax.lax.scan(
+            body, (env_states, obs0, key), None, length=horizon
+        )
+        return env_states, Trajectory(obs, action, reward)
+
+    def train_step(ts: TrainState) -> Tuple[TrainState, dict]:
+        key, sub = jax.random.split(ts.key)
+        env_states, traj = rollout(ts.params, ts.env_states, sub)
+        rets = discounted_returns(traj.reward, gamma)
+        adv = rets - jnp.mean(rets)
+
+        def loss_fn(p):
+            mean, log_std = apply_fn(p, traj.obs)
+            logp = gaussian_log_prob(traj.action, mean, log_std)
+            return -jnp.mean(logp * jax.lax.stop_gradient(adv))
+
+        loss, grads = jax.value_and_grad(loss_fn)(ts.params)
+        updates, opt_state = optimizer.update(grads, ts.opt_state, ts.params)
+        params = optax.apply_updates(ts.params, updates)
+        metrics = {
+            "loss": loss,
+            "reward_mean": jnp.mean(traj.reward),
+            "return_mean": jnp.mean(rets),
+        }
+        return TrainState(params, opt_state, env_states, key), metrics
+
+    return train_step
+
+
+def init_train_state(
+    env: VisionEnv,
+    num_envs: int,
+    key: jax.Array,
+    optimizer: optax.GradientTransformation,
+    policy: Optional[MLPPolicy] = None,
+    mesh: Optional[Mesh] = None,
+) -> Tuple[TrainState, Callable, MLPPolicy]:
+    """Spawn batched envs, init policy params/optimizer; with a mesh, place
+    env states on (data, agents) shardings and replicate params."""
+    policy = policy or MLPPolicy()
+    kp, ke, kr = jax.random.split(key, 3)
+    env_states = spawn_batch(ke, env.cfg, num_envs)
+    dummy = jnp.zeros((1, env.obs_width), jnp.float32)
+    params = policy.init(kp, dummy)
+    opt_state = optimizer.init(params)
+
+    if mesh is not None:
+        state_shard = NamedSharding(mesh, P(DATA_AXIS, AGENT_AXIS, None))
+        scalar_shard = NamedSharding(mesh, P(DATA_AXIS))
+        repl = NamedSharding(mesh, P())
+        env_states = SceneState(
+            pos=jax.device_put(env_states.pos, state_shard),
+            vel=jax.device_put(env_states.vel, state_shard),
+            key=jax.device_put(env_states.key, scalar_shard),
+            t=jax.device_put(env_states.t, scalar_shard),
+        )
+        params = jax.device_put(params, repl)
+        opt_state = jax.device_put(opt_state, repl)
+
+    return TrainState(params, opt_state, env_states, kr), policy.apply, policy
