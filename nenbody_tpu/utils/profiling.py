@@ -1,0 +1,74 @@
+"""Profiling & metrics — the TPU analog of the reference's observability
+(SURVEY.md §5.1/§5.5: checked-in flamegraph, WGPU_TRACE env hook, in-UI
+frametime): step timers with throughput derivation (pair-evals/s,
+agent-frames/s as first-class metrics), and a jax.profiler trace context
+(Perfetto/XProf) switched by NENBODY_TRACE, mirroring the reference's
+WGPU_TRACE env-var hook (gfx.rs:62)."""
+
+from __future__ import annotations
+
+import contextlib
+import json
+import os
+import time
+from typing import Optional
+
+import jax
+import numpy as np
+
+
+@contextlib.contextmanager
+def device_trace(log_dir: Optional[str] = None):
+    """Capture a jax.profiler trace if NENBODY_TRACE (or log_dir) is set."""
+    target = log_dir or os.environ.get("NENBODY_TRACE")
+    if not target:
+        yield
+        return
+    with jax.profiler.trace(target):
+        yield
+
+
+class StepTimer:
+    """Wall-clock step timing with EMA and derived throughput.
+
+    Mirrors the reference's per-frame delta-time readout (src/main.rs:894-897)
+    but reports simulation-native rates. Feed it synchronized step times
+    (call mark() only after jax.block_until_ready or a host fetch)."""
+
+    def __init__(self, n_agents: int, ema_alpha: float = 0.1):
+        self.n = n_agents
+        self.alpha = ema_alpha
+        self.ema_s: Optional[float] = None
+        self.samples = 0
+        self._last: Optional[float] = None
+
+    def mark(self, steps: int = 1) -> float:
+        now = time.perf_counter()
+        dt = 0.0
+        if self._last is not None:
+            dt = (now - self._last) / max(steps, 1)
+            self.ema_s = dt if self.ema_s is None else (
+                self.alpha * dt + (1 - self.alpha) * self.ema_s
+            )
+            self.samples += steps
+        self._last = now
+        return dt
+
+    @property
+    def steps_per_s(self) -> float:
+        return 1.0 / self.ema_s if self.ema_s else 0.0
+
+    @property
+    def pair_evals_per_s(self) -> float:
+        return self.n * self.n * self.steps_per_s
+
+    def report(self, extra: Optional[dict] = None) -> str:
+        d = {
+            "step_ms": (self.ema_s or 0.0) * 1e3,
+            "steps_per_s": self.steps_per_s,
+            "pair_evals_per_s": self.pair_evals_per_s,
+            "n": self.n,
+        }
+        if extra:
+            d.update(extra)
+        return json.dumps(d)

@@ -1,0 +1,121 @@
+"""Pure-NumPy frame composition: top-down scene view + eye-line widget.
+
+Reproduces what the reference shows on screen (SURVEY.md layer 4):
+- a top-down scene view following agent 0 (src/main.rs:940-942), drawing
+  each agent as the wireframe triangle sprite of init_geometry_data
+  (verts (-1,-1),(1,0),(-1,1) drawn as a LineStrip, src/main.rs:130-139)
+  rotated to its heading and translated to its position, over the clear
+  color (0.1, 0.2, 0.3) (src/main.rs:543);
+- the selected agent's 1D vision line stretched into a 2D image strip
+  (the NenbodyUi eye widget, src/main.rs:82-96).
+
+Everything is float32 RGB in [0, 1]; callers quantize for file output.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+CLEAR_COLOR = (0.1, 0.2, 0.3)  # src/main.rs:543
+SPRITE_VERTS = np.array([[-1.0, -1.0], [1.0, 0.0], [-1.0, 1.0]], np.float32)
+SPRITE_EDGES = [(0, 1), (1, 2), (2, 0)]  # index buffer [0,1,2,0], main.rs:137
+AGENT_COLOR = (0.85, 0.80, 0.70)
+SELECTED_COLOR = (1.0, 0.45, 0.25)
+
+
+def _draw_polyline(img: np.ndarray, p0: np.ndarray, p1: np.ndarray, color) -> None:
+    """Batch line rasterizer: p0, p1 [M, 2] in pixel coords (x, y)."""
+    h, w, _ = img.shape
+    seg = p1 - p0
+    steps = int(max(2, np.ceil(np.abs(seg).max()) + 1)) if seg.size else 2
+    t = np.linspace(0.0, 1.0, steps, dtype=np.float32)[None, :, None]
+    pts = p0[:, None, :] + seg[:, None, :] * t  # [M, steps, 2]
+    pts = pts.reshape(-1, 2)
+    xi = np.round(pts[:, 0]).astype(np.int64)
+    yi = np.round(pts[:, 1]).astype(np.int64)
+    ok = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+    img[yi[ok], xi[ok]] = color
+
+
+def render_topdown(
+    pos: np.ndarray,
+    vel: np.ndarray,
+    size: Tuple[int, int] = (540, 960),
+    center: Optional[np.ndarray] = None,
+    half_extent: float = 120.0,
+    selected: Optional[int] = None,
+    sprite_scale: float = 1.0,
+) -> np.ndarray:
+    """Top-down RGB frame [H, W, 3]. Follows agent 0 unless `center` given
+    (the reference's scene camera follows entity 0, src/main.rs:940-942)."""
+    h, w = size
+    img = np.empty((h, w, 3), np.float32)
+    img[:] = CLEAR_COLOR
+    pos = np.asarray(pos, np.float32)
+    vel = np.asarray(vel, np.float32)
+    n = pos.shape[0]
+    if center is None:
+        center = pos[0]
+    aspect = w / h
+    ex, ey = half_extent * aspect, half_extent
+
+    th = np.arctan2(vel[:, 1], vel[:, 0])  # rotation_of, src/main.rs:141-143
+    c, s = np.cos(th), np.sin(th)
+    rot = np.stack([np.stack([c, -s], -1), np.stack([s, c], -1)], -2)  # [N,2,2]
+    verts = (SPRITE_VERTS[None] * sprite_scale) @ rot.transpose(0, 2, 1) + pos[:, None]
+
+    def to_px(p):  # world -> pixel (y up -> row down)
+        x = (p[..., 0] - center[0] + ex) / (2 * ex) * (w - 1)
+        y = (1 - (p[..., 1] - center[1] + ey) / (2 * ey)) * (h - 1)
+        return np.stack([x, y], -1)
+
+    vpx = to_px(verts)  # [N, 3, 2]
+    for a, b in SPRITE_EDGES:
+        _draw_polyline(img, vpx[:, a].reshape(-1, 2), vpx[:, b].reshape(-1, 2), AGENT_COLOR)
+    if selected is not None:
+        for a, b in SPRITE_EDGES:
+            _draw_polyline(
+                img, vpx[selected : selected + 1, a], vpx[selected : selected + 1, b],
+                SELECTED_COLOR,
+            )
+    return img
+
+
+def eye_strip(
+    obs_row: np.ndarray, height: int = 48, width: Optional[int] = None
+) -> np.ndarray:
+    """Stretch one agent's 1D vision line [W] (or [W, 3]) into a 2D strip
+    [height, width, 3] — the NenbodyUi eye-image widget (src/main.rs:82-96,
+    viewport-scale slider becomes the width/height arguments)."""
+    row = np.asarray(obs_row, np.float32)
+    if row.ndim == 1:
+        row = np.repeat(row[:, None], 3, axis=1)
+    w_in = row.shape[0]
+    width = width or w_in
+    idx = np.clip((np.arange(width) * w_in) // max(width, 1), 0, w_in - 1)
+    strip = row[idx][None].repeat(height, axis=0)
+    return strip
+
+
+def compose(
+    scene_img: np.ndarray,
+    strip: Optional[np.ndarray] = None,
+    pad: int = 4,
+) -> np.ndarray:
+    """Stack the scene view over the eye strip (the reference's UI overlays
+    the widget; side-by-side stacking is the headless equivalent)."""
+    if strip is None:
+        return scene_img
+    h, w, _ = scene_img.shape
+    sh, sw, _ = strip.shape
+    out = np.empty((h + sh + pad, max(w, sw), 3), np.float32)
+    out[:] = 0.0
+    out[:h, :w] = scene_img
+    out[h + pad :, :sw] = strip
+    return out
+
+
+def to_uint8(img: np.ndarray) -> np.ndarray:
+    return (np.clip(img, 0.0, 1.0) * 255).astype(np.uint8)
