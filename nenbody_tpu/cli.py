@@ -1,0 +1,234 @@
+"""CLI: the app driver (the reference's main()/event loop, layer 5).
+
+The reference hardcodes every knob and selects controllers by code edit
+(SURVEY.md §5.6); here presets + flags select everything, and the frame loop
+inverts: the device advances the sim in scan chunks while the host taps
+snapshots at a low rate for logging, capture, recording, and checkpoints.
+
+    python -m nenbody_tpu run --preset boids-4096 --steps 2000 --capture 100
+    python -m nenbody_tpu run --n 256 --controller gravity --record out/run.nentraj
+    python -m nenbody_tpu train --envs 64 --agents 64 --iters 20
+    python -m nenbody_tpu gif --preset gravity-vision-1024 --steps 400
+    python -m nenbody_tpu bench
+    python -m nenbody_tpu info
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+import time
+
+
+def _build_cfg(args) -> "SimConfig":
+    from .config import PRESETS, SimConfig, VisionConfig
+
+    if args.preset:
+        cfg = PRESETS[args.preset]()
+    else:
+        vision = VisionConfig(width=args.vision_width) if args.vision_width else None
+        cfg = SimConfig(
+            n=args.n, controller=args.controller, backend=args.backend, vision=vision
+        )
+    if args.backend != "auto":
+        cfg = dataclasses.replace(cfg, backend=args.backend)
+    return cfg
+
+
+def _add_sim_flags(p: argparse.ArgumentParser):
+    from .config import PRESETS
+
+    p.add_argument("--preset", choices=sorted(PRESETS), default=None)
+    p.add_argument("--n", type=int, default=1024, help="agent count")
+    p.add_argument(
+        "--controller", choices=["gravity", "boids", "random"], default="boids"
+    )
+    p.add_argument(
+        "--backend", choices=["auto", "dense", "pallas", "ring"], default="auto"
+    )
+    p.add_argument("--vision-width", type=int, default=0, help="0 disables vision")
+    p.add_argument("--seed", type=int, default=0)
+
+
+def cmd_run(args) -> int:
+    import numpy as np
+
+    from .scene import Scene
+    from .utils import checkpoint as ck
+    from .utils.profiling import StepTimer, device_trace
+
+    cfg = _build_cfg(args)
+    scene = Scene(cfg)
+    state = (
+        ck.load_state(args.resume) if args.resume else scene.spawn(seed=args.seed)
+    )
+
+    viewer = None
+    if args.capture:
+        from .viz.viewer import Viewer
+
+        viewer = Viewer(out_dir=args.out_dir)
+    recorder = None
+    if args.record:
+        from .utils import native
+
+        if not native.available() and not native.build():
+            print("warning: native recorder unavailable; --record ignored",
+                  file=sys.stderr)
+        else:
+            recorder = native.TrajectoryRecorder(args.record, cfg.n)
+    ckpt = (
+        ck.PeriodicCheckpointer(args.checkpoint_dir, every=args.checkpoint_every)
+        if args.checkpoint_dir
+        else None
+    )
+
+    timer = StepTimer(cfg.n)
+    chunk = max(1, args.log_every)
+    done = 0
+    with device_trace():
+        timer.mark(0)
+        while done < args.steps:
+            k = min(chunk, args.steps - done)
+            state, _ = scene.rollout(state, k)
+            pos = np.asarray(state.pos)  # host tap (sync point)
+            done += k
+            timer.mark(k)
+            print(timer.report({"t": int(np.asarray(state.t).reshape(-1)[0])}))
+            if viewer is not None and done % args.capture < k:
+                obs = scene.observe(state) if cfg.vision else None
+                viewer.capture(state, obs)
+            if recorder is not None:
+                recorder.append(done, pos, np.asarray(state.vel))
+            if ckpt is not None:
+                ckpt.maybe_save(state)
+    if recorder is not None:
+        recorder.close()
+    if viewer is not None:
+        viewer.flush()
+    return 0
+
+
+def cmd_train(args) -> int:
+    import jax
+    import optax
+
+    from .config import SimConfig, VisionConfig
+    from .rl.env import VisionEnv
+    from .rl import train as train_lib
+
+    cfg = SimConfig(
+        n=args.agents,
+        controller="gravity",
+        vision=VisionConfig(width=args.vision_width or 64),
+    )
+    env = VisionEnv(cfg)
+    opt = optax.adam(args.lr)
+    ts, apply_fn, _ = train_lib.init_train_state(
+        env, num_envs=args.envs, key=jax.random.key(args.seed), optimizer=opt
+    )
+    step = jax.jit(
+        train_lib.make_train_step(env, apply_fn, opt, horizon=args.horizon)
+    )
+    for i in range(args.iters):
+        t0 = time.perf_counter()
+        ts, metrics = step(ts)
+        metrics = {k: float(v) for k, v in metrics.items()}
+        metrics.update(
+            iter=i,
+            sec=time.perf_counter() - t0,
+            agent_frames=args.envs * args.agents * args.horizon,
+        )
+        print(json.dumps(metrics))
+    if args.save:
+        from .utils import checkpoint as ck
+
+        ck.save_pytree(args.save, ts.params)
+        print(f"saved params -> {args.save}")
+    return 0
+
+
+def cmd_gif(args) -> int:
+    from .scene import Scene
+    from .viz.viewer import record_rollout_gif
+
+    cfg = _build_cfg(args)
+    scene = Scene(cfg)
+    state = scene.spawn(seed=args.seed)
+    path = record_rollout_gif(
+        scene, state, num_steps=args.steps, path=args.out, stride=args.stride
+    )
+    print(f"wrote {path}")
+    return 0
+
+
+def cmd_bench(args) -> int:  # noqa: ARG001
+    import bench  # repo-root harness
+
+    bench.main()
+    return 0
+
+
+def cmd_info(args) -> int:  # noqa: ARG001
+    import jax
+
+    from .config import PRESETS
+    from .utils import native
+
+    print(json.dumps({
+        "backend": jax.default_backend(),
+        "devices": [str(d) for d in jax.devices()],
+        "native_runtime": native.available(),
+        "presets": sorted(PRESETS),
+    }, indent=2))
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="nenbody-tpu", description=__doc__)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("run", help="run a simulation with logging/capture")
+    _add_sim_flags(p)
+    p.add_argument("--steps", type=int, default=1000)
+    p.add_argument("--log-every", type=int, default=100)
+    p.add_argument("--capture", type=int, default=0, help="PNG every K steps")
+    p.add_argument("--out-dir", default="out/frames")
+    p.add_argument("--record", default="", help=".nentraj trajectory path")
+    p.add_argument("--checkpoint-dir", default="")
+    p.add_argument("--checkpoint-every", type=int, default=1000)
+    p.add_argument("--resume", default="", help="npz checkpoint to resume")
+    p.set_defaults(fn=cmd_run)
+
+    p = sub.add_parser("train", help="REINFORCE training on the vision env")
+    p.add_argument("--envs", type=int, default=64)
+    p.add_argument("--agents", type=int, default=64)
+    p.add_argument("--vision-width", type=int, default=64)
+    p.add_argument("--horizon", type=int, default=8)
+    p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--save", default="", help="save params npz")
+    p.set_defaults(fn=cmd_train)
+
+    p = sub.add_parser("gif", help="record a rollout gif (demo-video analog)")
+    _add_sim_flags(p)
+    p.add_argument("--steps", type=int, default=400)
+    p.add_argument("--stride", type=int, default=4)
+    p.add_argument("--out", default="out/rollout.gif")
+    p.set_defaults(fn=cmd_gif)
+
+    p = sub.add_parser("bench", help="run the benchmark harness")
+    p.set_defaults(fn=cmd_bench)
+
+    p = sub.add_parser("info", help="devices, presets, native runtime status")
+    p.set_defaults(fn=cmd_info)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,68 @@
+"""CLI end-to-end: run/train/info subcommands (in-process, CPU)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from nenbody_tpu.cli import main
+
+
+def test_info(capsys):
+    assert main(["info"]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["backend"] == "cpu" and len(out["devices"]) == 8
+    assert "boids-4096" in out["presets"]
+
+
+def test_run_with_capture_record_checkpoint(tmp_path, capsys):
+    record = str(tmp_path / "run.nentraj")
+    rc = main([
+        "run", "--n", "32", "--controller", "gravity", "--steps", "60",
+        "--log-every", "20", "--vision-width", "16",
+        "--capture", "20", "--out-dir", str(tmp_path / "frames"),
+        "--record", record,
+        "--checkpoint-dir", str(tmp_path / "ck"), "--checkpoint-every", "20",
+    ])
+    assert rc == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.splitlines() if l.startswith("{")]
+    assert lines[-1]["t"] == 60
+    assert lines[-1]["pair_evals_per_s"] > 0
+    assert len(os.listdir(tmp_path / "frames")) >= 1
+    assert len(os.listdir(tmp_path / "ck")) >= 1
+    if os.path.exists(record):
+        from nenbody_tpu.utils import native
+
+        ts, pos, vel = native.read_trajectory(record)
+        assert pos.shape[1:] == (32, 2) and len(ts) == 3
+
+
+def test_run_resume(tmp_path, capsys):
+    ckdir = str(tmp_path / "ck")
+    main([
+        "run", "--n", "16", "--controller", "boids", "--steps", "40",
+        "--log-every", "20", "--checkpoint-dir", ckdir, "--checkpoint-every", "20",
+    ])
+    capsys.readouterr()
+    from nenbody_tpu.utils.checkpoint import PeriodicCheckpointer
+
+    latest = PeriodicCheckpointer(ckdir).latest()
+    assert latest
+    rc = main([
+        "run", "--n", "16", "--controller", "boids", "--steps", "20",
+        "--log-every", "20", "--resume", latest,
+    ])
+    assert rc == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.splitlines() if l.startswith("{")]
+    assert lines[-1]["t"] == 60  # resumed from 40
+
+
+def test_train_cli(capsys):
+    rc = main([
+        "train", "--envs", "2", "--agents", "8", "--vision-width", "16",
+        "--horizon", "2", "--iters", "2",
+    ])
+    assert rc == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.splitlines() if l.startswith("{")]
+    assert len(lines) == 2 and np.isfinite(lines[-1]["loss"])
