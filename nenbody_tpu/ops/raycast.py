@@ -37,22 +37,27 @@ def _raycast_kernel(
     ex_ref, ey_ref, dx_ref, dy_ref,  # [TE, 1] eye position / unit heading
     tx_ref, ty_ref,  # [N_pad, 1] target positions (sublane-major)
     m_ref,  # [N_pad, 1] target padding mask
-    shade_ref, depth_ref,  # [TE, W] outputs
+    shade_ref, depth_ref,  # [TE, WB] output blocks
     *,
     cfg: VisionConfig,
     tj: int,
 ):
     te = ex_ref.shape[0]
-    w = shade_ref.shape[1]
+    wb = shade_ref.shape[1]  # pixel-block width (grid dim 1 tiles the image)
     n_pad = tx_ref.shape[0]
     num_chunks = n_pad // tj
     t = math.tan(math.radians(cfg.hfov_deg) * 0.5)
 
-    # Pixel centers in NDC, one per lane: (1, W).
+    # Pixel centers of THIS block in NDC, one per lane: (1, WB).
+    p0 = pl.program_id(1) * wb
     u_p = (
         2.0
-        * (jax.lax.broadcasted_iota(jnp.int32, (1, w), 1).astype(jnp.float32) + 0.5)
-        / w
+        * (
+            p0
+            + jax.lax.broadcasted_iota(jnp.int32, (1, wb), 1).astype(jnp.float32)
+            + 0.5
+        )
+        / cfg.width
         - 1.0
     )
 
@@ -94,8 +99,8 @@ def _raycast_kernel(
             return best_d, best_s
 
         init = (
-            jnp.full((1, w), cfg.far, jnp.float32),
-            jnp.full((1, w), cfg.background, jnp.float32),
+            jnp.full((1, wb), cfg.far, jnp.float32),
+            jnp.full((1, wb), cfg.background, jnp.float32),
         )
         best_d, best_s = jax.lax.fori_loop(0, num_chunks, body, init)
         shade_ref[e : e + 1, :] = best_s
@@ -124,6 +129,10 @@ def render_rows_tiled(
     tj = fit_tile(tj, m, 8)
     n_pad_t = round_up(m, tj)  # target padding
     n_pad_e = round_up(n, te)  # eye padding
+    # wide images are tiled into pixel blocks so the (TJ, WB) temporaries of
+    # the te-way unrolled eye loop stay inside the VMEM budget
+    wb = min(cfg.width, 256)
+    assert cfg.width % wb == 0, "vision width must be a multiple of 256 (or < 256)"
     dirs = camera.unit_heading(vel)
 
     ex = pad_axis(pos[:, 0], n_pad_e)
@@ -134,14 +143,16 @@ def render_rows_tiled(
     ty = pad_axis(tgt[:, 1], n_pad_t)
     mask = pad_axis(jnp.ones((m,), jnp.float32), n_pad_t)
 
-    grid = (n_pad_e // te,)
+    grid = (n_pad_e // te, cfg.width // wb)
     kernel = functools.partial(_raycast_kernel, cfg=cfg, tj=tj)
-    espec = lambda: pl.BlockSpec((te, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    espec = lambda: pl.BlockSpec(
+        (te, 1), lambda i, p: (i, 0), memory_space=pltpu.VMEM
+    )
     tspec = lambda: pl.BlockSpec(
-        (n_pad_t, 1), lambda i: (0, 0), memory_space=pltpu.VMEM
+        (n_pad_t, 1), lambda i, p: (0, 0), memory_space=pltpu.VMEM
     )
     ospec = lambda: pl.BlockSpec(
-        (te, cfg.width), lambda i: (i, 0), memory_space=pltpu.VMEM
+        (te, wb), lambda i, p: (i, p), memory_space=pltpu.VMEM
     )
     shade, depth = pl.pallas_call(
         kernel,
