@@ -60,6 +60,23 @@ def main():
     dt = _timed(grav_roll, pos, vel, sync_slice=lambda o: o[:1], steps=k_steps)
     pair_evals_per_s = n * n / dt
 
+    # fast mode: approximate reciprocal (documented ~1e-3 force error)
+    gcfg_fast = GravityConfig(approx_reciprocal=True)
+
+    @jax.jit
+    def grav_roll_fast(p, v):
+        def body(c, _):
+            p, v = c
+            g = pairwise.gravity_forces_tiled(p, gcfg_fast)
+            v = v + g * gcfg_fast.dt
+            return (p + v, v), ()
+
+        c, _ = jax.lax.scan(body, (p, v), None, length=k_steps)
+        return c[0]
+
+    dt_fast = _timed(grav_roll_fast, pos, vel, sync_slice=lambda o: o[:1], steps=k_steps)
+    pair_evals_fast = n * n / dt_fast
+
     # -- boids pair throughput at the same N ---------------------------------
     bcfg = BoidsConfig()
 
@@ -124,6 +141,7 @@ def main():
                     "backend": jax.default_backend(),
                     "device": str(jax.devices()[0]),
                     "gravity_ms_per_step": dt * 1e3,
+                    "gravity_pair_evals_per_s_approx_reciprocal": pair_evals_fast,
                     "boids_pair_evals_per_s": boids_pairs_per_s,
                     "vision_agent_frames_per_s_batched_4096x256_w64": vision_fps_batched,
                     "vision_agent_frames_per_s_n1024_w64": vision_fps_single,

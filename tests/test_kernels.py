@@ -28,6 +28,18 @@ def test_gravity_kernel_matches_dense(n):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=3e-5, atol=1e-7)
 
 
+def test_gravity_kernel_approx_mode():
+    """approx_reciprocal trades ~2^-12 per-pair weight error for throughput;
+    the accumulated force stays within ~1e-2 of the exact norm."""
+    st = _state(300, seed=6)
+    want = np.asarray(dense.gravity_forces(st.pos, GravityConfig()))
+    got = np.asarray(
+        pairwise.gravity_forces_tiled(st.pos, GravityConfig(approx_reciprocal=True))
+    )
+    scale = np.abs(want).max()
+    assert np.abs(got - want).max() / scale < 1e-2
+
+
 def test_gravity_kernel_nonstandard_tiles():
     st = _state(512, seed=2)
     cfg = GravityConfig()
