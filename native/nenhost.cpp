@@ -108,6 +108,7 @@ struct Host {
   std::atomic<long long> done{0};
   std::atomic<long long> errors{0};
   bool stop = false;
+  bool busy = false;  // a popped job is still executing (guarded by mu)
   size_t max_queue;
 
   // step-time stats (EMA), host-side frametime readout
@@ -132,8 +133,13 @@ struct Host {
         }
         job = std::move(jobs.front());
         jobs.pop_front();
+        busy = true;  // flush() must not report drained mid-execution
       }
       job();
+      {
+        std::lock_guard<std::mutex> lk(mu);
+        busy = false;
+      }
       done.fetch_add(1);
       cv_drain.notify_all();
     }
@@ -152,7 +158,7 @@ struct Host {
 
   void flush() {
     std::unique_lock<std::mutex> lk(mu);
-    cv_drain.wait(lk, [this] { return jobs.empty(); });
+    cv_drain.wait(lk, [this] { return jobs.empty() && !busy; });
   }
 
   ~Host() {

@@ -32,7 +32,11 @@ from .state import SceneState, spawn, spawn_batch
 def _resolve_backend(cfg: SimConfig) -> str:
     if cfg.backend != "auto":
         return cfg.backend
-    # Dense materializes [N, N] tensors: fine to ~8k agents, then tile.
+    # On TPU the tiled Pallas kernels win at every scale (dense materializes
+    # [N, N] tensors and is memory-bound). Off-TPU Pallas runs interpreted,
+    # so prefer dense until the [N, N] footprint becomes prohibitive.
+    if jax.default_backend() == "tpu":
+        return "pallas"
     return "dense" if cfg.n <= 8192 else "pallas"
 
 
@@ -104,6 +108,7 @@ class Scene:
         )
         self._jit_step = jax.jit(self._step_b)
         self._jit_observe = jax.jit(self._observe_b) if self._observe_b else None
+        self._rollout_cache = {}
 
     # -- construction -------------------------------------------------------
 
@@ -146,23 +151,33 @@ class Scene:
 
         record: subset of ("pos", "vel", "obs") to stack along a leading
         time axis. Empty tuple records nothing (fastest path).
+
+        The compiled scan is cached per (num_steps, record) — repeated
+        chunked rollouts (the CLI loop) reuse one executable instead of
+        retracing every call.
         """
-        step1 = self._step_b
-        observe1 = self._observe_b
+        record = tuple(record)
+        if "obs" in record and self._observe_b is None:
+            raise ValueError("cannot record obs: vision disabled")
+        key = (num_steps, record)
+        roll = self._rollout_cache.get(key)
+        if roll is None:
+            step1 = self._step_b
+            observe1 = self._observe_b
 
-        def body(s, _):
-            s = step1(s)
-            out = {}
-            if "pos" in record:
-                out["pos"] = s.pos
-            if "vel" in record:
-                out["vel"] = s.vel
-            if "obs" in record:
-                if observe1 is None:
-                    raise ValueError("cannot record obs: vision disabled")
-                out["obs"] = observe1(s)
-            return s, out
+            def body(s, _):
+                s = step1(s)
+                out = {}
+                if "pos" in record:
+                    out["pos"] = s.pos
+                if "vel" in record:
+                    out["vel"] = s.vel
+                if "obs" in record:
+                    out["obs"] = observe1(s)
+                return s, out
 
-        return jax.jit(
-            lambda s: jax.lax.scan(body, s, None, length=num_steps)
-        )(state)
+            roll = jax.jit(
+                lambda s: jax.lax.scan(body, s, None, length=num_steps)
+            )
+            self._rollout_cache[key] = roll
+        return roll(state)

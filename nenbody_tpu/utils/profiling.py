@@ -35,11 +35,18 @@ class StepTimer:
     but reports simulation-native rates. Feed it synchronized step times
     (call mark() only after jax.block_until_ready or a host fetch)."""
 
-    def __init__(self, n_agents: int, ema_alpha: float = 0.1):
+    def __init__(
+        self, n_agents: int, ema_alpha: float = 0.1, skip_samples: int = 1
+    ):
+        """skip_samples: leading intervals excluded from the EMA — the first
+        chunk includes jit compilation and would poison the throughput
+        readout for many EMA half-lives."""
         self.n = n_agents
         self.alpha = ema_alpha
+        self.skip = skip_samples
         self.ema_s: Optional[float] = None
         self.samples = 0
+        self._intervals = 0
         self._last: Optional[float] = None
 
     def mark(self, steps: int = 1) -> float:
@@ -47,10 +54,12 @@ class StepTimer:
         dt = 0.0
         if self._last is not None:
             dt = (now - self._last) / max(steps, 1)
-            self.ema_s = dt if self.ema_s is None else (
-                self.alpha * dt + (1 - self.alpha) * self.ema_s
-            )
-            self.samples += steps
+            self._intervals += 1
+            if self._intervals > self.skip:
+                self.ema_s = dt if self.ema_s is None else (
+                    self.alpha * dt + (1 - self.alpha) * self.ema_s
+                )
+                self.samples += steps
         self._last = now
         return dt
 

@@ -159,8 +159,11 @@ def test_step_timer():
     t.mark()
     import time as _t
 
-    _t.sleep(0.01)
+    _t.sleep(0.05)  # compile-like first interval: skipped from the EMA
     dt = t.mark()
-    assert dt > 0
+    assert dt > 0 and t.ema_s is None
+    _t.sleep(0.01)
+    t.mark()
     assert t.pair_evals_per_s > 0
+    assert t.ema_s < 0.05  # first (slow) interval did not poison the EMA
     assert "pair_evals_per_s" in t.report()
