@@ -1,5 +1,5 @@
 """Runtime utilities: native host bindings, checkpointing, profiling."""
 
-from . import checkpoint, native, profiling
+from . import checkpoint, debug, native, profiling
 
-__all__ = ["checkpoint", "native", "profiling"]
+__all__ = ["checkpoint", "debug", "native", "profiling"]
