@@ -164,6 +164,30 @@ def cmd_gif(args) -> int:
     return 0
 
 
+def cmd_replay(args) -> int:
+    """Re-render a recorded .nentraj trajectory to a GIF — checkpoint/replay
+    closes the loop the reference's never-wired capture path left open."""
+    import imageio.v2 as imageio
+    import numpy as np
+
+    from .utils import native
+    from .viz import frame as frame_lib
+
+    ts, pos, vel = native.read_trajectory(args.trajectory)
+    frames = []
+    for i in range(0, len(ts), max(1, args.stride)):
+        img = frame_lib.render_topdown(
+            pos[i], vel[i], size=(270, 480), half_extent=args.half_extent
+        )
+        frames.append(frame_lib.to_uint8(img))
+    import os
+
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    imageio.mimsave(args.out, frames, fps=args.fps, loop=0)
+    print(f"replayed {len(ts)} frames ({len(frames)} rendered) -> {args.out}")
+    return 0
+
+
 def cmd_bench(args) -> int:  # noqa: ARG001
     import bench  # repo-root harness
 
@@ -219,6 +243,14 @@ def main(argv=None) -> int:
     p.add_argument("--stride", type=int, default=4)
     p.add_argument("--out", default="out/rollout.gif")
     p.set_defaults(fn=cmd_gif)
+
+    p = sub.add_parser("replay", help="re-render a .nentraj recording to GIF")
+    p.add_argument("trajectory", help="path to a .nentraj file")
+    p.add_argument("--out", default="out/replay.gif")
+    p.add_argument("--stride", type=int, default=1)
+    p.add_argument("--fps", type=int, default=25)
+    p.add_argument("--half-extent", type=float, default=120.0)
+    p.set_defaults(fn=cmd_replay)
 
     p = sub.add_parser("bench", help="run the benchmark harness")
     p.set_defaults(fn=cmd_bench)

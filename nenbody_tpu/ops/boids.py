@@ -111,6 +111,138 @@ def _boids_kernel(
     )
 
 
+def _boids_partials_kernel(
+    pxc_ref, pyc_ref, vxc_ref, vyc_ref,  # [TI, 1] i-block pos/vel
+    pxr_ref, pyr_ref, vxr_ref, vyr_ref,  # [1, M_pad] streamed j rows
+    m_ref,  # [1, M_pad] padding mask
+    s1x_ref, s1y_ref, c1_ref, rx_ref, ry_ref, s3x_ref, s3y_ref, c3_ref,
+    *,
+    cfg: BoidsConfig,
+    tj: int,
+    exclude_diagonal: bool,
+):
+    """Cross-block flocking partials: the j-set's rule accumulators against
+    the i-set, additive across blocks — the ring backend's per-hop primitive
+    (mirrors physics.dense.boids_partials_cross). `exclude_diagonal` masks
+    aligned i==j pairs; only meaningful when the blocks alias (ring hop 0).
+    """
+    ti = pxc_ref.shape[0]
+    xi, yi = pxc_ref[:], pyc_ref[:]
+    vxi, vyi = vxc_ref[:], vyc_ref[:]
+    m_pad = pxr_ref.shape[1]
+    num_chunks = m_pad // tj
+    i_base = pl.program_id(0) * ti
+    i_idx = i_base + jax.lax.broadcasted_iota(jnp.int32, (ti, 1), 0)
+
+    r2_sq = cfg.separation_dist * cfg.separation_dist
+    r3_sq = cfg.alignment_dist * cfg.alignment_dist
+
+    def body(k, acc):
+        s1x, s1y, c1, rx, ry, s3x, s3y, c3 = acc
+        j0 = pl.multiple_of(k * tj, tj)
+        xj = pxr_ref[:, pl.ds(j0, tj)]
+        yj = pyr_ref[:, pl.ds(j0, tj)]
+        vxj = vxr_ref[:, pl.ds(j0, tj)]
+        vyj = vyr_ref[:, pl.ds(j0, tj)]
+        mj = m_ref[:, pl.ds(j0, tj)] > 0.0
+        keep = mj
+        if exclude_diagonal:
+            j_idx = j0 + jax.lax.broadcasted_iota(jnp.int32, (ti, tj), 1)
+            keep = (i_idx != j_idx) & mj
+
+        dx = xj - xi
+        dy = yj - yi
+        d2 = dx * dx + dy * dy
+
+        w1 = ((d2 < cfg.cohesion_dist_sq) & keep).astype(jnp.float32)
+        s1x = s1x + jnp.sum(w1 * xj, axis=1, keepdims=True)
+        s1y = s1y + jnp.sum(w1 * yj, axis=1, keepdims=True)
+        c1 = c1 + jnp.sum(w1, axis=1, keepdims=True)
+
+        w2 = ((d2 < r2_sq) & keep).astype(jnp.float32)
+        rx = rx - jnp.sum(w2 * dx, axis=1, keepdims=True)
+        ry = ry - jnp.sum(w2 * dy, axis=1, keepdims=True)
+
+        dvx = vxj - vxi
+        dvy = vyj - vyi
+        vd2 = dvx * dvx + dvy * dvy
+        w3 = ((vd2 < r3_sq) & keep).astype(jnp.float32)
+        s3x = s3x + jnp.sum(w3 * vxj, axis=1, keepdims=True)
+        s3y = s3y + jnp.sum(w3 * vyj, axis=1, keepdims=True)
+        c3 = c3 + jnp.sum(w3, axis=1, keepdims=True)
+        return s1x, s1y, c1, rx, ry, s3x, s3y, c3
+
+    zero = jnp.zeros((ti, 1), jnp.float32)
+    outs = jax.lax.fori_loop(0, num_chunks, body, (zero,) * 8)
+    for ref, val in zip(
+        (s1x_ref, s1y_ref, c1_ref, rx_ref, ry_ref, s3x_ref, s3y_ref, c3_ref), outs
+    ):
+        ref[:] = val
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "exclude_diagonal", "ti", "tj")
+)
+def boids_partials_tiled(
+    pos_i: jax.Array,
+    vel_i: jax.Array,
+    pos_j: jax.Array,
+    vel_j: jax.Array,
+    cfg: BoidsConfig,
+    exclude_diagonal: bool = True,
+    ti: int = TILE_I,
+    tj: int = TILE_J,
+):
+    """Pallas counterpart of physics.dense.boids_partials_cross.
+
+    Returns (sum1 [N,2], cnt1 [N], repel [N,2], sum3 [N,2], cnt3 [N]).
+    """
+    n = pos_i.shape[0]
+    m = pos_j.shape[0]
+    ti = fit_tile(ti, n, 8)
+    tj = fit_tile(tj, m, 128)
+    n_pad = round_up(n, ti)
+    m_pad = round_up(m, tj)
+
+    pxi = pad_axis(pos_i[:, 0], n_pad)
+    pyi = pad_axis(pos_i[:, 1], n_pad)
+    vxi = pad_axis(vel_i[:, 0], n_pad)
+    vyi = pad_axis(vel_i[:, 1], n_pad)
+    pxj = pad_axis(pos_j[:, 0], m_pad)
+    pyj = pad_axis(pos_j[:, 1], m_pad)
+    vxj = pad_axis(vel_j[:, 0], m_pad)
+    vyj = pad_axis(vel_j[:, 1], m_pad)
+    mask = pad_axis(jnp.ones((m,), jnp.float32), m_pad)
+
+    grid = (n_pad // ti,)
+    kernel = functools.partial(
+        _boids_partials_kernel, cfg=cfg, tj=tj, exclude_diagonal=exclude_diagonal
+    )
+    cspec = lambda: pl.BlockSpec((ti, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    rspec = lambda: pl.BlockSpec((1, m_pad), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[cspec()] * 4 + [rspec()] * 5,
+        out_specs=[cspec()] * 8,
+        out_shape=[jax.ShapeDtypeStruct((n_pad, 1), jnp.float32)] * 8,
+        cost_estimate=pl.CostEstimate(
+            flops=24 * n_pad * m_pad,
+            bytes_accessed=(4 * n_pad + 5 * m_pad + 8 * n_pad) * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret_mode(),
+    )(
+        col(pxi), col(pyi), col(vxi), col(vyi),
+        row(pxj), row(pyj), row(vxj), row(vyj), row(mask),
+    )
+    s1x, s1y, c1, rx, ry, s3x, s3y, c3 = [o[:n] for o in outs]
+    sum1 = jnp.concatenate([s1x, s1y], axis=1)
+    repel = jnp.concatenate([rx, ry], axis=1)
+    sum3 = jnp.concatenate([s3x, s3y], axis=1)
+    return sum1, c1[:, 0], repel, sum3, c3[:, 0]
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "ti", "tj"))
 def boids_velocity_tiled(
     pos: jax.Array,

@@ -89,7 +89,9 @@ def ring_gravity_forces(
 
     lead = (data_axis,) if pos.ndim == 3 else ()
     spec = P(*lead, axis, None)
-    return jax.shard_map(local, mesh=mesh, in_specs=spec, out_specs=spec)(pos)
+    return jax.shard_map(
+        local, mesh=mesh, in_specs=spec, out_specs=spec, check_vma=False
+    )(pos)
 
 
 # -- boids --------------------------------------------------------------------
@@ -102,19 +104,30 @@ def ring_boids_velocity(
     mesh: Optional[Mesh] = None,
     axis: str = AGENT_AXIS,
     data_axis: Optional[str] = None,
+    partials: str = "auto",
 ) -> jax.Array:
     """Replacement velocity (pre-clamp) for sharded pos/vel [(B,) N, 2]."""
     mesh = mesh or default_mesh()
     d = mesh.shape[axis]
     bcfg = cfg.boids
 
+    def partial_fn(pi, vi, pj, vj, excl):
+        if _use_pallas(partials):
+            from ..ops import boids as boids_ops
+
+            return _maybe_vmap(
+                lambda a, b, c, e: boids_ops.boids_partials_tiled(
+                    a, b, c, e, bcfg, exclude_diagonal=excl
+                ),
+                pi, vi, pj, vj,
+            )
+        return dense.boids_partials_cross(pi, vi, pj, vj, bcfg, exclude_diagonal=excl)
+
     def local(pos_l, vel_l):
         parts = None
         blk = (pos_l, vel_l)
         for k in range(d):
-            p = dense.boids_partials_cross(
-                pos_l, vel_l, blk[0], blk[1], bcfg, exclude_diagonal=(k == 0)
-            )
+            p = partial_fn(pos_l, vel_l, blk[0], blk[1], k == 0)
             parts = p if parts is None else jax.tree.map(jnp.add, parts, p)
             if k < d - 1:
                 blk = jax.lax.ppermute(blk, axis, _perm(d))
@@ -123,7 +136,7 @@ def ring_boids_velocity(
     lead = (data_axis,) if pos.ndim == 3 else ()
     spec = P(*lead, axis, None)
     return jax.shard_map(
-        local, mesh=mesh, in_specs=(spec, spec), out_specs=spec
+        local, mesh=mesh, in_specs=(spec, spec), out_specs=spec, check_vma=False
     )(pos, vel)
 
 
@@ -171,7 +184,8 @@ def ring_render_rows(
     lead = (data_axis,) if pos.ndim == 3 else ()
     spec = P(*lead, axis, None)
     return jax.shard_map(
-        local, mesh=mesh, in_specs=(spec, spec), out_specs=(spec, spec)
+        local, mesh=mesh, in_specs=(spec, spec), out_specs=(spec, spec),
+        check_vma=False,
     )(pos, vel)
 
 

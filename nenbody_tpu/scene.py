@@ -139,6 +139,39 @@ class Scene:
             raise ValueError("vision is disabled for this config (vision=None)")
         return self._jit_observe(state)
 
+    # -- visualization --------------------------------------------------------
+
+    def render_frame(
+        self,
+        state: SceneState,
+        selected_eye: int = 0,
+        size=(540, 960),
+        half_extent: float = 120.0,
+        with_obs: bool = True,
+    ):
+        """Host-side RGB uint8 frame: top-down view following agent 0 plus
+        the selected agent's eye strip (the reference's screen contents,
+        src/main.rs:940-998). Pulls a snapshot off device; unbatched states
+        only."""
+        import numpy as np
+
+        from .viz import frame as frame_lib
+
+        if state.batch_shape:
+            raise ValueError("render_frame takes an unbatched state")
+        scene_img = frame_lib.render_topdown(
+            np.asarray(state.pos),
+            np.asarray(state.vel),
+            size=size,
+            half_extent=half_extent,
+            selected=selected_eye,
+        )
+        strip = None
+        if with_obs and self._jit_observe is not None:
+            obs = np.asarray(self.observe(state))
+            strip = frame_lib.eye_strip(obs[selected_eye], width=size[1])
+        return frame_lib.to_uint8(frame_lib.compose(scene_img, strip))
+
     # -- rollouts ------------------------------------------------------------
 
     def rollout(

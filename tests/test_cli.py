@@ -58,6 +58,33 @@ def test_run_resume(tmp_path, capsys):
     assert lines[-1]["t"] == 60  # resumed from 40
 
 
+def test_replay_cli(tmp_path, capsys):
+    from nenbody_tpu.utils import native
+
+    if not native.available():
+        pytest.skip("libnenhost.so not built")
+    traj = str(tmp_path / "t.nentraj")
+    rng = np.random.RandomState(0)
+    with native.TrajectoryRecorder(traj, 16) as rec:
+        for t in range(6):
+            rec.append(t, rng.randn(16, 2).astype(np.float32) * 50,
+                       rng.randn(16, 2).astype(np.float32))
+    out = str(tmp_path / "r.gif")
+    rc = main(["replay", traj, "--out", out, "--stride", "2"])
+    assert rc == 0 and os.path.exists(out)
+
+
+def test_scene_render_frame():
+    from nenbody_tpu import Scene, SimConfig, VisionConfig
+
+    scene = Scene(SimConfig(n=24, controller="boids", vision=VisionConfig(width=32)))
+    st = scene.spawn(seed=0)
+    img = scene.render_frame(st, selected_eye=3, size=(64, 96))
+    assert img.dtype == np.uint8 and img.shape[1] == 96 and img.shape[0] > 64
+    with pytest.raises(ValueError):
+        scene.render_frame(scene.spawn_envs(2, seed=0))
+
+
 def test_train_cli(capsys):
     rc = main([
         "train", "--envs", "2", "--agents", "8", "--vision-width", "16",

@@ -71,6 +71,40 @@ def test_boids_kernel_dense_positions():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=3e-5, atol=1e-6)
 
 
+@pytest.mark.parametrize("exclude", [True, False])
+def test_boids_partials_kernel_matches_dense(exclude):
+    """The cross-block partials primitive the boids ring streams hops
+    through, including the hop-0 diagonal exclusion."""
+    rng = np.random.RandomState(3)
+    pos_i = jnp.asarray(rng.uniform(-10, 10, (64, 2)).astype(np.float32))
+    vel_i = jnp.asarray(rng.uniform(-1, 1, (64, 2)).astype(np.float32))
+    # aliased blocks (the ring's hop-0 case) so the diagonal actually matters
+    got = boids_ops.boids_partials_tiled(
+        pos_i, vel_i, pos_i, vel_i, BoidsConfig(), exclude_diagonal=exclude
+    )
+    want = dense.boids_partials_cross(
+        pos_i, vel_i, pos_i, vel_i, BoidsConfig(), exclude_diagonal=exclude
+    )
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w), rtol=3e-5, atol=1e-5)
+
+
+def test_boids_partials_kernel_cross_blocks():
+    rng = np.random.RandomState(4)
+    pos_i = jnp.asarray(rng.uniform(-10, 10, (32, 2)).astype(np.float32))
+    vel_i = jnp.asarray(rng.uniform(-1, 1, (32, 2)).astype(np.float32))
+    pos_j = jnp.asarray(rng.uniform(-10, 10, (48, 2)).astype(np.float32))
+    vel_j = jnp.asarray(rng.uniform(-1, 1, (48, 2)).astype(np.float32))
+    got = boids_ops.boids_partials_tiled(
+        pos_i, vel_i, pos_j, vel_j, BoidsConfig(), exclude_diagonal=False
+    )
+    want = dense.boids_partials_cross(
+        pos_i, vel_i, pos_j, vel_j, BoidsConfig(), exclude_diagonal=False
+    )
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w), rtol=3e-5, atol=1e-5)
+
+
 def test_tiled_steppers_match_dense_steppers():
     for controller in ("gravity", "boids"):
         st = _state(200, controller=controller, seed=3)

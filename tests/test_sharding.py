@@ -58,6 +58,41 @@ def test_ring_vision_matches_dense(mesh8):
     np.testing.assert_allclose(np.asarray(got_s), np.asarray(want_s), rtol=1e-5, atol=1e-5)
 
 
+def test_ring_boids_pallas_partials_match(mesh8):
+    """Force the Pallas partial path through the ring (interpret mode on
+    CPU) — multi-chip boids must not depend on the dense fallback."""
+    st = _state(128, seed=4, controller="boids")
+    cfg = SimConfig(n=128, controller="boids", backend="ring")
+    got = ring.ring_boids_velocity(
+        st.pos, st.vel, cfg, mesh=mesh8, partials="pallas"
+    )
+    want = dense.boids_accels(st.pos, st.vel, cfg.boids)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=3e-5, atol=1e-6)
+
+
+def test_ring_gravity_pallas_partials_match(mesh8):
+    st = _state(256, seed=5)
+    cfg = SimConfig(n=256, controller="gravity", backend="ring")
+    got = ring.ring_gravity_forces(st.pos, cfg, mesh=mesh8, partials="pallas")
+    want = dense.gravity_forces(st.pos, cfg.gravity)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=3e-5, atol=1e-7)
+
+
+def test_ring_vision_pallas_partials_match(mesh8):
+    st = _state(64, seed=6)
+    key = jax.random.key(9)
+    st = st.replace(
+        vel=jax.random.uniform(key, (64, 2), minval=-1, maxval=1, dtype=jnp.float32)
+    )
+    vcfg = VisionConfig(width=32)
+    got_s, got_d = ring.ring_render_rows(
+        st.pos, st.vel, vcfg, mesh=mesh8, partials="pallas"
+    )
+    want_s, want_d = render.render_rows(st.pos, st.vel, vcfg)
+    np.testing.assert_allclose(np.asarray(got_d), np.asarray(want_d), rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_s), np.asarray(want_s), rtol=1e-5, atol=1e-5)
+
+
 def test_ring_batched_with_data_axis(mesh2x4):
     """Envs over the data axis, agents over the ring axis — the config-5
     sharding (4096 envs x 256 agents scaled down)."""
