@@ -44,20 +44,35 @@ def load_state(path: str) -> SceneState:
         )
 
 
+def _is_key(leaf) -> bool:
+    return hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype, jax.dtypes.prng_key)
+
+
 def save_pytree(path: str, tree) -> str:
-    """Flat npz save of an arbitrary pytree (e.g. policy params)."""
+    """Flat npz save of an arbitrary pytree — policy params, optimizer
+    state, or a whole rl.train.TrainState. PRNG-key leaves are stored as
+    their raw key data and re-wrapped on load."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     flat, _ = jax.tree_util.tree_flatten_with_path(tree)
-    arrays = {jax.tree_util.keystr(k): np.asarray(v) for k, v in flat}
+    arrays = {}
+    for k, v in flat:
+        name = jax.tree_util.keystr(k)
+        arrays[name] = (
+            np.asarray(jax.random.key_data(v)) if _is_key(v) else np.asarray(v)
+        )
     np.savez(path, **arrays)
     return path
 
 
 def load_pytree(path: str, like):
-    """Restore a pytree saved by save_pytree into the structure of `like`."""
+    """Restore a pytree saved by save_pytree into the structure of `like`
+    (which also tells us which leaves are PRNG keys)."""
     with np.load(path) as z:
         flat, treedef = jax.tree_util.tree_flatten_with_path(like)
-        leaves = [jnp.asarray(z[jax.tree_util.keystr(k)]) for k, _ in flat]
+        leaves = []
+        for k, ref in flat:
+            arr = jnp.asarray(z[jax.tree_util.keystr(k)])
+            leaves.append(jax.random.wrap_key_data(arr) if _is_key(ref) else arr)
     return jax.tree_util.tree_unflatten(treedef, leaves)
 
 

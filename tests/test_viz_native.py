@@ -154,6 +154,38 @@ def test_pytree_checkpoint(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_full_train_state_checkpoint(tmp_path):
+    """A whole TrainState (params + optimizer + batched env states + PRNG
+    key) round-trips, and training resumes identically."""
+    import jax as _jax
+    import optax
+
+    from nenbody_tpu import SimConfig, VisionConfig
+    from nenbody_tpu.rl import env as env_lib
+    from nenbody_tpu.rl import train as train_lib
+
+    env = env_lib.VisionEnv(
+        SimConfig(n=8, controller="gravity", vision=VisionConfig(width=16))
+    )
+    opt = optax.adam(1e-3)
+    ts, apply_fn, _ = train_lib.init_train_state(
+        env, num_envs=2, key=_jax.random.key(0), optimizer=opt
+    )
+    step = _jax.jit(train_lib.make_train_step(env, apply_fn, opt, horizon=2))
+    ts, _ = step(ts)
+
+    p = checkpoint.save_pytree(str(tmp_path / "ts.npz"), ts)
+    back = checkpoint.load_pytree(p, ts)
+
+    a, _ = step(ts)
+    b, _ = step(back)
+    for x, y in zip(_jax.tree.leaves(a.params), _jax.tree.leaves(b.params)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    np.testing.assert_array_equal(
+        np.asarray(a.env_states.pos), np.asarray(b.env_states.pos)
+    )
+
+
 def test_step_timer():
     t = profiling.StepTimer(n_agents=100)
     t.mark()
