@@ -164,6 +164,17 @@ def cmd_gif(args) -> int:
     return 0
 
 
+def cmd_live(args) -> int:
+    from .scene import Scene
+    from .viz.live import run_live
+
+    cfg = _build_cfg(args)
+    scene = Scene(cfg)
+    state = scene.spawn(seed=args.seed)
+    run_live(scene, state, steps_per_frame=args.steps_per_frame)
+    return 0
+
+
 def cmd_replay(args) -> int:
     """Re-render a recorded .nentraj trajectory to a GIF — checkpoint/replay
     closes the loop the reference's never-wired capture path left open."""
@@ -243,6 +254,11 @@ def main(argv=None) -> int:
     p.add_argument("--stride", type=int, default=4)
     p.add_argument("--out", default="out/rollout.gif")
     p.set_defaults(fn=cmd_gif)
+
+    p = sub.add_parser("live", help="interactive viewer (needs a display)")
+    _add_sim_flags(p)
+    p.add_argument("--steps-per-frame", type=int, default=10)
+    p.set_defaults(fn=cmd_live)
 
     p = sub.add_parser("replay", help="re-render a .nentraj recording to GIF")
     p.add_argument("trajectory", help="path to a .nentraj file")

@@ -37,6 +37,11 @@ class GravityConfig:
     # throughput). False = bit-faithful fp32 division, the oracle-parity
     # default.
     approx_reciprocal: bool = False
+    # Reference mode vs corrected mode (SURVEY.md §7 hard-part 3): the
+    # reference integrates `x += v` with NO dt on the position
+    # (src/main.rs:436) — a quirk parity tests pin. Setting True uses the
+    # standard semi-implicit Euler `x += v*dt` instead.
+    dt_on_position: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -187,7 +192,14 @@ def preset_envs_4096x256() -> SimConfig:
     )
 
 
+def preset_reference_100() -> SimConfig:
+    """The reference's shipping configuration: N=100 boids with 1024-px
+    eyes (src/main.rs:654, 694; boids active at src/main.rs:925)."""
+    return SimConfig(n=100, controller="boids", vision=VisionConfig(width=1024))
+
+
 PRESETS = {
+    "reference-100": preset_reference_100,
     "gravity-256": preset_gravity_256,
     "gravity-vision-1024": preset_gravity_vision_1024,
     "boids-4096": preset_boids_4096,

@@ -14,11 +14,10 @@ from .pairwise import gravity_forces_tiled
 
 
 def gravity_step(state: SceneState, cfg: SimConfig) -> SceneState:
-    """Reference integration (src/main.rs:434-436): v += g*dt; x += v."""
+    """Reference integration (src/main.rs:434-436): v += g*dt; x += v
+    (or x += v*dt in corrected mode — dense.gravity_integrate)."""
     g = gravity_forces_tiled(state.pos, cfg.gravity)
-    vel = state.vel + g * cfg.gravity.dt
-    pos = state.pos + vel
-    return state.replace(pos=pos, vel=vel, t=state.t + 1)
+    return dense.gravity_integrate(state, g, cfg)
 
 
 def boids_step(state: SceneState, cfg: SimConfig) -> SceneState:

@@ -194,9 +194,7 @@ def ring_render_rows(
 
 def gravity_step(state: SceneState, cfg: SimConfig) -> SceneState:
     g = ring_gravity_forces(state.pos, cfg)
-    vel = state.vel + g * cfg.gravity.dt
-    pos = state.pos + vel
-    return state.replace(pos=pos, vel=vel, t=state.t + 1)
+    return dense.gravity_integrate(state, g, cfg)
 
 
 def boids_step(state: SceneState, cfg: SimConfig) -> SceneState:

@@ -51,14 +51,18 @@ def gravity_forces(pos: jax.Array, cfg: GravityConfig) -> jax.Array:
     return gravity_forces_cross(pos, pos, cfg)
 
 
-def gravity_step(state: SceneState, cfg: SimConfig) -> SceneState:
-    """Semi-implicit Euler with the reference's quirk: dt applies to the
-    velocity update only; the position integrates one full velocity per step
-    (src/main.rs:434-436)."""
-    g = gravity_forces(state.pos, cfg.gravity)
+def gravity_integrate(state: SceneState, g: jax.Array, cfg: SimConfig) -> SceneState:
+    """Shared semi-implicit Euler tail. Reference mode (default): dt applies
+    to the velocity update only, the position integrates one full velocity
+    per step (src/main.rs:434-436); `dt_on_position=True` is the corrected
+    standard integrator."""
     vel = state.vel + g * cfg.gravity.dt
-    pos = state.pos + vel
+    pos = state.pos + vel * (cfg.gravity.dt if cfg.gravity.dt_on_position else 1.0)
     return state.replace(pos=pos, vel=vel, t=state.t + 1)
+
+
+def gravity_step(state: SceneState, cfg: SimConfig) -> SceneState:
+    return gravity_integrate(state, gravity_forces(state.pos, cfg.gravity), cfg)
 
 
 def boids_partials_cross(

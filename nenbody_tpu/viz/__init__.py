@@ -9,6 +9,6 @@ reference's advertised-but-never-wired "C: capture" feature
 (src/main.rs:111, SURVEY.md §5.4) — and an optional live matplotlib window.
 """
 
-from . import frame, viewer
+from . import frame, live, viewer
 
-__all__ = ["frame", "viewer"]
+__all__ = ["frame", "live", "viewer"]

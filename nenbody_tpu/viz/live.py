@@ -1,0 +1,129 @@
+"""Interactive live viewer (matplotlib) — the windowed-UI parity layer.
+
+Mirrors the reference's interactive surface (SURVEY.md C19-C21): a scene
+view that follows agent 0, an eye-strip widget for a selectable agent, a
+frametime readout, and key bindings —
+
+    w/a/s/d   pan the scene camera        (reference: WASD, src/main.rs:877-886)
+    q/e       zoom out / in               (reference: QE height)
+    [/]       previous / next eye         (reference: camera slider, main.rs:77-81)
+    c         capture a PNG               (the reference's never-wired key, main.rs:111)
+    escape    quit                        (src/main.rs:869-876)
+
+The sim advances in device-side chunks between draws, so the display rate
+never throttles the simulation (unlike the reference's coupled frame loop).
+Requires a display (or any interactive matplotlib backend); raises a clear
+error headless — use `cli run --capture` / `record_rollout_gif` there.
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+from . import frame as frame_lib
+
+
+def run_live(
+    scene,
+    state,
+    steps_per_frame: int = 10,
+    half_extent: float = 120.0,
+    capture_dir: str = "out/live",
+    max_frames: int | None = None,
+):
+    """Run an interactive viewer loop. Returns the final state."""
+    import matplotlib
+
+    if matplotlib.get_backend().lower() == "agg":  # pragma: no cover
+        raise RuntimeError(
+            "no interactive matplotlib backend; use `nenbody-tpu run --capture`"
+            " or viz.viewer.record_rollout_gif for headless output"
+        )
+    import matplotlib.pyplot as plt
+
+    ctl = {
+        "eye": 0,
+        "pan": np.zeros(2, np.float32),
+        "zoom": 1.0,
+        "quit": False,
+        "capture": False,
+    }
+
+    def on_key(ev):  # pragma: no cover - needs a display
+        step = 10.0 * ctl["zoom"]
+        if ev.key == "escape":
+            ctl["quit"] = True
+        elif ev.key == "w":
+            ctl["pan"][1] += step
+        elif ev.key == "s":
+            ctl["pan"][1] -= step
+        elif ev.key == "a":
+            ctl["pan"][0] -= step
+        elif ev.key == "d":
+            ctl["pan"][0] += step
+        elif ev.key == "q":
+            ctl["zoom"] *= 1.25
+        elif ev.key == "e":
+            ctl["zoom"] /= 1.25
+        elif ev.key == "[":
+            ctl["eye"] = (ctl["eye"] - 1) % scene.cfg.n
+        elif ev.key == "]":
+            ctl["eye"] = (ctl["eye"] + 1) % scene.cfg.n
+        elif ev.key == "c":
+            ctl["capture"] = True
+
+    fig, (ax_scene, ax_eye) = plt.subplots(
+        2, 1, height_ratios=[8, 1], figsize=(8, 5)
+    )
+    fig.canvas.mpl_connect("key_press_event", on_key)
+    im_scene = im_eye = None
+    frames = 0
+    from .viewer import Viewer
+
+    cap = Viewer(out_dir=capture_dir)
+
+    while not ctl["quit"] and (max_frames is None or frames < max_frames):
+        t0 = time.perf_counter()
+        state, _ = scene.rollout(state, steps_per_frame)
+        pos = np.asarray(state.pos)
+        vel = np.asarray(state.vel)
+        obs = np.asarray(scene.observe(state)) if scene.cfg.vision else None
+
+        center = pos[0] + ctl["pan"]
+        img = frame_lib.render_topdown(
+            pos, vel,
+            center=center,
+            half_extent=half_extent * ctl["zoom"],
+            selected=ctl["eye"],
+        )
+        strip = (
+            frame_lib.eye_strip(obs[ctl["eye"]], height=24)
+            if obs is not None
+            else np.zeros((24, 8, 3), np.float32)
+        )
+        if im_scene is None:
+            im_scene = ax_scene.imshow(img)
+            im_eye = ax_eye.imshow(strip, aspect="auto")
+            ax_scene.set_axis_off()
+            ax_eye.set_axis_off()
+        else:
+            im_scene.set_data(img)
+            im_eye.set_data(strip)
+        dt = time.perf_counter() - t0
+        ax_scene.set_title(
+            f"t={int(np.asarray(state.t))}  eye={ctl['eye']}  "
+            f"{dt*1e3:.1f} ms/frame  ({steps_per_frame} steps/frame)",
+            fontsize=9,
+        )
+        if ctl["capture"]:
+            cap.capture(state, obs)
+            ctl["capture"] = False
+        fig.canvas.draw_idle()
+        plt.pause(0.001)
+        frames += 1
+
+    plt.close(fig)
+    cap.flush()
+    return state

@@ -84,6 +84,26 @@ def test_random_walk_statistics():
     assert not np.allclose(np.asarray(out2.vel - out.vel), kick)
 
 
+def test_gravity_corrected_mode():
+    """dt_on_position=True switches to standard semi-implicit Euler."""
+    from nenbody_tpu.config import GravityConfig
+    import dataclasses
+
+    cfg = SimConfig(
+        n=32, controller="gravity",
+        gravity=GravityConfig(dt_on_position=True),
+    )
+    state = _random_state(cfg)
+    out = dense.gravity_step(state, cfg)
+    g = dense.gravity_forces(state.pos, cfg.gravity)
+    want_vel = state.vel + g * cfg.gravity.dt
+    want_pos = state.pos + want_vel * cfg.gravity.dt
+    np.testing.assert_allclose(np.asarray(out.pos), np.asarray(want_pos), rtol=1e-6)
+    # and reference mode differs
+    ref = dense.gravity_step(state, SimConfig(n=32, controller="gravity"))
+    assert not np.allclose(np.asarray(out.pos), np.asarray(ref.pos))
+
+
 # -- invariance tests (SURVEY.md §4.3) ---------------------------------------
 
 
