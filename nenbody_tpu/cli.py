@@ -126,12 +126,25 @@ def cmd_train(args) -> int:
     )
     env = VisionEnv(cfg)
     opt = optax.adam(args.lr)
-    ts, apply_fn, _ = train_lib.init_train_state(
-        env, num_envs=args.envs, key=jax.random.key(args.seed), optimizer=opt
-    )
-    step = jax.jit(
-        train_lib.make_train_step(env, apply_fn, opt, horizon=args.horizon)
-    )
+    if args.algo == "es":
+        from .rl import es as es_lib
+
+        ts, apply_fn, _ = es_lib.init_es_state(
+            env, key=jax.random.key(args.seed), optimizer=opt
+        )
+        step = jax.jit(
+            es_lib.make_es_step(
+                env, apply_fn, opt, horizon=args.horizon,
+                population=args.population, num_envs=args.envs,
+            )
+        )
+    else:
+        ts, apply_fn, _ = train_lib.init_train_state(
+            env, num_envs=args.envs, key=jax.random.key(args.seed), optimizer=opt
+        )
+        step = jax.jit(
+            train_lib.make_train_step(env, apply_fn, opt, horizon=args.horizon)
+        )
     for i in range(args.iters):
         t0 = time.perf_counter()
         ts, metrics = step(ts)
@@ -237,7 +250,9 @@ def main(argv=None) -> int:
     p.add_argument("--resume", default="", help="npz checkpoint to resume")
     p.set_defaults(fn=cmd_run)
 
-    p = sub.add_parser("train", help="REINFORCE training on the vision env")
+    p = sub.add_parser("train", help="policy training on the vision env")
+    p.add_argument("--algo", choices=["reinforce", "es"], default="reinforce")
+    p.add_argument("--population", type=int, default=8, help="ES antithetic pairs")
     p.add_argument("--envs", type=int, default=64)
     p.add_argument("--agents", type=int, default=64)
     p.add_argument("--vision-width", type=int, default=64)

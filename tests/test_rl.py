@@ -106,3 +106,42 @@ def test_train_step_on_mesh():
     np.testing.assert_allclose(
         float(metrics["reward_mean"]), float(metrics_local["reward_mean"]), rtol=1e-4
     )
+
+
+def test_es_step_runs_and_updates_params():
+    import optax
+
+    from nenbody_tpu.rl import es as es_lib
+
+    env = _env(n=8, w=16)
+    opt = optax.adam(1e-2)
+    es, apply_fn, _ = es_lib.init_es_state(env, jax.random.key(0), opt)
+    step = jax.jit(
+        es_lib.make_es_step(env, apply_fn, opt, horizon=2, population=2, num_envs=2)
+    )
+    es2, m = step(es)
+    assert np.isfinite(float(m["fitness_mean"]))
+    assert float(m["grad_norm"]) > 0
+    assert int(es2.generation) == 1
+    moved = any(
+        not np.allclose(a, b)
+        for a, b in zip(jax.tree.leaves(es.params), jax.tree.leaves(es2.params))
+    )
+    assert moved
+    es3, _ = step(es2)
+    assert int(es3.generation) == 2
+
+
+def test_es_cli(capsys):
+    from nenbody_tpu.cli import main
+
+    rc = main([
+        "train", "--algo", "es", "--envs", "2", "--agents", "8",
+        "--vision-width", "16", "--horizon", "2", "--iters", "2",
+        "--population", "2",
+    ])
+    assert rc == 0
+    import json
+
+    lines = [json.loads(l) for l in capsys.readouterr().out.splitlines() if l.startswith("{")]
+    assert len(lines) == 2 and np.isfinite(lines[-1]["fitness_mean"])
