@@ -10,13 +10,17 @@ from ..config import SimConfig
 from ..physics import dense
 from ..state import SceneState
 from .boids import boids_velocity_tiled
-from .pairwise import gravity_forces_tiled
+from .pairwise import gravity_forces_diff, gravity_forces_tiled
 
 
 def gravity_step(state: SceneState, cfg: SimConfig) -> SceneState:
     """Reference integration (src/main.rs:434-436): v += g*dt; x += v
-    (or x += v*dt in corrected mode — dense.gravity_integrate)."""
-    g = gravity_forces_tiled(state.pos, cfg.gravity)
+    (or x += v*dt in corrected mode — dense.gravity_integrate).
+
+    Uses the custom-VJP force wrapper, so whole rollouts through the Pallas
+    path are differentiable (trajectory optimization, analytic policy
+    gradients); identical forward otherwise."""
+    g = gravity_forces_diff(state.pos, cfg.gravity)
     return dense.gravity_integrate(state, g, cfg)
 
 

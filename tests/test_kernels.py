@@ -105,6 +105,65 @@ def test_boids_partials_kernel_cross_blocks():
         np.testing.assert_allclose(np.asarray(g), np.asarray(w), rtol=3e-5, atol=1e-5)
 
 
+def _gravity_vjp_f64(pos, u, g=0.001, bias=1e-7):
+    """f64 oracle for the force pullback:
+    dL/dx_k = G * sum_j (I/d2 - 2 r r^T/d2^2)(u_j - u_k), r = x_k - x_j.
+    (Validated against finite differences; the dense jnp autodiff is NOT a
+    good reference here — it sums the u_j and u_k sides separately, which
+    cancels catastrophically in f32.)"""
+    pos = pos.astype(np.float64)
+    u = u.astype(np.float64)
+    n = pos.shape[0]
+    out = np.zeros_like(pos)
+    for k in range(n):
+        for j in range(n):
+            r = pos[k] - pos[j]
+            d2 = r @ r + bias
+            su = u[j] - u[k]
+            A = np.eye(2) / d2 - 2 * np.outer(r, r) / d2**2
+            out[k] += g * (A @ su)
+    return out
+
+
+def test_gravity_custom_vjp_matches_f64_oracle():
+    st = _state(96, seed=8)
+    cfg = GravityConfig()
+    u = np.asarray(jax.random.normal(jax.random.key(1), st.pos.shape, jnp.float32))
+
+    # direct backward kernel
+    got = np.asarray(pairwise.gravity_vjp_tiled(st.pos, jnp.asarray(u), cfg))
+    want = _gravity_vjp_f64(np.asarray(st.pos), u)
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(got / scale, want / scale, rtol=0, atol=3e-5)
+
+    # and through jax.vjp on the custom-VJP wrapper
+    _, vjp_fn = jax.vjp(lambda p: pairwise.gravity_forces_diff(p, cfg), st.pos)
+    got2 = np.asarray(vjp_fn(jnp.asarray(u))[0])
+    np.testing.assert_allclose(got2 / scale, want / scale, rtol=0, atol=3e-5)
+
+
+def test_gravity_rollout_is_differentiable():
+    """grad flows through a multi-step Pallas rollout (trajectory opt)."""
+    from nenbody_tpu.ops import tiled
+
+    cfg = SimConfig(n=32, controller="gravity", backend="pallas")
+    st = _state(32, seed=9)
+
+    def final_spread(vel0):
+        s = st.replace(vel=vel0)
+
+        def body(s, _):
+            return tiled.gravity_step(s, cfg=cfg), ()
+
+        s, _ = jax.lax.scan(body, s, None, length=3)
+        centroid = jnp.mean(s.pos, axis=0)
+        return jnp.mean(jnp.sum((s.pos - centroid) ** 2, axis=-1))
+
+    g = jax.grad(final_spread)(st.vel)
+    assert np.isfinite(np.asarray(g)).all()
+    assert np.abs(np.asarray(g)).max() > 0
+
+
 def test_tiled_steppers_match_dense_steppers():
     for controller in ("gravity", "boids"):
         st = _state(200, controller=controller, seed=3)
