@@ -126,7 +126,18 @@ def cmd_train(args) -> int:
     )
     env = VisionEnv(cfg)
     opt = optax.adam(args.lr)
-    if args.algo == "es":
+    if args.algo == "apg":
+        from .rl import apg as apg_lib
+
+        ts, apply_fn, _ = apg_lib.init_apg_state(
+            env, key=jax.random.key(args.seed), optimizer=opt
+        )
+        step = jax.jit(
+            apg_lib.make_apg_step(
+                env, apply_fn, opt, horizon=args.horizon, num_envs=args.envs
+            )
+        )
+    elif args.algo == "es":
         from .rl import es as es_lib
 
         ts, apply_fn, _ = es_lib.init_es_state(
@@ -251,7 +262,7 @@ def main(argv=None) -> int:
     p.set_defaults(fn=cmd_run)
 
     p = sub.add_parser("train", help="policy training on the vision env")
-    p.add_argument("--algo", choices=["reinforce", "es"], default="reinforce")
+    p.add_argument("--algo", choices=["reinforce", "es", "apg"], default="reinforce")
     p.add_argument("--population", type=int, default=8, help="ES antithetic pairs")
     p.add_argument("--envs", type=int, default=64)
     p.add_argument("--agents", type=int, default=64)

@@ -1,0 +1,91 @@
+"""Analytic policy gradients (APG) through the differentiable dynamics.
+
+The third trainer: where REINFORCE estimates gradients from log-probs and
+ES from perturbations, APG backpropagates the reward THROUGH the physics —
+the Pallas gravity force carries a custom VJP (ops/pairwise.py), so
+`d reward / d action` flows chip-side through every rollout step. The
+vision observation is stop-gradiented (the rasterizer's depth test is
+piecewise constant, so its gradient is zero-almost-everywhere anyway);
+gradients reach the policy through the actions it emitted, not through
+perception — "semi-APG", the standard trick for sims with hard visibility.
+
+Deterministic (mean-action) policy; short horizons recommended (gradient
+explosion through long chaotic rollouts is a property of the physics, not
+the implementation — use jax.checkpoint on the step for memory if needed).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..state import spawn_batch
+from .env import VisionEnv
+
+
+class APGState(NamedTuple):
+    params: Any
+    opt_state: Any
+    key: jax.Array
+    iteration: jax.Array
+
+
+def make_apg_step(
+    env: VisionEnv,
+    apply_fn: Callable,
+    optimizer: optax.GradientTransformation,
+    horizon: int = 8,
+    num_envs: int = 8,
+    remat: bool = False,
+):
+    """Build the jitted APG step: rollout -> -mean reward -> grad through
+    dynamics -> optax update. Fresh envs each iteration (episodic)."""
+    observe_b = jax.vmap(env.observe)
+    step_b = jax.vmap(env.step)
+    if remat:
+        step_b = jax.checkpoint(step_b)
+
+    def loss(params, env_states):
+        obs0 = observe_b(env_states)
+
+        def body(carry, _):
+            states, obs = carry
+            action, _ = apply_fn(params, jax.lax.stop_gradient(obs))
+            states, next_obs, reward = step_b(states, action)
+            return (states, next_obs), jnp.mean(reward)
+
+        _, rewards = jax.lax.scan(body, (env_states, obs0), None, length=horizon)
+        return -jnp.mean(rewards)
+
+    def apg_step(ts: APGState) -> Tuple[APGState, dict]:
+        key, k_envs = jax.random.split(ts.key)
+        env_states = spawn_batch(k_envs, env.cfg, num_envs)
+        value, grads = jax.value_and_grad(loss)(ts.params, env_states)
+        updates, opt_state = optimizer.update(grads, ts.opt_state, ts.params)
+        params = optax.apply_updates(ts.params, updates)
+        metrics = {
+            "loss": value,
+            "reward_mean": -value,
+            "grad_norm": optax.global_norm(grads),
+        }
+        return APGState(params, opt_state, key, ts.iteration + 1), metrics
+
+    return apg_step
+
+
+def init_apg_state(
+    env: VisionEnv,
+    key: jax.Array,
+    optimizer: optax.GradientTransformation,
+    policy=None,
+) -> Tuple[APGState, Callable, Any]:
+    from .policy import MLPPolicy
+
+    policy = policy or MLPPolicy()
+    kp, kr = jax.random.split(key)
+    params = policy.init(kp, jnp.zeros((1, env.obs_width), jnp.float32))
+    opt_state = optimizer.init(params)
+    return APGState(params, opt_state, kr, jnp.int32(0)), policy.apply, policy

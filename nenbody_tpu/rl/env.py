@@ -25,7 +25,9 @@ def _forces(pos: jax.Array, cfg: SimConfig, backend: str) -> jax.Array:
     if backend == "pallas":
         from ..ops import pairwise
 
-        return pairwise.gravity_forces_tiled(pos, cfg.gravity)
+        # custom-VJP wrapper: identical forward, differentiable dynamics
+        # (enables the APG trainer and trajectory optimization)
+        return pairwise.gravity_forces_diff(pos, cfg.gravity)
     return dense.gravity_forces(pos, cfg.gravity)
 
 
