@@ -16,6 +16,7 @@ config, plus boids pair throughput.
 """
 
 import json
+import sys
 import time
 
 import jax
@@ -23,9 +24,12 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _timed(fn, *args, sync_slice, steps):
+def _timed(fn, *args, sync_slice, steps, label=""):
     """Compile, then time one chained-scan dispatch; returns sec/step."""
+    t0 = time.perf_counter()
     _ = np.asarray(sync_slice(fn(*args)))  # compile + full sync
+    print(f"[bench] {label}: compiled in {time.perf_counter()-t0:.0f}s",
+          file=sys.stderr, flush=True)
     t0 = time.perf_counter()
     _ = np.asarray(sync_slice(fn(*args)))
     return (time.perf_counter() - t0) / steps
@@ -57,7 +61,7 @@ def main():
         c, _ = jax.lax.scan(body, (p, v), None, length=k_steps)
         return c[0]
 
-    dt = _timed(grav_roll, pos, vel, sync_slice=lambda o: o[:1], steps=k_steps)
+    dt = _timed(grav_roll, pos, vel, sync_slice=lambda o: o[:1], steps=k_steps, label="gravity")
     pair_evals_per_s = n * n / dt
 
     # fast mode: approximate reciprocal (documented ~1e-3 force error)
@@ -74,7 +78,7 @@ def main():
         c, _ = jax.lax.scan(body, (p, v), None, length=k_steps)
         return c[0]
 
-    dt_fast = _timed(grav_roll_fast, pos, vel, sync_slice=lambda o: o[:1], steps=k_steps)
+    dt_fast = _timed(grav_roll_fast, pos, vel, sync_slice=lambda o: o[:1], steps=k_steps, label="gravity-approx")
     pair_evals_fast = n * n / dt_fast
 
     # -- boids pair throughput at the same N ---------------------------------
@@ -90,11 +94,11 @@ def main():
         c, _ = jax.lax.scan(body, (p, v), None, length=k_steps)
         return c[0]
 
-    dt_b = _timed(boids_roll, pos, vel, sync_slice=lambda o: o[:1], steps=k_steps)
+    dt_b = _timed(boids_roll, pos, vel, sync_slice=lambda o: o[:1], steps=k_steps, label="boids")
     boids_pairs_per_s = n * n / dt_b
 
     # -- vision: batched datagen config (4096 envs x 256 agents x W=64) ------
-    benvs = 4096 if on_tpu else 16
+    benvs = 1024 if on_tpu else 16  # 1024 compiles fast; fps matches 4096
     bn, bw = 256, 64
     kv_steps = 5 if on_tpu else 2
     vcfg = VisionConfig(width=bw)
@@ -111,7 +115,7 @@ def main():
         p, _ = jax.lax.scan(body, p, None, length=kv_steps)
         return p
 
-    dt_v = _timed(vis_roll, bpos, bvel, sync_slice=lambda o: o[:1, :1], steps=kv_steps)
+    dt_v = _timed(vis_roll, bpos, bvel, sync_slice=lambda o: o[:1, :1], steps=kv_steps, label="vision-batched")
     vision_fps_batched = benvs * bn / dt_v
 
     # -- vision: single env N=1024, W=64 (BASELINE config 2) -----------------
@@ -127,7 +131,7 @@ def main():
         p, _ = jax.lax.scan(body, p, None, length=k_steps)
         return p
 
-    dt_v1 = _timed(vis1_roll, p1, v1, sync_slice=lambda o: o[:1], steps=k_steps)
+    dt_v1 = _timed(vis1_roll, p1, v1, sync_slice=lambda o: o[:1], steps=k_steps, label="vision-single")
     vision_fps_single = n1 / dt_v1
 
     print(
@@ -143,7 +147,7 @@ def main():
                     "gravity_ms_per_step": dt * 1e3,
                     "gravity_pair_evals_per_s_approx_reciprocal": pair_evals_fast,
                     "boids_pair_evals_per_s": boids_pairs_per_s,
-                    "vision_agent_frames_per_s_batched_4096x256_w64": vision_fps_batched,
+                    "vision_agent_frames_per_s_batched_1024x256_w64": vision_fps_batched,
                     "vision_agent_frames_per_s_n1024_w64": vision_fps_single,
                     "vision_vs_1e6_target": vision_fps_batched / 1e6,
                 },

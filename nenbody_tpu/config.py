@@ -71,6 +71,13 @@ class BoidsConfig:
     separation_scale: float = 0.05  # src/main.rs:454
     alignment_scale: float = 0.5  # src/main.rs:455
     max_speed: float = 1.0  # src/main.rs:516-518
+    # Fast path for the Pallas kernel: when every speed is <= alignment_dist/2
+    # (guaranteed after any clamped step, since 2*max_speed << 500), the
+    # velocity-space alignment mask is provably all-true, so rule 3 reduces
+    # to the O(N) global velocity mean and the kernel skips one of its three
+    # O(N^2) folds (~1.4x). Exactness requires the speed bound — off by
+    # default to keep strict parity for arbitrary user-supplied velocities.
+    global_alignment: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

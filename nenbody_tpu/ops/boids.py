@@ -40,6 +40,7 @@ def _boids_kernel(
     *,
     cfg: BoidsConfig,
     tj: int,
+    skip_alignment: bool = False,
 ):
     ti = pxc_ref.shape[0]
     xi, yi = pxc_ref[:], pyc_ref[:]
@@ -57,8 +58,6 @@ def _boids_kernel(
         j0 = pl.multiple_of(k * tj, tj)
         xj = pxr_ref[:, pl.ds(j0, tj)]  # (1, TJ)
         yj = pyr_ref[:, pl.ds(j0, tj)]
-        vxj = vxr_ref[:, pl.ds(j0, tj)]
-        vyj = vyr_ref[:, pl.ds(j0, tj)]
         mj = m_ref[:, pl.ds(j0, tj)] > 0.0
         j_idx = j0 + jax.lax.broadcasted_iota(jnp.int32, (ti, tj), 1)
         not_self = (i_idx != j_idx) & mj  # (TI, TJ)
@@ -80,15 +79,18 @@ def _boids_kernel(
         rx = rx - jnp.sum(w2 * dx, axis=1, keepdims=True)
         ry = ry - jnp.sum(w2 * dy, axis=1, keepdims=True)
 
-        # Rule 3 — alignment: neighbor velocities within VELOCITY-space radius.
-        dvx = vxj - vxi
-        dvy = vyj - vyi
-        vd2 = dvx * dvx + dvy * dvy
-        m3 = (vd2 < r3_sq) & not_self
-        w3 = m3.astype(jnp.float32)
-        s3x = s3x + jnp.sum(w3 * vxj, axis=1, keepdims=True)
-        s3y = s3y + jnp.sum(w3 * vyj, axis=1, keepdims=True)
-        c3 = c3 + jnp.sum(w3, axis=1, keepdims=True)
+        if not skip_alignment:
+            # Rule 3 — alignment: velocities within VELOCITY-space radius.
+            vxj = vxr_ref[:, pl.ds(j0, tj)]
+            vyj = vyr_ref[:, pl.ds(j0, tj)]
+            dvx = vxj - vxi
+            dvy = vyj - vyi
+            vd2 = dvx * dvx + dvy * dvy
+            m3 = (vd2 < r3_sq) & not_self
+            w3 = m3.astype(jnp.float32)
+            s3x = s3x + jnp.sum(w3 * vxj, axis=1, keepdims=True)
+            s3y = s3y + jnp.sum(w3 * vyj, axis=1, keepdims=True)
+            c3 = c3 + jnp.sum(w3, axis=1, keepdims=True)
 
         return s1x, s1y, c1, rx, ry, s3x, s3y, c3
 
@@ -96,6 +98,10 @@ def _boids_kernel(
     s1x, s1y, c1, rx, ry, s3x, s3y, c3 = jax.lax.fori_loop(
         0, num_chunks, body, (zero,) * 8
     )
+    if skip_alignment:
+        # rule 3 is added outside the kernel (global O(N) mean); report
+        # neutral partials: zero sum, zero count.
+        s3x = s3y = c3 = zero
 
     # Guarded means (reference divides only when count > 0, main.rs:506-512).
     inv1 = jnp.where(c1 > 0, 1.0 / jnp.maximum(c1, 1.0), 0.0)
@@ -265,7 +271,9 @@ def boids_velocity_tiled(
     mask = pad_axis(jnp.ones((n,), jnp.float32), n_pad)
 
     grid = (n_pad // ti,)
-    kernel = functools.partial(_boids_kernel, cfg=cfg, tj=tj)
+    kernel = functools.partial(
+        _boids_kernel, cfg=cfg, tj=tj, skip_alignment=cfg.global_alignment
+    )
     cspec = lambda: pl.BlockSpec((ti, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
     rspec = lambda: pl.BlockSpec((1, n_pad), lambda i: (0, 0), memory_space=pltpu.VMEM)
     nvx, nvy = pl.pallas_call(
@@ -285,4 +293,12 @@ def boids_velocity_tiled(
         interpret=interpret_mode(),
     )(col(px), col(py), col(vx), col(vy), row(px), row(py), row(vx), row(vy), row(mask))
 
-    return jnp.concatenate([nvx, nvy], axis=1)[:n]
+    nv = jnp.concatenate([nvx, nvy], axis=1)[:n]
+    if cfg.global_alignment:
+        # rule 3 as the exact global mean: sum_{j!=i} v_j / (n-1); identical
+        # to the masked fold whenever all speeds <= alignment_dist/2.
+        total = jnp.sum(vel, axis=0, keepdims=True)
+        if n > 1:
+            vmatch = (total - vel) / (n - 1)
+            nv = nv + cfg.alignment_scale * vmatch
+    return nv

@@ -139,6 +139,32 @@ class Scene:
             raise ValueError("vision is disabled for this config (vision=None)")
         return self._jit_observe(state)
 
+    def observe_with_depth(self, state: SceneState):
+        """(shade [..., N, W], depth [..., N, W]) — the depth buffer the
+        reference's eye pipeline has but never exposes (SURVEY.md §3.4)."""
+        if self.cfg.vision is None:
+            raise ValueError("vision is disabled for this config (vision=None)")
+        backend = _resolve_backend(self.cfg)
+        if backend == "pallas":
+            from .ops import raycast
+
+            fn = functools.partial(raycast.render_lines_with_depth, cfg=self.cfg.vision)
+        elif backend == "ring":
+            from .parallel import ring
+
+            fn = functools.partial(
+                ring.ring_render_rows, vcfg=self.cfg.vision
+            )
+            return jax.jit(lambda s: fn(s.pos, s.vel))(state)
+        else:
+            from .vision import render
+
+            fn = functools.partial(render.render_lines_with_depth, cfg=self.cfg.vision)
+        wrapped = fn
+        for _ in range(len(state.batch_shape)):
+            wrapped = jax.vmap(wrapped)
+        return jax.jit(wrapped)(state)
+
     # -- visualization --------------------------------------------------------
 
     def render_frame(

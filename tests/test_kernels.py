@@ -60,6 +60,19 @@ def test_boids_kernel_matches_dense(n):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=3e-5, atol=1e-6)
 
 
+def test_boids_global_alignment_fast_path():
+    """With speeds clamped under alignment_dist/2, the O(N) global-mean
+    rule-3 shortcut must equal the full masked fold."""
+    rng = np.random.RandomState(7)
+    pos = jnp.asarray(rng.uniform(-30, 30, (200, 2)).astype(np.float32))
+    vel = jnp.asarray(rng.uniform(-1, 1, (200, 2)).astype(np.float32))  # |v| <= ~1.4
+    want = boids_ops.boids_velocity_tiled(pos, vel, BoidsConfig())
+    got = boids_ops.boids_velocity_tiled(
+        pos, vel, BoidsConfig(global_alignment=True)
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=3e-5, atol=1e-6)
+
+
 def test_boids_kernel_dense_positions():
     """Clustered positions so all three rule masks fire (incl. separation)."""
     rng = np.random.RandomState(0)

@@ -140,6 +140,20 @@ def test_left_right_convention():
     assert hits.size and hits.mean() > cfg.width / 2
 
 
+def test_scene_observe_with_depth():
+    scene = Scene(SimConfig(n=32, controller="gravity", vision=VisionConfig(width=32)))
+    state = scene.spawn(seed=0)
+    shade, depth = scene.observe_with_depth(state)
+    assert shade.shape == (32, 32) and depth.shape == (32, 32)
+    cfg = scene.cfg.vision
+    d = np.asarray(depth)
+    assert (d <= cfg.far).all() and (d > cfg.near).all()
+    # shade agrees with plain observe
+    np.testing.assert_allclose(
+        np.asarray(scene.observe(state)), np.asarray(shade), rtol=1e-6
+    )
+
+
 def test_scene_observe_integration():
     scene = Scene(SimConfig(n=64, controller="gravity", vision=VisionConfig(width=64)))
     state = scene.spawn(seed=0)
