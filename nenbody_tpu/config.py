@@ -113,6 +113,14 @@ class VisionConfig:
     sprite_radius: float = 1.0  # triangle verts at +-1, src/main.rs:131-135
     background: float = 0.2  # clear color (0.1,0.2,0.3) luminance, main.rs:543
     sprite_albedo: float = 1.0
+    # Analytic antialiasing — the counterpart of the reference's 8x MSAA
+    # (src/main.rs:652, RenderTarget sample_count): sprite edges blend with
+    # the background by exact box-filter pixel coverage instead of a binary
+    # test. Besides matching the rasterizer's soft edges, it makes the
+    # observation piecewise-LINEAR in agent positions (binary coverage is
+    # piecewise constant), which gives vision meaningful gradients.
+    # Blending approximates the occluder behind an edge as background.
+    antialias: bool = False
 
 
 _CONTROLLERS = ("gravity", "boids", "random")

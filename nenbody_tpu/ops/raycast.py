@@ -83,14 +83,21 @@ def _raycast_kernel(
             du = cfg.sprite_radius * inv
 
             off = (u_p - u_c) / jnp.maximum(du, 1e-30)  # (TJ, W)
-            cover = valid & (jnp.abs(off) < 1.0)
+            if cfg.antialias:
+                # pixel half-width in off units (mul-only forms of 1/(W*du))
+                hp = fs * (t / (cfg.width * cfg.sprite_radius))  # (TJ, 1)
+                s_cov = (0.5 * cfg.width * cfg.sprite_radius) * inv
+                cover = valid & (jnp.abs(off) < 1.0 + hp)
+            else:
+                cover = valid & (jnp.abs(off) < 1.0)
             dfield = jnp.where(cover, f, cfg.far)  # (TJ, W)
             cmin = jnp.min(dfield, axis=0, keepdims=True)  # (1, W)
-            sh = jnp.where(
-                cover & (dfield == cmin),
-                cfg.sprite_albedo * (1.0 - 0.25 * off * off),
-                -1.0,
-            )
+            offc = jnp.clip(off, -1.0, 1.0)
+            val = cfg.sprite_albedo * (1.0 - 0.25 * offc * offc)
+            if cfg.antialias:
+                covf = jnp.clip((1.0 - jnp.abs(off)) * s_cov + 0.5, 0.0, 1.0)
+                val = cfg.background + covf * (val - cfg.background)
+            sh = jnp.where(cover & (dfield == cmin), val, -1.0)
             csh = jnp.max(sh, axis=0, keepdims=True)  # (1, W)
 
             better = cmin < best_d
@@ -150,14 +157,20 @@ def _raster_kernel(
             f = f_ref[e : e + 1, pl.ds(j0, tj)]
 
             off = (u_p - uc) * inv  # (WB, TJ)
-            cover = jnp.abs(off) < 1.0
+            if cfg.antialias:
+                hp = inv * (1.0 / cfg.width)  # (1, TJ): (1/W)/du
+                s_cov = (0.5 * cfg.width) / inv
+                cover = jnp.abs(off) < 1.0 + hp
+            else:
+                cover = jnp.abs(off) < 1.0
             dfield = jnp.where(cover, f, cfg.far)
             cmin = jnp.min(dfield, axis=1, keepdims=True)  # (WB, 1)
-            sh = jnp.where(
-                cover & (dfield == cmin),
-                cfg.sprite_albedo * (1.0 - 0.25 * off * off),
-                -1.0,
-            )
+            offc = jnp.clip(off, -1.0, 1.0)
+            val = cfg.sprite_albedo * (1.0 - 0.25 * offc * offc)
+            if cfg.antialias:
+                covf = jnp.clip((1.0 - jnp.abs(off)) * s_cov + 0.5, 0.0, 1.0)
+                val = cfg.background + covf * (val - cfg.background)
+            sh = jnp.where(cover & (dfield == cmin), val, -1.0)
             csh = jnp.max(sh, axis=1, keepdims=True)
 
             better = cmin < best_d

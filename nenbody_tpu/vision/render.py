@@ -45,7 +45,12 @@ def _agent_row(
     # Normalized offset of each pixel within each target's splat, [M, W].
     safe_du = jnp.maximum(du, 1e-30)
     off = (u_p[None, :] - u_c[:, None]) / safe_du[:, None]
-    cover = visible[:, None] & (jnp.abs(off) < 1.0)
+    if cfg.antialias:
+        # pixel half-width in off units; edges cover fractionally
+        hp = (1.0 / cfg.width) / safe_du  # [M]
+        cover = visible[:, None] & (jnp.abs(off) < 1.0 + hp[:, None])
+    else:
+        cover = visible[:, None] & (jnp.abs(off) < 1.0)
 
     # Depth test: nearest covering target wins the pixel.
     depth_field = jnp.where(cover, f[:, None], jnp.inf)  # [M, W]
@@ -56,7 +61,18 @@ def _agent_row(
     # Vignette: uv distance from sprite center is |off|/2 (uv spans [0,1]);
     # frag does mix(tex, 0, mag^2) => shade = albedo * (1 - off^2/4).
     o = jnp.take_along_axis(off, winner[None, :], axis=0)[0]  # [W]
-    shade = cfg.sprite_albedo * (1.0 - 0.25 * o * o)
+    oc = jnp.clip(o, -1.0, 1.0)
+    shade = cfg.sprite_albedo * (1.0 - 0.25 * oc * oc)
+    if cfg.antialias:
+        # exact 1D box-filter coverage of the splat edge over the pixel
+        # footprint (the MSAA analog); interior pixels saturate to 1.
+        s_win = jnp.take_along_axis(
+            jnp.broadcast_to((0.5 * cfg.width) * safe_du[:, None], off.shape),
+            winner[None, :],
+            axis=0,
+        )[0]
+        covf = jnp.clip((1.0 - jnp.abs(o)) * s_win + 0.5, 0.0, 1.0)
+        shade = cfg.background + covf * (shade - cfg.background)
 
     shade = jnp.where(hit, shade, cfg.background)
     depth = jnp.where(hit, best, cfg.far)

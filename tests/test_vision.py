@@ -140,6 +140,44 @@ def test_left_right_convention():
     assert hits.size and hits.mean() > cfg.width / 2
 
 
+def test_antialias_soft_edges():
+    """MSAA-analog: with antialias on, splat edges take fractional values
+    between background and sprite shade, and interior pixels are unchanged."""
+    cfg_hard = VisionConfig(width=128)
+    cfg_soft = VisionConfig(width=128, antialias=True)
+    st, _ = _two_agent_state(cfg_hard, [0, 0], [1, 0], [[8.0, 0.3]])
+    hard, _ = render.render_rows(st.pos, st.vel, cfg_hard)
+    soft, _ = render.render_rows(st.pos, st.vel, cfg_soft)
+    h, s = np.asarray(hard[0]), np.asarray(soft[0])
+    covered = h > cfg_hard.background + 0.3
+    # erode by one pixel: boundary pixels legitimately get fractional coverage
+    interior = covered & np.roll(covered, 1) & np.roll(covered, -1)
+    np.testing.assert_allclose(s[interior], h[interior], atol=0.02)
+    # soft edges introduce values strictly between bg and the hard edge value
+    frac = (s > cfg_hard.background + 1e-4) & (s < h.max() * 0.6)
+    assert frac.sum() >= 1
+    # and the obs is now continuous in position: tiny shifts move the obs a
+    # little, not by full pixels
+    st2 = st.replace(pos=st.pos.at[1, 1].add(0.02))
+    soft2, _ = render.render_rows(st2.pos, st2.vel, cfg_soft)
+    delta = np.abs(np.asarray(soft2[0]) - s).max()
+    assert 0 < delta < 0.5
+
+
+@pytest.mark.parametrize("n,w", [(24, 64), (100, 32)])
+def test_antialias_kernel_matches_dense(n, w):
+    from nenbody_tpu.ops import raycast
+
+    cfg = VisionConfig(width=w, antialias=True)
+    key = jax.random.key(11)
+    pos = jax.random.uniform(key, (n, 2), minval=-50, maxval=50, dtype=jnp.float32)
+    vel = jax.random.uniform(jax.random.key(12), (n, 2), minval=-1, maxval=1, dtype=jnp.float32)
+    got_s, got_d = raycast.render_rows_tiled(pos, vel, cfg)
+    want_s, want_d = render.render_rows(pos, vel, cfg)
+    np.testing.assert_allclose(np.asarray(got_s), np.asarray(want_s), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_d), np.asarray(want_d), rtol=1e-5, atol=1e-4)
+
+
 def test_scene_observe_with_depth():
     scene = Scene(SimConfig(n=32, controller="gravity", vision=VisionConfig(width=32)))
     state = scene.spawn(seed=0)
