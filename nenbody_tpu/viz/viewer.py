@@ -39,12 +39,14 @@ class Viewer:
         selected_eye: int = 0,
         strip_height: int = 48,
         use_native: bool = True,
+        follow: str = "agent0",  # "agent0" (reference semantics) | "centroid"
     ):
         self.out_dir = out_dir
         self.size = size
         self.half_extent = half_extent
         self.selected_eye = selected_eye
         self.strip_height = strip_height
+        self.follow = follow
         self.frames_written = 0
         self._frame_times = []
         self._native = None
@@ -64,12 +66,14 @@ class Viewer:
         """Snapshot (device or host arrays) -> RGB uint8 frame."""
         pos = np.asarray(state.pos)
         vel = np.asarray(state.vel)
+        center = pos.mean(axis=0) if self.follow == "centroid" else None
         scene = frame_lib.render_topdown(
             pos,
             vel,
             size=self.size,
             half_extent=self.half_extent,
             selected=self.selected_eye,
+            center=center,
         )
         strip = None
         if obs is not None:
@@ -114,14 +118,17 @@ def record_rollout_gif(
     half_extent: float = 120.0,
     size=(270, 480),
     fps: int = 25,
+    follow: str = "centroid",
 ) -> str:
     """Run a rollout, tap positions every `stride` steps, write an animated
     GIF — the headless equivalent of the reference's demo videos
-    (README.md:14-21)."""
+    (README.md:14-21). Follows the swarm centroid by default (demos read
+    better); pass follow="agent0" for the reference's camera."""
     import imageio.v2 as imageio
 
     viewer = Viewer(
-        size=size, half_extent=half_extent, selected_eye=selected_eye, use_native=False
+        size=size, half_extent=half_extent, selected_eye=selected_eye,
+        use_native=False, follow=follow,
     )
     frames = []
     for _ in range(num_steps // stride):

@@ -93,3 +93,24 @@ def test_train_cli(capsys):
     assert rc == 0
     lines = [json.loads(l) for l in capsys.readouterr().out.splitlines() if l.startswith("{")]
     assert len(lines) == 2 and np.isfinite(lines[-1]["loss"])
+
+
+def test_train_cli_apg(capsys):
+    rc = main([
+        "train", "--algo", "apg", "--envs", "2", "--agents", "8",
+        "--vision-width", "16", "--horizon", "2", "--iters", "2",
+    ])
+    assert rc == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.splitlines() if l.startswith("{")]
+    assert len(lines) == 2 and np.isfinite(lines[-1]["loss"])
+
+
+def test_device_trace_writes_profile(tmp_path, monkeypatch):
+    from nenbody_tpu.utils.profiling import device_trace
+    import jax.numpy as jnp
+    import jax as _jax
+
+    monkeypatch.setenv("NENBODY_TRACE", str(tmp_path / "trace"))
+    with device_trace():
+        _jax.block_until_ready(jnp.ones((8, 8)) @ jnp.ones((8, 8)))
+    assert any((tmp_path / "trace").rglob("*"))
