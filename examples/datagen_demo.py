@@ -11,7 +11,6 @@ import time
 
 sys.path.insert(0, ".")
 
-import jax
 import numpy as np
 
 from nenbody_tpu import Scene, SimConfig, VisionConfig

@@ -11,7 +11,6 @@ import sys
 sys.path.insert(0, ".")
 
 from nenbody_tpu import Scene, SimConfig, VisionConfig
-from nenbody_tpu.utils.profiling import StepTimer
 from nenbody_tpu.viz.viewer import record_rollout_gif
 
 

@@ -18,7 +18,6 @@ Reference semantics preserved exactly (see config.BoidsConfig):
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -22,7 +22,6 @@ live comfortably in VMEM for the whole grid sweep.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

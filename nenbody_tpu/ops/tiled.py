@@ -4,13 +4,11 @@ O(N) integration left to XLA fusion."""
 
 from __future__ import annotations
 
-import jax.numpy as jnp
-
 from ..config import SimConfig
 from ..physics import dense
 from ..state import SceneState
 from .boids import boids_velocity_tiled
-from .pairwise import gravity_forces_diff, gravity_forces_tiled
+from .pairwise import gravity_forces_diff
 
 
 def gravity_step(state: SceneState, cfg: SimConfig) -> SceneState:

@@ -22,7 +22,6 @@ dispatch to the Pallas kernels on TPU and the dense jnp path elsewhere.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional, Tuple
 
 import jax

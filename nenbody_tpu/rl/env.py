@@ -10,8 +10,7 @@ objective the reference's boids rules hardcode, here learnable.
 
 from __future__ import annotations
 
-import functools
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

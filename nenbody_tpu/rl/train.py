@@ -13,7 +13,6 @@ VJP-free). Two execution modes:
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable, NamedTuple, Optional, Tuple
 
 import jax
@@ -21,7 +20,6 @@ import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..config import SimConfig
 from ..state import SceneState, spawn_batch
 from ..parallel.mesh import AGENT_AXIS, DATA_AXIS
 from .env import VisionEnv

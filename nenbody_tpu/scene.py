@@ -22,7 +22,6 @@ import functools
 from typing import Any, Callable, Optional, Tuple
 
 import jax
-import jax.numpy as jnp
 
 from .config import SimConfig
 from .physics import dense

@@ -13,7 +13,7 @@ Leading batch dimensions support the batched-envs config (vmap over envs).
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

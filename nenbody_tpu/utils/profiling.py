@@ -14,7 +14,6 @@ import time
 from typing import Optional
 
 import jax
-import numpy as np
 
 
 @contextlib.contextmanager

@@ -6,7 +6,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from nenbody_tpu import Scene, SimConfig, spawn
+from nenbody_tpu import SimConfig, spawn
 from nenbody_tpu.physics import dense
 from oracle import boids_step_np, gravity_step_np
 
@@ -87,7 +87,6 @@ def test_random_walk_statistics():
 def test_gravity_corrected_mode():
     """dt_on_position=True switches to standard semi-implicit Euler."""
     from nenbody_tpu.config import GravityConfig
-    import dataclasses
 
     cfg = SimConfig(
         n=32, controller="gravity",

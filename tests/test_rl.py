@@ -4,7 +4,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
-import pytest
 
 from nenbody_tpu import SimConfig, VisionConfig
 from nenbody_tpu.parallel import mesh as mesh_lib
