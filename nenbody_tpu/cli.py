@@ -61,9 +61,15 @@ def cmd_run(args) -> int:
 
     cfg = _build_cfg(args)
     scene = Scene(cfg)
-    state = (
-        ck.load_state(args.resume) if args.resume else scene.spawn(seed=args.seed)
-    )
+    if args.resume:
+        import os
+
+        if not os.path.exists(args.resume):
+            print(f"error: checkpoint not found: {args.resume}", file=sys.stderr)
+            return 2
+        state = ck.load_state(args.resume)
+    else:
+        state = scene.spawn(seed=args.seed)
 
     viewer = None
     if args.capture:

@@ -1,0 +1,93 @@
+"""Hardware throughput gates (SURVEY.md §4.5) — run ON the TPU:
+
+    python -m pytest tpu_tests/ -q
+
+Kept outside tests/ because tests/conftest.py forces the CPU backend for
+the portable suite; these assert the BASELINE.json numbers on real silicon
+and skip cleanly anywhere else.
+"""
+
+import time
+
+import pytest
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+requires_tpu = pytest.mark.skipif(
+    jax.default_backend() != "tpu", reason="needs a real TPU"
+)
+
+
+def _scan_time(fn_body, carry, steps, sync):
+    @jax.jit
+    def roll(c):
+        c, _ = jax.lax.scan(lambda c, _: (fn_body(c), ()), c, None, length=steps)
+        return c
+
+    _ = np.asarray(sync(roll(carry)))
+    t0 = time.perf_counter()
+    _ = np.asarray(sync(roll(carry)))
+    return (time.perf_counter() - t0) / steps
+
+
+@requires_tpu
+def test_pair_eval_gate_1e9():
+    """BASELINE: >= 1e9 pair-force evals/s/chip at N=65,536 (we target 100x)."""
+    from nenbody_tpu.config import GravityConfig
+    from nenbody_tpu.ops import pairwise
+
+    n = 65536
+    key = jax.random.key(0)
+    pos = jax.random.uniform(key, (n, 2), minval=-100, maxval=100, dtype=jnp.float32)
+    vel = jax.random.uniform(key, (n, 2), dtype=jnp.float32)
+    cfg = GravityConfig()
+
+    def body(c):
+        p, v = c
+        g = pairwise.gravity_forces_tiled(p, cfg)
+        v = v + g * cfg.dt
+        return (p + v, v)
+
+    dt = _scan_time(body, (pos, vel), steps=10, sync=lambda c: c[0][:1])
+    rate = n * n / dt
+    assert rate >= 1e9, f"pair-eval rate {rate:.3e} < 1e9"
+    assert rate >= 1e11, f"regression: pair-eval rate {rate:.3e} < 1e11 (was ~2e11)"
+
+
+@requires_tpu
+def test_vision_fps_gate_1e6():
+    """BASELINE: >= 1e6 agent 1D-vision frames/s (batched datagen config)."""
+    from nenbody_tpu.config import VisionConfig
+    from nenbody_tpu.ops import raycast
+
+    b, n, w = 1024, 256, 64
+    key = jax.random.key(0)
+    pos = jax.random.uniform(key, (b, n, 2), minval=-100, maxval=100, dtype=jnp.float32)
+    vel = jax.random.uniform(key, (b, n, 2), minval=-1, maxval=1, dtype=jnp.float32)
+    vcfg = VisionConfig(width=w)
+
+    def body(p):
+        s = jax.vmap(lambda a, c: raycast.render_rows_tiled(a, c, vcfg)[0])(p, vel)
+        return p + 1e-7 * s[..., :2]
+
+    dt = _scan_time(body, pos, steps=5, sync=lambda p: p[:1, :1])
+    rate = b * n / dt
+    assert rate >= 1e6, f"vision rate {rate:.3e} < 1e6"
+
+
+@requires_tpu
+def test_ring_single_chip_parity_on_hardware():
+    """The pallas-partials ring compiles and matches dense on real silicon
+    (1-chip ring)."""
+    from nenbody_tpu import SimConfig, spawn
+    from nenbody_tpu.parallel import mesh as mesh_lib, ring
+    from nenbody_tpu.physics import dense
+
+    m = mesh_lib.make_mesh({"agents": 1})
+    cfg = SimConfig(n=512, controller="boids", backend="ring")
+    st = spawn(jax.random.key(0), cfg)
+    got = ring.ring_boids_velocity(st.pos, st.vel, cfg, mesh=m)
+    want = dense.boids_accels(st.pos, st.vel, cfg.boids)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=3e-5, atol=1e-6)
