@@ -44,20 +44,22 @@ def make_apg_step(
     """Build the jitted APG step: rollout -> -mean reward -> grad through
     dynamics -> optax update. Fresh envs each iteration (episodic)."""
     observe_b = jax.vmap(env.observe)
-    step_b = jax.vmap(env.step)
+    dyn_b = jax.vmap(env.dynamics)
+    reward_b = jax.vmap(env.reward)
     if remat:
-        step_b = jax.checkpoint(step_b)
+        dyn_b = jax.checkpoint(dyn_b)
 
     def loss(params, env_states):
-        obs0 = observe_b(env_states)
+        def body(states, _):
+            # perception OUTSIDE the gradient: the raycast kernel has no
+            # JVP (and its depth test is piecewise constant anyway); the
+            # grad path runs action -> dynamics -> reward only.
+            obs = observe_b(jax.lax.stop_gradient(states))
+            action, _ = apply_fn(params, obs)
+            states = dyn_b(states, action)
+            return states, jnp.mean(reward_b(states))
 
-        def body(carry, _):
-            states, obs = carry
-            action, _ = apply_fn(params, jax.lax.stop_gradient(obs))
-            states, next_obs, reward = step_b(states, action)
-            return (states, next_obs), jnp.mean(reward)
-
-        _, rewards = jax.lax.scan(body, (env_states, obs0), None, length=horizon)
+        _, rewards = jax.lax.scan(body, env_states, None, length=horizon)
         return -jnp.mean(rewards)
 
     def apg_step(ts: APGState) -> Tuple[APGState, dict]:

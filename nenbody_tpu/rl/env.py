@@ -64,6 +64,18 @@ class VisionEnv:
         lines = _render(state.pos, state.vel, self.cfg, self.backend)
         return jnp.concatenate([lines, state.vel], axis=-1)
 
+    def dynamics(self, state: SceneState, action: jax.Array) -> SceneState:
+        """Physics-only transition (no observation) — fully differentiable
+        on every backend (the Pallas force kernel carries a custom VJP; the
+        raycast kernel does not, so trainers that differentiate the rollout
+        must call this + observe() on a stop-gradiented state, see rl/apg.py).
+        """
+        accel = jnp.clip(action, -self.max_accel, self.max_accel)
+        g = _forces(state.pos, self.cfg, self.backend)
+        vel = state.vel + (g + accel) * self.cfg.gravity.dt
+        pos = state.pos + vel
+        return state.replace(pos=pos, vel=vel, t=state.t + 1)
+
     def step(
         self, state: SceneState, action: jax.Array
     ) -> Tuple[SceneState, jax.Array, jax.Array]:
@@ -71,11 +83,7 @@ class VisionEnv:
 
         Returns (next_state, obs, reward[N]).
         """
-        accel = jnp.clip(action, -self.max_accel, self.max_accel)
-        g = _forces(state.pos, self.cfg, self.backend)
-        vel = state.vel + (g + accel) * self.cfg.gravity.dt
-        pos = state.pos + vel
-        next_state = state.replace(pos=pos, vel=vel, t=state.t + 1)
+        next_state = self.dynamics(state, action)
         return next_state, self.observe(next_state), self.reward(next_state)
 
     def reward(self, state: SceneState) -> jax.Array:
