@@ -46,7 +46,7 @@ def _add_sim_flags(p: argparse.ArgumentParser):
         "--controller", choices=["gravity", "boids", "random"], default="boids"
     )
     p.add_argument(
-        "--backend", choices=["auto", "dense", "pallas", "ring"], default="auto"
+        "--backend", choices=["auto", "dense", "pallas", "ring", "gspmd"], default="auto"
     )
     p.add_argument("--vision-width", type=int, default=0, help="0 disables vision")
     p.add_argument("--seed", type=int, default=0)

@@ -124,7 +124,7 @@ class VisionConfig:
 
 
 _CONTROLLERS = ("gravity", "boids", "random")
-_BACKENDS = ("auto", "dense", "pallas", "ring")
+_BACKENDS = ("auto", "dense", "pallas", "ring", "gspmd")
 
 
 @dataclasses.dataclass(frozen=True)
@@ -136,7 +136,9 @@ class SimConfig:
                 code edit at src/main.rs:925; boids is the active one)
     backend:    force/vision compute path — "dense" (pure jnp O(N^2), the
                 oracle), "pallas" (tiled TPU kernels), "ring" (shard_map +
-                ppermute over an agent-sharded mesh), or "auto".
+                ppermute over an agent-sharded mesh), "gspmd"
+                (compiler-partitioned dense via sharding annotations), or
+                "auto".
     """
 
     n: int = 100

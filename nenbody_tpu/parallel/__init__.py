@@ -8,6 +8,6 @@ the ICI ring with `ppermute`, accumulating partial forces/renders per hop —
 structurally ring attention with agents as the sequence axis.
 """
 
-from . import mesh, ring
+from . import auto, mesh, ring
 
-__all__ = ["mesh", "ring"]
+__all__ = ["auto", "mesh", "ring"]

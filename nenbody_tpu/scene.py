@@ -55,6 +55,10 @@ def make_step_fn(cfg: SimConfig) -> Callable[[SceneState], SceneState]:
         from .parallel import ring
 
         stepper = ring.STEPPERS[cfg.controller]
+    elif backend == "gspmd":
+        from .parallel import auto
+
+        stepper = auto.STEPPERS[cfg.controller]
     else:  # pragma: no cover
         raise ValueError(f"unknown backend {backend!r}")
     return functools.partial(stepper, cfg=cfg)

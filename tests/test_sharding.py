@@ -160,3 +160,38 @@ def test_mesh_helpers():
     assert m.shape["data"] == 4 and m.shape["agents"] == 2
     with pytest.raises(ValueError):
         mesh_lib.make_mesh({"agents": 16})
+
+
+def test_gspmd_backend_matches_dense(mesh8):
+    """The compiler-partitioned (sharding-annotation) backend must agree
+    with dense and with the explicit ring."""
+    from nenbody_tpu.parallel import auto
+
+    st = _state(256, seed=7)
+    cfg = SimConfig(n=256, controller="gravity", backend="gspmd")
+    with jax.set_mesh(mesh8):
+        got = jax.jit(lambda p: auto.auto_gravity_forces(p, cfg, mesh=mesh8))(st.pos)
+    want = dense.gravity_forces(st.pos, cfg.gravity)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=3e-5, atol=1e-7)
+
+    stb = _state(128, seed=8, controller="boids")
+    cfgb = SimConfig(n=128, controller="boids", backend="gspmd")
+    with jax.set_mesh(mesh8):
+        gotb = jax.jit(
+            lambda p, v: auto.auto_boids_velocity(p, v, cfgb, mesh=mesh8)
+        )(stb.pos, stb.vel)
+    wantb = dense.boids_accels(stb.pos, stb.vel, cfgb.boids)
+    np.testing.assert_allclose(np.asarray(gotb), np.asarray(wantb), rtol=3e-5, atol=1e-6)
+
+
+def test_gspmd_scene_end_to_end():
+    from nenbody_tpu import Scene
+
+    cfg = SimConfig(n=64, controller="boids", backend="gspmd")
+    scene = Scene(cfg)
+    state = scene.spawn(seed=0)
+    out = scene.step(state)
+    dout = Scene(SimConfig(n=64, controller="boids", backend="dense")).step(state)
+    np.testing.assert_allclose(
+        np.asarray(out.pos), np.asarray(dout.pos), rtol=3e-5, atol=1e-6
+    )
