@@ -142,6 +142,14 @@ class Scene:
             raise ValueError("vision is disabled for this config (vision=None)")
         return self._jit_observe(state)
 
+    def observe_rgb(self, state: SceneState) -> jax.Array:
+        """[..., N, W, 3] RGB observation rows — the reference's RGBA eye
+        texture (alpha always 1, shaders/scene.frag:16)."""
+        from .vision import render as render_lib
+
+        shade, depth = self.observe_with_depth(state)
+        return render_lib.to_rgb(shade, depth, self.cfg.vision)
+
     def observe_with_depth(self, state: SceneState):
         """(shade [..., N, W], depth [..., N, W]) — the depth buffer the
         reference's eye pipeline has but never exposes (SURVEY.md §3.4)."""

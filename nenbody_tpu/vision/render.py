@@ -103,6 +103,22 @@ def render_rows(
     return jax.lax.map(fn, (pos, dirs), batch_size=min(chunk, n))
 
 
+BACKGROUND_RGB = (0.1, 0.2, 0.3)  # clear color, src/main.rs:543
+SPRITE_RGB = (0.85, 0.80, 0.70)  # skin-texture mean stand-in
+
+
+def to_rgb(shade: jax.Array, depth: jax.Array, cfg: VisionConfig) -> jax.Array:
+    """Colorize (shade, depth) rows into [..., W, 3] RGB — the reference's
+    RGBA eye texture minus alpha (always 1, scene.frag:16): sprite pixels
+    take the sprite color scaled by the vignetted shade, misses take the
+    clear color chroma."""
+    hit = (depth < cfg.far)[..., None]
+    bg = jnp.asarray(BACKGROUND_RGB, shade.dtype)
+    sprite = jnp.asarray(SPRITE_RGB, shade.dtype)
+    norm = shade[..., None] / max(cfg.sprite_albedo, 1e-6)
+    return jnp.where(hit, sprite * norm, bg)
+
+
 def merge_rows(a, b):
     """Depth-min merge of two partial renders (shade, depth) — associative
     and commutative up to depth ties, so partial renders against disjoint

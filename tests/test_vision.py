@@ -204,3 +204,23 @@ def test_scene_observe_integration():
     # rollout with obs recording
     _, traj = scene.rollout(state, 4, record=("obs",))
     assert traj["obs"].shape == (4, 64, 64)
+
+
+def test_observe_rgb():
+    scene = Scene(SimConfig(n=32, controller="gravity", vision=VisionConfig(width=32)))
+    state = scene.spawn(seed=0)
+    rgb = scene.observe_rgb(state)
+    assert rgb.shape == (32, 32, 3)
+    arr = np.asarray(rgb)
+    assert arr.min() >= 0 and arr.max() <= 1
+    # background pixels carry the clear-color chroma (blue-dominant)
+    _, depth = scene.observe_with_depth(state)
+    bg = np.asarray(depth) == scene.cfg.vision.far
+    if bg.any():
+        px = arr[bg]
+        assert (px[:, 2] > px[:, 0]).all()  # b > r for clear color
+    # hits are warm (r >= b for the sprite color)
+    hits = ~bg
+    if hits.any():
+        px = arr[hits]
+        assert (px[:, 0] >= px[:, 2]).all()
