@@ -224,7 +224,7 @@ def cmd_replay(args) -> int:
     import os
 
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
-    imageio.mimsave(args.out, frames, fps=args.fps, loop=0)
+    imageio.mimsave(args.out, frames, duration=1000.0 / args.fps, loop=0)
     print(f"replayed {len(ts)} frames ({len(frames)} rendered) -> {args.out}")
     return 0
 

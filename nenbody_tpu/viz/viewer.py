@@ -136,5 +136,5 @@ def record_rollout_gif(
         obs = scene.observe(state) if scene.cfg.vision else None
         frames.append(viewer.compose(state, obs))
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    imageio.mimsave(path, frames, fps=fps, loop=0)
+    imageio.mimsave(path, frames, duration=1000.0 / fps, loop=0)
     return path
