@@ -112,6 +112,7 @@ class Scene:
         self._jit_step = jax.jit(self._step_b)
         self._jit_observe = jax.jit(self._observe_b) if self._observe_b else None
         self._rollout_cache = {}
+        self._depth_cache = {}
 
     # -- construction -------------------------------------------------------
 
@@ -152,29 +153,39 @@ class Scene:
 
     def observe_with_depth(self, state: SceneState):
         """(shade [..., N, W], depth [..., N, W]) — the depth buffer the
-        reference's eye pipeline has but never exposes (SURVEY.md §3.4)."""
+        reference's eye pipeline has but never exposes (SURVEY.md §3.4).
+
+        Compiled functions are cached per batch rank (per-call jit(lambda)
+        retraces every call — see CLAUDE.md)."""
         if self.cfg.vision is None:
             raise ValueError("vision is disabled for this config (vision=None)")
-        backend = _resolve_backend(self.cfg)
-        if backend == "pallas":
-            from .ops import raycast
+        rank = len(state.batch_shape)
+        cached = self._depth_cache.get(rank)
+        if cached is None:
+            backend = _resolve_backend(self.cfg)
+            if backend == "pallas":
+                from .ops import raycast
 
-            fn = functools.partial(raycast.render_lines_with_depth, cfg=self.cfg.vision)
-        elif backend == "ring":
-            from .parallel import ring
+                fn = functools.partial(
+                    raycast.render_lines_with_depth, cfg=self.cfg.vision
+                )
+            elif backend == "ring":
+                from .parallel import ring
 
-            fn = functools.partial(
-                ring.ring_render_rows, vcfg=self.cfg.vision
-            )
-            return jax.jit(lambda s: fn(s.pos, s.vel))(state)
-        else:
-            from .vision import render
+                vcfg = self.cfg.vision
+                fn = lambda s: ring.ring_render_rows(s.pos, s.vel, vcfg)
+            else:
+                from .vision import render
 
-            fn = functools.partial(render.render_lines_with_depth, cfg=self.cfg.vision)
-        wrapped = fn
-        for _ in range(len(state.batch_shape)):
-            wrapped = jax.vmap(wrapped)
-        return jax.jit(wrapped)(state)
+                fn = functools.partial(
+                    render.render_lines_with_depth, cfg=self.cfg.vision
+                )
+            if backend != "ring":  # ring handles leading batch dims itself
+                for _ in range(rank):
+                    fn = jax.vmap(fn)
+            cached = jax.jit(fn)
+            self._depth_cache[rank] = cached
+        return cached(state)
 
     # -- visualization --------------------------------------------------------
 

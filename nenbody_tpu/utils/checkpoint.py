@@ -3,8 +3,8 @@
 src/main.rs:737-747; the capture path was staged but never wired).
 
 Scene states are plain pytrees, so checkpoints are npz files; RL train
-states (policy params + optimizer state) go through orbax when available,
-with an npz fallback.
+states (policy params + optimizer state + env states + PRNG keys) round-trip
+through save_pytree/load_pytree.
 """
 
 from __future__ import annotations
@@ -86,12 +86,19 @@ class PeriodicCheckpointer:
         self.every = every
         self.keep = keep
         self._saved: list[str] = []
+        self._last_saved_step: Optional[int] = None
         os.makedirs(directory, exist_ok=True)
 
     def maybe_save(self, state: SceneState) -> Optional[str]:
+        """Save when at least `every` steps have elapsed since the last save
+        — callers may only check at chunk boundaries (the CLI polls every
+        --log-every steps), so an exact `t % every == 0` test would silently
+        skip checkpoints whenever the strides don't divide."""
         step = int(np.asarray(state.t).reshape(-1)[0])
-        if step % self.every != 0:
+        last = self._last_saved_step if self._last_saved_step is not None else 0
+        if step - last < self.every:
             return None
+        self._last_saved_step = step
         path = os.path.join(self.directory, f"state_{step:09d}.npz")
         save_state(path, state)
         self._saved.append(path)

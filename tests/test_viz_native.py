@@ -199,3 +199,23 @@ def test_step_timer():
     assert t.pair_evals_per_s > 0
     assert t.ema_s < 0.05  # first (slow) interval did not poison the EMA
     assert "pair_evals_per_s" in t.report()
+
+
+def test_periodic_checkpointer_chunked_polling(tmp_path):
+    """Checkpoints must fire even when the polling stride doesn't divide
+    `every` (the CLI only checks at --log-every boundaries)."""
+    from nenbody_tpu import Scene, SimConfig
+
+    cfg = SimConfig(n=8, controller="gravity")
+    scene = Scene(cfg)
+    state = scene.spawn(seed=0)
+    ck = checkpoint.PeriodicCheckpointer(str(tmp_path), every=10, keep=10)
+    saved = []
+    for _ in range(7):  # poll every 3 steps: t = 3, 6, 9, 12, ...
+        state, _ = scene.rollout(state, 3)
+        p = ck.maybe_save(state)
+        if p:
+            saved.append(p)
+    # t = 3..21; saves at 12 (>=10) and 21 isn't (21-12=9 < 10) -> 1 save,
+    # NOT zero (the old exact-multiple test saved never)
+    assert len(saved) == 1 and "000000012" in saved[0]
