@@ -278,11 +278,16 @@ def render_rows_tiled(
     dirs = camera.unit_heading(vel)
 
     if n_pad_e * n_pad_t <= _PRECOMPUTE_MAX_ELEMS:
-        # lane-major projections want 128-multiple chunks and padding
-        tj_p = fit_tile(512, m, 128)
+        # lane-major projections want 128-multiple chunks; widest chunk the
+        # (WB, TJ) temporaries allow minimizes per-eye loop trips (swept on
+        # v5e: +20% over TJ=512 at W=64), and 32 eyes/program amortizes
+        # program-switch overhead
+        te_p = fit_tile(32, n, 8)
+        n_pad_e_p = round_up(n, te_p)
+        tj_p = fit_tile(min(1024, max(128, (1 << 17) // cfg.width)), m, 128)
         n_pad_t_p = round_up(m, tj_p)
         shade, depth = _render_precomputed(
-            pos, dirs, tgt, cfg, te, tj_p, wb, n_pad_e, n_pad_t_p
+            pos, dirs, tgt, cfg, te_p, tj_p, wb, n_pad_e_p, n_pad_t_p
         )
         return shade[:n], depth[:n]
 
