@@ -40,11 +40,37 @@ def make_apg_step(
     horizon: int = 8,
     num_envs: int = 8,
     remat: bool = False,
+    mesh=None,
 ):
     """Build the jitted APG step: rollout -> -mean reward -> grad through
-    dynamics -> optax update. Fresh envs each iteration (episodic)."""
-    observe_b = jax.vmap(env.observe)
-    dyn_b = jax.vmap(env.dynamics)
+    dynamics -> optax update. Fresh envs each iteration (episodic).
+
+    With a mesh, envs shard over the data axis and agents over the agent
+    axis; the gradient flows through the ppermute ring (collectives are
+    linear, so their transpose is the reversed ring — XLA derives it)."""
+    if mesh is None:
+        observe_b = jax.vmap(env.observe)
+        dyn_b = jax.vmap(env.dynamics)
+    else:
+        from ..parallel import ring
+        from ..parallel.mesh import DATA_AXIS
+
+        cfg = env.cfg
+
+        def observe_b(states):
+            lines = ring.ring_render_rows(
+                states.pos, states.vel, cfg.vision, mesh=mesh, data_axis=DATA_AXIS
+            )[0]
+            return jnp.concatenate([lines, states.vel], axis=-1)
+
+        def dyn_b(states, action):
+            accel = jnp.clip(action, -env.max_accel, env.max_accel)
+            g = ring.ring_gravity_forces(
+                states.pos, cfg, mesh=mesh, data_axis=DATA_AXIS
+            )
+            vel = states.vel + (g + accel) * cfg.gravity.dt
+            return states.replace(pos=states.pos + vel, vel=vel, t=states.t + 1)
+
     reward_b = jax.vmap(env.reward)
     if remat:
         dyn_b = jax.checkpoint(dyn_b)

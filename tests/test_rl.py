@@ -170,3 +170,30 @@ def test_apg_step_differentiates_through_dynamics():
     )
     _, m_r = step_r(ts)
     np.testing.assert_allclose(float(m_r["loss"]), float(m["loss"]), rtol=1e-5)
+
+
+def test_apg_on_mesh_differentiates_through_ring():
+    """Gradient flows through the ppermute ring collectives (their transpose
+    is the reversed ring); mesh and single-host losses agree."""
+    import optax
+
+    from nenbody_tpu.parallel import mesh as mesh_lib
+    from nenbody_tpu.rl import apg as apg_lib
+
+    mesh = mesh_lib.make_mesh({"data": 2, "agents": 4})
+    env = _env(n=8, w=16)
+    opt = optax.adam(1e-3)
+    ts, apply_fn, _ = apg_lib.init_apg_state(env, jax.random.key(0), opt)
+    step_mesh = jax.jit(
+        apg_lib.make_apg_step(env, apply_fn, opt, horizon=2, num_envs=4, mesh=mesh)
+    )
+    step_local = jax.jit(
+        apg_lib.make_apg_step(env, apply_fn, opt, horizon=2, num_envs=4)
+    )
+    ts_m, m_mesh = step_mesh(ts)
+    _, m_local = step_local(ts)
+    assert np.isfinite(float(m_mesh["loss"]))
+    assert float(m_mesh["grad_norm"]) > 0
+    np.testing.assert_allclose(
+        float(m_mesh["loss"]), float(m_local["loss"]), rtol=1e-4
+    )
