@@ -39,10 +39,21 @@ def make_es_step(
     population: int = 8,  # antithetic pairs; 2*population rollouts/gen
     num_envs: int = 4,
     sigma: float = 0.02,
+    mesh=None,
 ):
-    """Build the jitted ES generation step."""
-    observe_b = jax.vmap(env.observe)
-    step_b = jax.vmap(env.step)
+    """Build the jitted ES generation step.
+
+    With a mesh, each member's rollout shards envs over the data axis and
+    agents over the ring; the population is evaluated with a sequential
+    lax.map (vmapping over shard_map collectives is the combination we
+    avoid) — ES wall-clock is rollout-dominated anyway."""
+    if mesh is None:
+        observe_b = jax.vmap(env.observe)
+        step_b = jax.vmap(env.step)
+    else:
+        from .train import _batched_env_fns
+
+        observe_b, step_b = _batched_env_fns(env, mesh)
 
     def fitness(params, env_states) -> jax.Array:
         """Mean reward of the deterministic (mean-action) policy."""
@@ -79,7 +90,10 @@ def make_es_step(
             f_minus = fitness(member_params([-sigma * e for e in e_i]), env_states)
             return f_plus, f_minus
 
-        f_plus, f_minus = jax.vmap(eval_pair)(jnp.arange(population))
+        if mesh is None:
+            f_plus, f_minus = jax.vmap(eval_pair)(jnp.arange(population))
+        else:
+            f_plus, f_minus = jax.lax.map(eval_pair, jnp.arange(population))
         # rank-free antithetic estimator; negate for gradient DESCENT
         weights = 0.5 * (f_plus - f_minus) / (population * sigma)  # [P]
         grads = jax.tree_util.tree_unflatten(

@@ -197,3 +197,30 @@ def test_apg_on_mesh_differentiates_through_ring():
     np.testing.assert_allclose(
         float(m_mesh["loss"]), float(m_local["loss"]), rtol=1e-4
     )
+
+
+def test_es_on_mesh():
+    import optax
+
+    from nenbody_tpu.parallel import mesh as mesh_lib
+    from nenbody_tpu.rl import es as es_lib
+
+    mesh = mesh_lib.make_mesh({"data": 2, "agents": 4})
+    env = _env(n=8, w=16)
+    opt = optax.adam(1e-2)
+    es, apply_fn, _ = es_lib.init_es_state(env, jax.random.key(0), opt)
+    step = jax.jit(
+        es_lib.make_es_step(
+            env, apply_fn, opt, horizon=2, population=2, num_envs=4, mesh=mesh
+        )
+    )
+    es2, m = step(es)
+    assert np.isfinite(float(m["fitness_mean"]))
+    # parity with the single-host path (same keys -> same noise & spawns)
+    step_local = jax.jit(
+        es_lib.make_es_step(env, apply_fn, opt, horizon=2, population=2, num_envs=4)
+    )
+    _, m_local = step_local(es)
+    np.testing.assert_allclose(
+        float(m["fitness_mean"]), float(m_local["fitness_mean"]), rtol=1e-4
+    )
