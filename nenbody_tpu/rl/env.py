@@ -44,11 +44,17 @@ class VisionEnv:
     """Single-env, unbatched API; `jax.vmap` the methods for batched envs
     (see rl.train.make_train_step). All methods are pure and jittable."""
 
-    def __init__(self, cfg: SimConfig, max_accel: float = 0.05):
+    def __init__(
+        self, cfg: SimConfig, max_accel: float = 0.05, speed_penalty: float = 0.0
+    ):
         if cfg.vision is None:
             raise ValueError("VisionEnv requires cfg.vision")
         self.cfg = cfg
         self.max_accel = max_accel
+        # quadratic speed cost: without it, short-horizon trainers learn to
+        # accelerate toward the centroid and never brake, diverging on
+        # longer rollouts (classic horizon exploitation)
+        self.speed_penalty = speed_penalty
         self.backend = "pallas" if jax.default_backend() == "tpu" else "dense"
 
     @property
@@ -88,7 +94,11 @@ class VisionEnv:
 
     def reward(self, state: SceneState) -> jax.Array:
         """[N]: cohesion shaping — negative mean-square distance to the
-        swarm centroid (scaled to O(1) for spawn bounds +-100)."""
+        swarm centroid (scaled to O(1) for spawn bounds +-100), minus an
+        optional quadratic speed cost."""
         centroid = jnp.mean(state.pos, axis=-2, keepdims=True)
         d2 = jnp.sum((state.pos - centroid) ** 2, axis=-1)
-        return -d2 / 1e4
+        r = -d2 / 1e4
+        if self.speed_penalty:
+            r = r - self.speed_penalty * jnp.sum(state.vel**2, axis=-1)
+        return r
