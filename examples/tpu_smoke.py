@@ -1,6 +1,13 @@
-"""Quick TPU smoke + timing for the Pallas kernels (dev utility)."""
+"""Quick TPU smoke + timing for the Pallas kernels (dev utility).
 
+Uses the chained-scan methodology (see bench.py / DESIGN.md §7): naive
+per-dispatch timing lies under the remote-execution tunnel.
+"""
+
+import sys
 import time
+
+sys.path.insert(0, ".")
 
 import jax
 import jax.numpy as jnp
@@ -11,57 +18,63 @@ from nenbody_tpu.config import BoidsConfig, GravityConfig
 from nenbody_tpu.ops import boids as boids_ops
 from nenbody_tpu.ops import pairwise, raycast
 from nenbody_tpu.physics import dense
+from nenbody_tpu.vision import render
 
 print("backend:", jax.default_backend(), jax.devices())
 
-
-def bench(fn, *args, iters=20, warmup=3):
-    for _ in range(warmup):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
-
-
-# correctness on-chip at small N vs dense
+# -- correctness on-chip at small N vs the dense oracle -----------------------
 st = spawn(jax.random.key(0), SimConfig(n=512, controller="gravity"))
-got = pairwise.gravity_forces_tiled(st.pos, GravityConfig())
-want = dense.gravity_forces(st.pos, GravityConfig())
-err = float(jnp.max(jnp.abs(got - want)))
+err = float(jnp.max(jnp.abs(
+    pairwise.gravity_forces_tiled(st.pos, GravityConfig())
+    - dense.gravity_forces(st.pos, GravityConfig()))))
 print(f"gravity kernel max err vs dense @512: {err:.3e}")
 
-gotb = boids_ops.boids_velocity_tiled(st.pos, st.vel, BoidsConfig())
-wantb = dense.boids_accels(st.pos, st.vel, BoidsConfig())
-print(f"boids kernel max err vs dense @512: {float(jnp.max(jnp.abs(gotb - wantb))):.3e}")
+errb = float(jnp.max(jnp.abs(
+    boids_ops.boids_velocity_tiled(st.pos, st.vel, BoidsConfig())
+    - dense.boids_accels(st.pos, st.vel, BoidsConfig()))))
+print(f"boids kernel max err vs dense @512: {errb:.3e}")
 
 vcfg = VisionConfig(width=128)
-gs, gd = raycast.render_rows_tiled(st.pos, st.vel, vcfg)
-ws, wd = __import__("nenbody_tpu.vision.render", fromlist=["render"]).render_rows(
-    st.pos, st.vel, vcfg
-)
+gs, _ = raycast.render_rows_tiled(st.pos, st.vel, vcfg)
+ws, _ = render.render_rows(st.pos, st.vel, vcfg)
 print(f"raycast shade max err @512: {float(jnp.max(jnp.abs(gs - ws))):.3e}")
 
-# throughput at N=65536
+
+# -- throughput via chained scans ---------------------------------------------
+def scan_time(body, carry, steps, sync):
+    @jax.jit
+    def roll(c):
+        c, _ = jax.lax.scan(lambda c, _: (body(c), ()), c, None, length=steps)
+        return c
+
+    _ = np.asarray(sync(roll(carry)))
+    t0 = time.perf_counter()
+    _ = np.asarray(sync(roll(carry)))
+    return (time.perf_counter() - t0) / steps
+
+
 n = 65536
 key = jax.random.key(1)
 pos = jax.random.uniform(key, (n, 2), minval=-100, maxval=100, dtype=jnp.float32)
-f = jax.jit(lambda p: pairwise.gravity_forces_tiled(p, GravityConfig()))
-dt = bench(f, pos)
+vel = jax.random.uniform(key, (n, 2), dtype=jnp.float32)
+
+dt = scan_time(
+    lambda c: (c[0] + c[1], c[1] + 0.1 * pairwise.gravity_forces_tiled(c[0], GravityConfig())),
+    (pos, vel), 10, lambda c: c[0][:1],
+)
 print(f"gravity N={n}: {dt*1e3:.2f} ms/step -> {n*n/dt:.3e} pair-evals/s")
 
-fb = jax.jit(lambda p, v: boids_ops.boids_velocity_tiled(p, v, BoidsConfig()))
-vel = jax.random.uniform(key, (n, 2), dtype=jnp.float32)
-dt = bench(fb, pos, vel)
+dt = scan_time(
+    lambda c: (c[0] + 0.04 * c[1], boids_ops.boids_velocity_tiled(c[0], c[1], BoidsConfig())),
+    (pos, vel), 10, lambda c: c[0][:1],
+)
 print(f"boids   N={n}: {dt*1e3:.2f} ms/step -> {n*n/dt:.3e} pair-evals/s")
 
-# vision at N=1024 / W=64 and N=4096 / W=256
 for nn, w in [(1024, 64), (4096, 256)]:
-    p = pos[:nn]
-    v = vel[:nn]
+    p, v = pos[:nn], vel[:nn]
     cfg = VisionConfig(width=w)
-    fv = jax.jit(lambda p, v: raycast.render_rows_tiled(p, v, cfg)[0])
-    dt = bench(fv, p, v)
+    dt = scan_time(
+        lambda q: q + 1e-7 * raycast.render_rows_tiled(q, v, cfg)[0][:, :2],
+        p, 10, lambda q: q[:1],
+    )
     print(f"vision N={nn} W={w}: {dt*1e3:.3f} ms -> {nn/dt:.3e} agent-frames/s")
