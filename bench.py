@@ -25,7 +25,9 @@ import numpy as np
 
 
 def _timed(fn, *args, sync_slice, steps, label=""):
-    """Compile, then time one chained-scan dispatch; returns sec/step."""
+    """Compile, then time one chained-scan dispatch; returns sec/step.
+    (Same methodology as utils.profiling.scan_throughput, plus compile-time
+    progress on stderr so a stalled remote compile is visible.)"""
     t0 = time.perf_counter()
     _ = np.asarray(sync_slice(fn(*args)))  # compile + full sync
     print(f"[bench] {label}: compiled in {time.perf_counter()-t0:.0f}s",

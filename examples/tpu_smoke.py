@@ -41,16 +41,7 @@ print(f"raycast shade max err @512: {float(jnp.max(jnp.abs(gs - ws))):.3e}")
 
 
 # -- throughput via chained scans ---------------------------------------------
-def scan_time(body, carry, steps, sync):
-    @jax.jit
-    def roll(c):
-        c, _ = jax.lax.scan(lambda c, _: (body(c), ()), c, None, length=steps)
-        return c
-
-    _ = np.asarray(sync(roll(carry)))
-    t0 = time.perf_counter()
-    _ = np.asarray(sync(roll(carry)))
-    return (time.perf_counter() - t0) / steps
+from nenbody_tpu.utils.profiling import scan_throughput as scan_time
 
 
 n = 65536

@@ -27,10 +27,25 @@ def _build_cfg(args) -> "SimConfig":
 
     if args.preset:
         cfg = PRESETS[args.preset]()
+        # explicit flags override preset fields (None = not provided)
+        if args.n is not None:
+            cfg = dataclasses.replace(cfg, n=args.n)
+        if args.controller is not None:
+            cfg = dataclasses.replace(cfg, controller=args.controller)
+        if args.vision_width is not None:
+            vision = (
+                VisionConfig(width=args.vision_width) if args.vision_width else None
+            )
+            cfg = dataclasses.replace(cfg, vision=vision)
     else:
-        vision = VisionConfig(width=args.vision_width) if args.vision_width else None
+        vision = (
+            VisionConfig(width=args.vision_width) if args.vision_width else None
+        )
         cfg = SimConfig(
-            n=args.n, controller=args.controller, backend=args.backend, vision=vision
+            n=args.n if args.n is not None else 1024,
+            controller=args.controller or "boids",
+            backend=args.backend,
+            vision=vision,
         )
     if args.backend != "auto":
         cfg = dataclasses.replace(cfg, backend=args.backend)
@@ -41,14 +56,17 @@ def _add_sim_flags(p: argparse.ArgumentParser):
     from .config import PRESETS
 
     p.add_argument("--preset", choices=sorted(PRESETS), default=None)
-    p.add_argument("--n", type=int, default=1024, help="agent count")
+    p.add_argument("--n", type=int, default=None, help="agent count (default 1024)")
     p.add_argument(
-        "--controller", choices=["gravity", "boids", "random"], default="boids"
+        "--controller", choices=["gravity", "boids", "random"], default=None,
+        help="default boids",
     )
     p.add_argument(
         "--backend", choices=["auto", "dense", "pallas", "ring", "gspmd"], default="auto"
     )
-    p.add_argument("--vision-width", type=int, default=0, help="0 disables vision")
+    p.add_argument(
+        "--vision-width", type=int, default=None, help="0 disables vision"
+    )
     p.add_argument("--seed", type=int, default=0)
 
 
@@ -94,6 +112,7 @@ def cmd_run(args) -> int:
     timer = StepTimer(cfg.n)
     chunk = max(1, args.log_every)
     done = 0
+    dropped_frames = 0
     with device_trace():
         timer.mark(0)
         while done < args.steps:
@@ -107,11 +126,15 @@ def cmd_run(args) -> int:
                 obs = scene.observe(state) if cfg.vision else None
                 viewer.capture(state, obs)
             if recorder is not None:
-                recorder.append(done, pos, np.asarray(state.vel))
+                if not recorder.append(done, pos, np.asarray(state.vel)):
+                    dropped_frames += 1
             if ckpt is not None:
                 ckpt.maybe_save(state)
     if recorder is not None:
         recorder.close()
+        if dropped_frames:
+            print(f"warning: recorder queue full, {dropped_frames} frames dropped",
+                  file=sys.stderr)
     if viewer is not None:
         viewer.flush()
     return 0
@@ -166,10 +189,11 @@ def cmd_train(args) -> int:
         t0 = time.perf_counter()
         ts, metrics = step(ts)
         metrics = {k: float(v) for k, v in metrics.items()}
+        rollouts = 2 * args.population if args.algo == "es" else 1
         metrics.update(
             iter=i,
             sec=time.perf_counter() - t0,
-            agent_frames=args.envs * args.agents * args.horizon,
+            agent_frames=rollouts * args.envs * args.agents * args.horizon,
         )
         print(json.dumps(metrics))
     if args.save:

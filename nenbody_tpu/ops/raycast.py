@@ -273,16 +273,31 @@ def render_rows_tiled(
     n_pad_e = round_up(n, te)  # eye padding
     # wide images are tiled into pixel blocks so the (TJ, WB) temporaries of
     # the te-way unrolled eye loop stay inside the VMEM budget
-    wb = min(cfg.width, 256)
-    assert cfg.width % wb == 0, "vision width must be a multiple of 256 (or < 256)"
+    if cfg.width <= 256:
+        wb = cfg.width
+    elif cfg.width % 256 == 0:
+        wb = 256
+    elif cfg.width % 128 == 0:
+        wb = 128
+    else:
+        raise ValueError(
+            f"the Pallas render path needs vision width <= 256 or a multiple "
+            f"of 128, got {cfg.width}; use backend='dense' for odd widths"
+        )
     dirs = camera.unit_heading(vel)
 
-    if n_pad_e * n_pad_t <= _PRECOMPUTE_MAX_ELEMS:
+    # precompute path: also bound the (te, n_pad_t) projection input blocks
+    # (3 resident) to ~6 MB of VMEM — asymmetric few-eyes/many-targets calls
+    # can pass the element gate yet blow the block budget
+    te_p = fit_tile(32, n, 8)
+    if (
+        n_pad_e * n_pad_t <= _PRECOMPUTE_MAX_ELEMS
+        and 3 * te_p * round_up(m, 128) * 4 <= (6 << 20)
+    ):
         # lane-major projections want 128-multiple chunks; widest chunk the
         # (WB, TJ) temporaries allow minimizes per-eye loop trips (swept on
         # v5e: +20% over TJ=512 at W=64), and 32 eyes/program amortizes
         # program-switch overhead
-        te_p = fit_tile(32, n, 8)
         n_pad_e_p = round_up(n, te_p)
         tj_p = fit_tile(min(1024, max(128, (1 << 17) // cfg.width)), m, 128)
         n_pad_t_p = round_up(m, tj_p)

@@ -68,8 +68,10 @@ def make_apg_step(
             g = ring.ring_gravity_forces(
                 states.pos, cfg, mesh=mesh, data_axis=DATA_AXIS
             )
-            vel = states.vel + (g + accel) * cfg.gravity.dt
-            return states.replace(pos=states.pos + vel, vel=vel, t=states.t + 1)
+            gcfg = cfg.gravity
+            vel = states.vel + (g + accel) * gcfg.dt
+            pos = states.pos + vel * (gcfg.dt if gcfg.dt_on_position else 1.0)
+            return states.replace(pos=pos, vel=vel, t=states.t + 1)
 
     reward_b = jax.vmap(env.reward)
     if remat:

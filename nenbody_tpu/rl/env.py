@@ -1,9 +1,11 @@
 """VisionEnv: gym-style reset/step over the actuated sim.
 
 Dynamics are the reference gravity world (src/main.rs:404-441) plus a
-per-agent control acceleration: v += (gravity + action)*dt; x += v. The
-observation is each agent's 1D vision line (the reference's eye texture,
-src/main.rs:693-704) plus normalized ego velocity. Reward shapes cohesion:
+per-agent control acceleration: v += (gravity + action)*dt; the position
+update follows the config's integrator mode (reference quirk x += v, or
+x += v*dt with gravity.dt_on_position). The observation is each agent's 1D
+vision line (the reference's eye texture, src/main.rs:693-704) plus the raw
+ego velocity. Reward shapes cohesion:
 negative mean squared distance to the swarm centroid, scaled — the flocking
 objective the reference's boids rules hardcode, here learnable.
 """
@@ -55,7 +57,15 @@ class VisionEnv:
         # accelerate toward the centroid and never brake, diverging on
         # longer rollouts (classic horizon exploitation)
         self.speed_penalty = speed_penalty
-        self.backend = "pallas" if jax.default_backend() == "tpu" else "dense"
+        # honor the config's backend choice (Scene uses the same resolver,
+        # so env rollouts and Scene rollouts run identical dynamics)
+        from ..scene import _resolve_backend
+
+        self.backend = _resolve_backend(cfg)
+        if self.backend not in ("dense", "pallas"):
+            # ring/gspmd are mesh-level wrappers; per-env dynamics reduce to
+            # the single-chip kernels (trainers add the mesh around them)
+            self.backend = "pallas" if jax.default_backend() == "tpu" else "dense"
 
     @property
     def obs_width(self) -> int:
@@ -66,7 +76,7 @@ class VisionEnv:
         return state, self.observe(state)
 
     def observe(self, state: SceneState) -> jax.Array:
-        """[N, W+2]: the eye line plus normalized ego velocity."""
+        """[N, W+2]: the eye line plus the raw ego velocity."""
         lines = _render(state.pos, state.vel, self.cfg, self.backend)
         return jnp.concatenate([lines, state.vel], axis=-1)
 
@@ -78,8 +88,9 @@ class VisionEnv:
         """
         accel = jnp.clip(action, -self.max_accel, self.max_accel)
         g = _forces(state.pos, self.cfg, self.backend)
-        vel = state.vel + (g + accel) * self.cfg.gravity.dt
-        pos = state.pos + vel
+        gcfg = self.cfg.gravity
+        vel = state.vel + (g + accel) * gcfg.dt
+        pos = state.pos + vel * (gcfg.dt if gcfg.dt_on_position else 1.0)
         return state.replace(pos=pos, vel=vel, t=state.t + 1)
 
     def step(

@@ -59,8 +59,9 @@ def _batched_env_fns(env: VisionEnv, mesh: Optional[Mesh]):
         g = ring.ring_gravity_forces(
             states.pos, cfg, mesh=mesh, data_axis=DATA_AXIS
         )
-        vel = states.vel + (g + accel) * cfg.gravity.dt
-        pos = states.pos + vel
+        gcfg = cfg.gravity
+        vel = states.vel + (g + accel) * gcfg.dt
+        pos = states.pos + vel * (gcfg.dt if gcfg.dt_on_position else 1.0)
         nxt = states.replace(pos=pos, vel=vel, t=states.t + 1)
         return nxt, observe(nxt), jax.vmap(env.reward)(nxt)
 

@@ -19,8 +19,15 @@ import numpy as np
 from ..state import SceneState
 
 
+def _npz_path(path: str) -> str:
+    """np.savez appends '.npz' when missing; normalize so the returned path
+    is the file that actually exists."""
+    return path if path.endswith(".npz") else path + ".npz"
+
+
 def save_state(path: str, state: SceneState) -> str:
     """Write a SceneState (batched or not) to an npz file."""
+    path = _npz_path(path)
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     key = np.asarray(jax.random.key_data(state.key))
     np.savez(
@@ -52,6 +59,7 @@ def save_pytree(path: str, tree) -> str:
     """Flat npz save of an arbitrary pytree — policy params, optimizer
     state, or a whole rl.train.TrainState. PRNG-key leaves are stored as
     their raw key data and re-wrapped on load."""
+    path = _npz_path(path)
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     flat, _ = jax.tree_util.tree_flatten_with_path(tree)
     arrays = {}

@@ -27,6 +27,30 @@ def device_trace(log_dir: Optional[str] = None):
         yield
 
 
+def scan_throughput(body_fn, carry, steps: int, sync):
+    """Canonical throughput measurement: `steps` data-dependent iterations
+    of `body_fn` chained under one lax.scan in a single jit, synchronized by
+    a host fetch of `sync(result)`. Immune to per-dispatch RPC latency and
+    to runtimes whose block_until_ready returns before remote execution
+    finishes (see DESIGN.md §7). Returns seconds per step.
+
+    Used by bench.py, tpu_tests, and examples — keep the methodology here
+    so it cannot drift between them.
+    """
+    import jax as _jax
+    import numpy as _np
+
+    @_jax.jit
+    def roll(c):
+        c, _ = _jax.lax.scan(lambda c, _: (body_fn(c), ()), c, None, length=steps)
+        return c
+
+    _ = _np.asarray(sync(roll(carry)))  # compile + full sync
+    t0 = time.perf_counter()
+    _ = _np.asarray(sync(roll(carry)))
+    return (time.perf_counter() - t0) / steps
+
+
 class StepTimer:
     """Wall-clock step timing with EMA and derived throughput.
 

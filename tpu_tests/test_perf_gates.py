@@ -7,8 +7,6 @@ the portable suite; these assert the BASELINE.json numbers on real silicon
 and skip cleanly anywhere else.
 """
 
-import time
-
 import pytest
 
 import jax
@@ -20,16 +18,7 @@ requires_tpu = pytest.mark.skipif(
 )
 
 
-def _scan_time(fn_body, carry, steps, sync):
-    @jax.jit
-    def roll(c):
-        c, _ = jax.lax.scan(lambda c, _: (fn_body(c), ()), c, None, length=steps)
-        return c
-
-    _ = np.asarray(sync(roll(carry)))
-    t0 = time.perf_counter()
-    _ = np.asarray(sync(roll(carry)))
-    return (time.perf_counter() - t0) / steps
+from nenbody_tpu.utils.profiling import scan_throughput as _scan_time
 
 
 @requires_tpu
