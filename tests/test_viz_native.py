@@ -219,3 +219,17 @@ def test_periodic_checkpointer_chunked_polling(tmp_path):
     # t = 3..21; saves at 12 (>=10) and 21 isn't (21-12=9 < 10) -> 1 save,
     # NOT zero (the old exact-multiple test saved never)
     assert len(saved) == 1 and "000000012" in saved[0]
+
+
+def test_viewer_falls_back_without_native(tmp_path, monkeypatch):
+    """The framework must work unbuilt: Viewer(use_native=True) degrades to
+    the PIL writer when libnenhost.so is unavailable."""
+    from nenbody_tpu.utils import native as native_mod
+
+    monkeypatch.setattr(native_mod, "available", lambda: False)
+    scene = Scene(SimConfig(n=8, controller="gravity", vision=VisionConfig(width=16)))
+    state = scene.spawn(seed=0)
+    v = viewer_lib.Viewer(out_dir=str(tmp_path), size=(32, 48), use_native=True)
+    assert v._native is None  # fell back
+    p = v.capture(state, scene.observe(state))
+    assert os.path.exists(p)
