@@ -27,14 +27,25 @@ import numpy as np
 def _timed(fn, *args, sync_slice, steps, label=""):
     """Compile, then time one chained-scan dispatch; returns sec/step.
     (Same methodology as utils.profiling.scan_throughput, plus compile-time
-    progress on stderr so a stalled remote compile is visible.)"""
-    t0 = time.perf_counter()
-    _ = np.asarray(sync_slice(fn(*args)))  # compile + full sync
-    print(f"[bench] {label}: compiled in {time.perf_counter()-t0:.0f}s",
-          file=sys.stderr, flush=True)
-    t0 = time.perf_counter()
-    _ = np.asarray(sync_slice(fn(*args)))
-    return (time.perf_counter() - t0) / steps
+    progress on stderr so a stalled remote compile is visible, plus one
+    retry — the remote-execution tunnel occasionally throws a transient
+    'TPU backend error (Internal)' on a cold first dispatch.)"""
+    last_err = None
+    for attempt in range(2):
+        try:
+            t0 = time.perf_counter()
+            _ = np.asarray(sync_slice(fn(*args)))  # compile + full sync
+            print(f"[bench] {label}: compiled in {time.perf_counter()-t0:.0f}s",
+                  file=sys.stderr, flush=True)
+            t0 = time.perf_counter()
+            _ = np.asarray(sync_slice(fn(*args)))
+            return (time.perf_counter() - t0) / steps
+        except Exception as e:  # noqa: BLE001 - transient runtime errors
+            last_err = e
+            print(f"[bench] {label}: attempt {attempt} failed: {e}",
+                  file=sys.stderr, flush=True)
+            time.sleep(2.0)
+    raise last_err
 
 
 def main():
