@@ -204,6 +204,45 @@ def cmd_train(args) -> int:
     return 0
 
 
+def cmd_datagen(args) -> int:
+    """Batched rollout dataset export (BASELINE config 5)."""
+    import jax
+
+    from .config import SimConfig, VisionConfig
+    from .rl import datagen as dg
+    from .rl.env import VisionEnv
+
+    env = VisionEnv(
+        SimConfig(
+            n=args.agents, controller="gravity",
+            vision=VisionConfig(width=args.vision_width or 64),
+        )
+    )
+    params = apply_fn = None
+    if args.policy:
+        import optax
+
+        from .rl import apg as apg_lib
+        from .utils import checkpoint as ck
+
+        ts, apply_fn, _ = apg_lib.init_apg_state(
+            env, jax.random.key(0), optax.adam(1e-3)
+        )
+        params = ck.load_pytree(args.policy, ts.params)
+    total_frames = 0
+    for i, chunk in dg.collect(
+        env, num_envs=args.envs, total_steps=args.steps,
+        key=jax.random.key(args.seed), params=params, apply_fn=apply_fn,
+        horizon=args.horizon, out_dir=args.out_dir,
+    ):
+        t, b, n = chunk["reward"].shape
+        total_frames += t * b * n
+        print(json.dumps({"shard": i, "obs_shape": list(chunk["obs"].shape),
+                          "agent_frames_total": total_frames}))
+    print(f"wrote {args.out_dir}", file=sys.stderr)
+    return 0
+
+
 def cmd_gif(args) -> int:
     from .scene import Scene
     from .viz.viewer import record_rollout_gif
@@ -303,6 +342,17 @@ def main(argv=None) -> int:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--save", default="", help="save params npz")
     p.set_defaults(fn=cmd_train)
+
+    p = sub.add_parser("datagen", help="export batched rollout datasets")
+    p.add_argument("--envs", type=int, default=256)
+    p.add_argument("--agents", type=int, default=64)
+    p.add_argument("--vision-width", type=int, default=64)
+    p.add_argument("--steps", type=int, default=128)
+    p.add_argument("--horizon", type=int, default=32, help="steps per shard")
+    p.add_argument("--out-dir", default="out/dataset")
+    p.add_argument("--policy", default="", help="params npz (default: random actions)")
+    p.add_argument("--seed", type=int, default=0)
+    p.set_defaults(fn=cmd_datagen)
 
     p = sub.add_parser("gif", help="record a rollout gif (demo-video analog)")
     _add_sim_flags(p)

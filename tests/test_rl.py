@@ -1,5 +1,7 @@
 """RL layer: env API, policy, REINFORCE train step (single-host and mesh)."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -224,3 +226,57 @@ def test_es_on_mesh():
     np.testing.assert_allclose(
         float(m["fitness_mean"]), float(m_local["fitness_mean"]), rtol=1e-4
     )
+
+
+def test_datagen_collect_and_shards(tmp_path):
+    from nenbody_tpu.rl import datagen as dg
+
+    env = _env(n=8, w=16)
+    chunks = list(
+        dg.collect(
+            env, num_envs=3, total_steps=8, key=jax.random.key(0),
+            horizon=4, out_dir=str(tmp_path),
+        )
+    )
+    assert [i for i, _ in chunks] == [0, 1]
+    data = dg.load_shards(str(tmp_path))
+    assert data["obs"].shape == (8, 3, 8, 18)
+    assert data["action"].shape == (8, 3, 8, 2)
+    assert data["reward"].shape == (8, 3, 8)
+    # random-action data actually varies
+    assert np.std(data["action"]) > 0
+    a = env.max_accel
+    assert np.abs(data["action"]).max() <= a + 1e-6
+
+
+def test_datagen_with_policy(tmp_path):
+    import optax
+
+    from nenbody_tpu.rl import apg as apg_lib
+    from nenbody_tpu.rl import datagen as dg
+
+    env = _env(n=8, w=16)
+    ts, apply_fn, _ = apg_lib.init_apg_state(env, jax.random.key(0), optax.adam(1e-3))
+    chunks = list(
+        dg.collect(
+            env, num_envs=2, total_steps=4, key=jax.random.key(1),
+            params=ts.params, apply_fn=apply_fn, horizon=4,
+        )
+    )
+    assert len(chunks) == 1
+    assert np.isfinite(chunks[0][1]["obs"]).all()
+
+
+def test_datagen_cli(tmp_path, capsys):
+    from nenbody_tpu.cli import main
+
+    rc = main([
+        "datagen", "--envs", "2", "--agents", "8", "--vision-width", "16",
+        "--steps", "8", "--horizon", "4", "--out-dir", str(tmp_path),
+    ])
+    assert rc == 0
+    import json as _json
+
+    lines = [_json.loads(l) for l in capsys.readouterr().out.splitlines() if l.startswith("{")]
+    assert lines[-1]["agent_frames_total"] == 8 * 2 * 8
+    assert len(os.listdir(tmp_path)) == 2
