@@ -155,7 +155,18 @@ def cmd_train(args) -> int:
     )
     env = VisionEnv(cfg)
     opt = optax.adam(args.lr)
-    if args.algo == "apg":
+    if args.algo == "ac":
+        from .rl import ac as ac_lib
+
+        ts, policy_apply, value_apply = ac_lib.init_ac_state(
+            env, num_envs=args.envs, key=jax.random.key(args.seed), optimizer=opt
+        )
+        step = jax.jit(
+            ac_lib.make_ac_step(
+                env, policy_apply, value_apply, opt, horizon=args.horizon
+            )
+        )
+    elif args.algo == "apg":
         from .rl import apg as apg_lib
 
         ts, apply_fn, _ = apg_lib.init_apg_state(
@@ -331,7 +342,7 @@ def main(argv=None) -> int:
     p.set_defaults(fn=cmd_run)
 
     p = sub.add_parser("train", help="policy training on the vision env")
-    p.add_argument("--algo", choices=["reinforce", "es", "apg"], default="reinforce")
+    p.add_argument("--algo", choices=["reinforce", "ac", "es", "apg"], default="reinforce")
     p.add_argument("--population", type=int, default=8, help="ES antithetic pairs")
     p.add_argument("--envs", type=int, default=64)
     p.add_argument("--agents", type=int, default=64)

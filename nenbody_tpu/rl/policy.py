@@ -38,6 +38,26 @@ class MLPPolicy(nn.Module):
         return mean, log_std
 
 
+class ValueMLP(nn.Module):
+    """Per-agent state-value head V(obs) for baseline/critic trainers."""
+
+    hidden: Sequence[int] = (128, 128)
+    use_bf16: bool = True
+
+    @nn.compact
+    def __call__(self, obs: jax.Array) -> jax.Array:
+        """obs: [..., W] -> V [...]."""
+        x = obs
+        dtype = jnp.bfloat16 if self.use_bf16 else jnp.float32
+        if self.use_bf16:
+            x = x.astype(jnp.bfloat16)
+        for h in self.hidden:
+            x = nn.Dense(h, dtype=dtype)(x)
+            x = nn.tanh(x)
+        v = nn.Dense(1, dtype=jnp.float32)(x.astype(jnp.float32))
+        return v[..., 0]
+
+
 def sample_action(params, apply_fn, obs, key):
     """Sample a[..., 2] ~ N(mean, exp(log_std)); returns (action, log_prob)."""
     mean, log_std = apply_fn(params, obs)

@@ -280,3 +280,52 @@ def test_datagen_cli(tmp_path, capsys):
     lines = [_json.loads(l) for l in capsys.readouterr().out.splitlines() if l.startswith("{")]
     assert lines[-1]["agent_frames_total"] == 8 * 2 * 8
     assert len(os.listdir(tmp_path)) == 2
+
+
+def test_ac_trainer_runs_and_trains_both_heads():
+    import optax
+
+    from nenbody_tpu.rl import ac as ac_lib
+
+    env = _env(n=8, w=16)
+    opt = optax.adam(1e-3)
+    ts, papply, vapply = ac_lib.init_ac_state(
+        env, num_envs=4, key=jax.random.key(0), optimizer=opt
+    )
+    step = jax.jit(ac_lib.make_ac_step(env, papply, vapply, opt, horizon=3))
+    ts2, m = step(ts)
+    assert np.isfinite(float(m["loss"])) and float(m["value_loss"]) > 0
+    for head in ("policy", "value"):
+        moved = any(
+            not np.allclose(a, b)
+            for a, b in zip(
+                jax.tree.leaves(ts.params[head]), jax.tree.leaves(ts2.params[head])
+            )
+        )
+        assert moved, head
+    # composes over iterations and on a mesh
+    ts3, _ = step(ts2)
+    assert int(ts3.env_states.t[0]) == 6
+
+    from nenbody_tpu.parallel import mesh as mesh_lib
+
+    mesh = mesh_lib.make_mesh({"data": 2, "agents": 4})
+    step_m = jax.jit(
+        ac_lib.make_ac_step(env, papply, vapply, opt, horizon=2, mesh=mesh)
+    )
+    _, mm = step_m(ts)
+    assert np.isfinite(float(mm["loss"]))
+
+
+def test_ac_cli(capsys):
+    from nenbody_tpu.cli import main
+
+    rc = main([
+        "train", "--algo", "ac", "--envs", "2", "--agents", "8",
+        "--vision-width", "16", "--horizon", "2", "--iters", "2",
+    ])
+    assert rc == 0
+    import json as _json
+
+    lines = [_json.loads(l) for l in capsys.readouterr().out.splitlines() if l.startswith("{")]
+    assert len(lines) == 2 and np.isfinite(lines[-1]["value_loss"])
