@@ -329,3 +329,43 @@ def test_ac_cli(capsys):
 
     lines = [_json.loads(l) for l in capsys.readouterr().out.splitlines() if l.startswith("{")]
     assert len(lines) == 2 and np.isfinite(lines[-1]["value_loss"])
+
+
+def test_behavior_cloning_recovers_policy():
+    """BC on data from a known linear 'expert' must recover its actions:
+    generate (obs, action) with a fixed expert, fit, compare mean actions."""
+    from nenbody_tpu.rl import bc as bc_lib
+    from nenbody_tpu.rl import datagen as dg
+
+    env = _env(n=8, w=16)
+
+    # expert: steer by a fixed linear readout of the obs
+    w_true = np.zeros((18, 2), np.float32)
+    w_true[-2:, :] = [[0.5, -0.2], [0.3, 0.4]]  # react to ego velocity
+
+    def expert_apply(params, obs):
+        mean = obs @ jnp.asarray(w_true)
+        return mean, jnp.full((2,), -6.0)  # near-deterministic expert
+
+    chunks = list(
+        dg.collect(
+            env, num_envs=8, total_steps=16, key=jax.random.key(0),
+            params=None, apply_fn=expert_apply, horizon=8,
+        )
+    )
+    data = {
+        k: np.concatenate([c[k] for _, c in chunks], axis=0)
+        for k in ("obs", "action", "reward")
+    }
+
+    params, apply_fn, loss = bc_lib.fit(
+        env, data, jax.random.key(1), steps=400, batch_size=1024, lr=3e-3
+    )
+    assert np.isfinite(loss)
+    # cloned policy reproduces expert actions on held-out obs
+    obs = jnp.asarray(data["obs"][-1].reshape(-1, 18)[:64])
+    want = np.asarray(obs @ jnp.asarray(w_true))
+    got, _ = apply_fn(params, obs)
+    err = np.abs(np.asarray(got) - want).mean()
+    scale = np.abs(want).mean() + 1e-6
+    assert err / scale < 0.5, (err, scale)
