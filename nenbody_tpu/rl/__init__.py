@@ -9,6 +9,6 @@ trained with REINFORCE — gradients flow only through the policy, so the
 environment (including the Pallas kernels) needs no VJP.
 """
 
-from . import ac, apg, bc, datagen, env, es, policy, train
+from . import ac, apg, bc, datagen, env, es, policy, scripted, train
 
-__all__ = ["ac", "apg", "bc", "datagen", "env", "es", "policy", "train"]
+__all__ = ["ac", "apg", "bc", "datagen", "env", "es", "policy", "scripted", "train"]

@@ -369,3 +369,46 @@ def test_behavior_cloning_recovers_policy():
     err = np.abs(np.asarray(got) - want).mean()
     scale = np.abs(want).mean() + 1e-6
     assert err / scale < 0.5, (err, scale)
+
+
+def test_scripted_seek_brightest_geometry():
+    """An agent with a target visible on its RIGHT must steer right
+    (world-frame check via the known heading)."""
+    from nenbody_tpu import SimConfig, VisionConfig, spawn
+    from nenbody_tpu.rl import scripted
+
+    cfg = SimConfig(n=2, controller="gravity", vision=VisionConfig(width=32))
+    # eye at origin heading +x; target at (10, -3) = to the RIGHT
+    st = spawn(jax.random.key(0), cfg).replace(
+        pos=jnp.asarray([[0.0, 0.0], [10.0, -3.0]], jnp.float32),
+        vel=jnp.asarray([[1.0, 0.0], [0.0, 0.0]], jnp.float32),
+    )
+    from nenbody_tpu.rl.env import VisionEnv
+
+    venv = VisionEnv(cfg)
+    obs = venv.observe(st)
+    a = scripted.seek_brightest(obs)
+    # agent 0: steer right of +x heading = negative world y, forward = +x
+    assert float(a[0, 0]) > 0 and float(a[0, 1]) < 0
+    # avoid does the opposite laterally
+    av = scripted.avoid_crowding(obs)
+    assert float(av[0, 1]) > 0
+
+    # blind agent (nothing visible) emits ~zero action
+    st2 = st.replace(pos=jnp.asarray([[0.0, 0.0], [-10.0, 0.0]], jnp.float32))
+    a2 = scripted.seek_brightest(venv.observe(st2))
+    np.testing.assert_allclose(np.asarray(a2[0]), 0.0, atol=1e-5)
+
+
+def test_scripted_as_datagen_expert(tmp_path):
+    from nenbody_tpu.rl import datagen as dg
+    from nenbody_tpu.rl import scripted
+
+    env = _env(n=8, w=16)
+    apply_fn = scripted.as_apply_fn(scripted.seek_brightest, gain=0.05)
+    chunks = list(
+        dg.collect(env, num_envs=2, total_steps=4, key=jax.random.key(0),
+                   params=None, apply_fn=apply_fn, horizon=4)
+    )
+    act = chunks[0][1]["action"]
+    assert np.isfinite(act).all() and act.shape == (4, 2, 8, 2)
