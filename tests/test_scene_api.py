@@ -100,3 +100,15 @@ def test_all_presets_construct_and_small_variants_step():
             state = scene.spawn(seed=0)
             out = scene.step(state)
             assert out.pos.shape == state.pos.shape
+
+
+def test_rollout_determinism():
+    """Same seed, same config -> bitwise-identical rollouts (the
+    reproducibility the reference's unseeded thread_rng can't offer)."""
+    for controller in ("gravity", "boids", "random"):
+        scene_a = Scene(SimConfig(n=32, controller=controller))
+        scene_b = Scene(SimConfig(n=32, controller=controller))
+        fa, _ = scene_a.rollout(scene_a.spawn(seed=123), 20)
+        fb, _ = scene_b.rollout(scene_b.spawn(seed=123), 20)
+        np.testing.assert_array_equal(np.asarray(fa.pos), np.asarray(fb.pos))
+        np.testing.assert_array_equal(np.asarray(fa.vel), np.asarray(fb.vel))
