@@ -3,10 +3,13 @@
 The reference's stated purpose is to be a substrate "for simple control
 algorithms and computer vision processing" (README.md:4); its controllers
 are hardcoded rules (src/main.rs:381-526). This package closes the loop the
-reference only gestures at: agents act on their 1D vision lines through a
-learned policy, rolled out in batched envs (BASELINE.json config 5) and
-trained with REINFORCE — gradients flow only through the policy, so the
-environment (including the Pallas kernels) needs no VJP.
+reference only gestures at: agents act on their 1D vision lines through
+scripted or learned policies, rolled out in batched envs (BASELINE.json
+config 5), trained four ways — REINFORCE (`train`), REINFORCE+value
+baseline (`ac`), antithetic evolution strategies (`es`), and analytic
+policy gradients through the differentiable Pallas physics (`apg`) — with
+dataset export (`datagen`) and behavior cloning (`bc`) closing the
+generate->train->deploy loop.
 """
 
 from . import ac, apg, bc, datagen, env, es, policy, scripted, train
