@@ -34,12 +34,20 @@ def _build_cfg(args) -> "SimConfig":
             cfg = dataclasses.replace(cfg, controller=args.controller)
         if args.vision_width is not None:
             vision = (
-                VisionConfig(width=args.vision_width) if args.vision_width else None
+                VisionConfig(width=args.vision_width, antialias=args.antialias)
+                if args.vision_width
+                else None
             )
             cfg = dataclasses.replace(cfg, vision=vision)
+        elif args.antialias and cfg.vision is not None:
+            cfg = dataclasses.replace(
+                cfg, vision=dataclasses.replace(cfg.vision, antialias=True)
+            )
     else:
         vision = (
-            VisionConfig(width=args.vision_width) if args.vision_width else None
+            VisionConfig(width=args.vision_width, antialias=args.antialias)
+            if args.vision_width
+            else None
         )
         cfg = SimConfig(
             n=args.n if args.n is not None else 1024,
@@ -66,6 +74,10 @@ def _add_sim_flags(p: argparse.ArgumentParser):
     )
     p.add_argument(
         "--vision-width", type=int, default=None, help="0 disables vision"
+    )
+    p.add_argument(
+        "--antialias", action="store_true",
+        help="MSAA-analog soft sprite edges in the eye lines",
     )
     p.add_argument("--seed", type=int, default=0)
 
