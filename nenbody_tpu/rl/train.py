@@ -21,7 +21,7 @@ import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..state import SceneState, spawn_batch
-from ..parallel.mesh import AGENT_AXIS, DATA_AXIS
+from ..parallel.mesh import AGENT_AXIS, DATA_AXIS, shard_state_specs
 from .env import VisionEnv
 from .policy import MLPPolicy, gaussian_log_prob, sample_action
 
@@ -151,15 +151,16 @@ def init_train_state(
     opt_state = optimizer.init(params)
 
     if mesh is not None:
-        state_shard = NamedSharding(mesh, P(DATA_AXIS, AGENT_AXIS, None))
-        scalar_shard = NamedSharding(mesh, P(DATA_AXIS))
-        repl = NamedSharding(mesh, P())
+        specs = shard_state_specs(batch=True, data_axis=DATA_AXIS)
         env_states = SceneState(
-            pos=jax.device_put(env_states.pos, state_shard),
-            vel=jax.device_put(env_states.vel, state_shard),
-            key=jax.device_put(env_states.key, scalar_shard),
-            t=jax.device_put(env_states.t, scalar_shard),
+            **{
+                name: jax.device_put(
+                    getattr(env_states, name), NamedSharding(mesh, spec)
+                )
+                for name, spec in specs.items()
+            }
         )
+        repl = NamedSharding(mesh, P())
         params = jax.device_put(params, repl)
         opt_state = jax.device_put(opt_state, repl)
 
