@@ -19,9 +19,12 @@ def round_up(x: int, m: int) -> int:
 def fit_tile(tile: int, n: int, mult: int) -> int:
     """Shrink a power-of-two tile toward the hardware minimum `mult` while it
     overshoots the padded problem size, keeping tile a power-of-two multiple
-    of `mult` so padded sizes divide evenly into the grid."""
+    of `mult` so padded sizes divide evenly into the grid. Non-pow2 inputs
+    are first rounded down to a multiple of `mult` (defensive; all in-tree
+    callers pass powers of two)."""
+    tile = max(mult, (tile // mult) * mult)
     target = round_up(n, mult)
-    while tile > mult and tile // 2 >= target:
+    while tile > mult and tile // 2 >= target and tile % (2 * mult) == 0:
         tile //= 2
     return tile
 

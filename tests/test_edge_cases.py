@@ -16,7 +16,8 @@ from nenbody_tpu.vision import render
 
 def test_fit_tile_properties():
     for tile, n, mult in [(2048, 257, 128), (512, 16, 8), (256, 4, 8),
-                          (2048, 65536, 128), (512, 1, 8)]:
+                          (2048, 65536, 128), (512, 1, 8),
+                          (384, 1000, 128), (100, 50, 8), (7, 3, 8)]:
         t = common.fit_tile(tile, n, mult)
         assert t % mult == 0 and t >= mult
         n_pad = common.round_up(n, t)
