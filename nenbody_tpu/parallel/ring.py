@@ -52,6 +52,24 @@ def _maybe_vmap(fn, *args):
     return fn(*args)
 
 
+def _check_divisible(pos, mesh, axis, data_axis):
+    n = pos.shape[-2]
+    d = mesh.shape[axis]
+    if n % d:
+        raise ValueError(
+            f"agent count {n} must divide evenly over mesh axis "
+            f"{axis!r} (size {d}); pad the scene or choose a different mesh"
+        )
+    if pos.ndim == 3 and data_axis is not None:
+        b = pos.shape[0]
+        db = mesh.shape[data_axis]
+        if b % db:
+            raise ValueError(
+                f"env batch {b} must divide evenly over mesh axis "
+                f"{data_axis!r} (size {db})"
+            )
+
+
 # -- gravity ------------------------------------------------------------------
 
 
@@ -65,6 +83,7 @@ def ring_gravity_forces(
 ) -> jax.Array:
     """Forces for globally-sharded pos [(B,) N, 2] over mesh[axis]."""
     mesh = mesh or default_mesh()
+    _check_divisible(pos, mesh, axis, data_axis)
     d = mesh.shape[axis]
     gcfg = cfg.gravity
 
@@ -107,6 +126,7 @@ def ring_boids_velocity(
 ) -> jax.Array:
     """Replacement velocity (pre-clamp) for sharded pos/vel [(B,) N, 2]."""
     mesh = mesh or default_mesh()
+    _check_divisible(pos, mesh, axis, data_axis)
     d = mesh.shape[axis]
     bcfg = cfg.boids
 
@@ -155,6 +175,7 @@ def ring_render_rows(
     hop renders the local eyes against the circulating target block and
     depth-merges (min-depth is associative across disjoint blocks)."""
     mesh = mesh or default_mesh()
+    _check_divisible(pos, mesh, axis, data_axis)
     d = mesh.shape[axis]
 
     def partial_render(pi, vi, tgt):

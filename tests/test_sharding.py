@@ -195,3 +195,10 @@ def test_gspmd_scene_end_to_end():
     np.testing.assert_allclose(
         np.asarray(out.pos), np.asarray(dout.pos), rtol=3e-5, atol=1e-6
     )
+
+
+def test_ring_indivisible_agents_clear_error(mesh8):
+    st = _state(100)  # 100 % 8 != 0
+    cfg = SimConfig(n=100, controller="gravity", backend="ring")
+    with pytest.raises(ValueError, match="divide evenly"):
+        ring.ring_gravity_forces(st.pos, cfg, mesh=mesh8)
