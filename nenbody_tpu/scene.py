@@ -32,9 +32,14 @@ def _resolve_backend(cfg: SimConfig) -> str:
     if cfg.backend != "auto":
         return cfg.backend
     # On TPU the tiled Pallas kernels win at every scale (dense materializes
-    # [N, N] tensors and is memory-bound). Off-TPU Pallas runs interpreted,
-    # so prefer dense until the [N, N] footprint becomes prohibitive.
+    # [N, N] tensors and is memory-bound); with multiple chips attached,
+    # shard the agent axis over the ppermute ring (Pallas partials inside).
+    # Off-TPU Pallas runs interpreted, so prefer dense until the [N, N]
+    # footprint becomes prohibitive.
     if jax.default_backend() == "tpu":
+        n_dev = len(jax.devices())
+        if n_dev > 1 and cfg.n % n_dev == 0:
+            return "ring"
         return "pallas"
     return "dense" if cfg.n <= 8192 else "pallas"
 
