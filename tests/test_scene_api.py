@@ -112,3 +112,24 @@ def test_rollout_determinism():
         fb, _ = scene_b.rollout(scene_b.spawn(seed=123), 20)
         np.testing.assert_array_equal(np.asarray(fa.pos), np.asarray(fb.pos))
         np.testing.assert_array_equal(np.asarray(fa.vel), np.asarray(fb.vel))
+
+
+def test_auto_backend_resolution(monkeypatch):
+    from nenbody_tpu import scene as scene_mod
+
+    # off-TPU: dense until the [N, N] footprint is prohibitive
+    assert scene_mod._resolve_backend(SimConfig(n=256, controller="gravity")) == "dense"
+    assert scene_mod._resolve_backend(SimConfig(n=9000, controller="gravity")) == "pallas"
+
+    # single TPU chip: pallas; multi-chip: ring when divisible
+    monkeypatch.setattr(scene_mod.jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(scene_mod.jax, "devices", lambda: [object()])
+    assert scene_mod._resolve_backend(SimConfig(n=256, controller="gravity")) == "pallas"
+    monkeypatch.setattr(scene_mod.jax, "devices", lambda: [object()] * 4)
+    assert scene_mod._resolve_backend(SimConfig(n=256, controller="gravity")) == "ring"
+    # indivisible agent counts stay single-chip
+    assert scene_mod._resolve_backend(SimConfig(n=255, controller="gravity")) == "pallas"
+    # explicit choice always wins
+    assert scene_mod._resolve_backend(
+        SimConfig(n=256, controller="gravity", backend="dense")
+    ) == "dense"
