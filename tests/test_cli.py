@@ -114,3 +114,14 @@ def test_device_trace_writes_profile(tmp_path, monkeypatch):
     with device_trace():
         _jax.block_until_ready(jnp.ones((8, 8)) @ jnp.ones((8, 8)))
     assert any((tmp_path / "trace").rglob("*"))
+
+
+def test_preset_flag_overrides(capsys):
+    """Explicit flags override preset fields (was: silently dropped)."""
+    rc = main([
+        "run", "--preset", "boids-4096", "--n", "64", "--vision-width", "16",
+        "--steps", "20", "--log-every", "20",
+    ])
+    assert rc == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.splitlines() if l.startswith("{")]
+    assert lines[-1]["n"] == 64  # not the preset's 4096
