@@ -233,3 +233,32 @@ def test_viewer_falls_back_without_native(tmp_path, monkeypatch):
     assert v._native is None  # fell back
     p = v.capture(state, scene.observe(state))
     assert os.path.exists(p)
+
+
+@pytest.mark.skipif(not native.available(), reason="libnenhost.so not built")
+def test_native_error_counting(tmp_path):
+    """Failed writes (unwritable path) land in the error counter instead of
+    crashing the worker."""
+    lib, host = native._get_host()
+    before = lib.nen_host_errors(host)
+    img = np.zeros((8, 8, 3), np.uint8)
+    assert native.write_image_async("/nonexistent_dir_xyz/f.png", img)
+    native.flush()
+    assert lib.nen_host_errors(host) == before + 1
+    # worker still alive afterwards
+    p = str(tmp_path / "ok.png")
+    assert native.write_image_async(p, img)
+    native.flush()
+    assert os.path.exists(p)
+
+
+@pytest.mark.skipif(not native.available(), reason="libnenhost.so not built")
+def test_native_grayscale_png():
+    img = (np.arange(64, dtype=np.uint8).reshape(8, 8) * 3) % 255
+    data = native.encode_png(img)
+    from io import BytesIO
+
+    from PIL import Image
+
+    back = np.asarray(Image.open(BytesIO(data)))
+    np.testing.assert_array_equal(back, img)
