@@ -220,3 +220,28 @@ def test_raycast_kernel_scene_dispatch():
     )
     obs_dense = Scene(dense_cfg).observe(state)
     np.testing.assert_allclose(np.asarray(obs), np.asarray(obs_dense), rtol=1e-5, atol=1e-5)
+
+
+def test_kernels_under_vmap():
+    """Kernels that read pl.program_id must stay correct when vmap adds a
+    batch grid dimension (validated exact on TPU; pinned here in interpret
+    mode): boids self-exclusion indices and raycast pixel-block offsets."""
+    key = jax.random.key(0)
+    B, n = 3, 72
+    bp = jax.random.uniform(key, (B, n, 2), minval=-8, maxval=8, dtype=jnp.float32)
+    bv = jax.random.uniform(
+        jax.random.key(1), (B, n, 2), minval=-1, maxval=1, dtype=jnp.float32
+    )
+    bcfg = BoidsConfig()
+    got = jax.vmap(lambda p, v: boids_ops.boids_velocity_tiled(p, v, bcfg))(bp, bv)
+    want = jnp.stack(
+        [boids_ops.boids_velocity_tiled(bp[i], bv[i], bcfg) for i in range(B)]
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6, atol=1e-7)
+
+    vcfg = VisionConfig(width=512)  # two pixel blocks -> program_id(1) matters
+    gs = jax.vmap(lambda p, v: raycast.render_rows_tiled(p, v, vcfg)[0])(bp, bv)
+    ws = jnp.stack(
+        [raycast.render_rows_tiled(bp[i], bv[i], vcfg)[0] for i in range(B)]
+    )
+    np.testing.assert_allclose(np.asarray(gs), np.asarray(ws), rtol=1e-6, atol=1e-6)
