@@ -122,6 +122,23 @@ class VisionConfig:
     # Blending approximates the occluder behind an edge as background.
     antialias: bool = False
 
+    def __post_init__(self):
+        if self.width < 1:
+            raise ValueError(f"vision width must be positive, got {self.width}")
+        if not 0.0 < self.hfov_deg < 180.0:
+            raise ValueError(
+                f"hfov_deg must be in (0, 180) for a pinhole camera, got "
+                f"{self.hfov_deg}"
+            )
+        if not 0.0 < self.near < self.far:
+            raise ValueError(
+                f"need 0 < near < far, got near={self.near} far={self.far}"
+            )
+        if self.sprite_radius <= 0:
+            raise ValueError(
+                f"sprite_radius must be positive, got {self.sprite_radius}"
+            )
+
 
 _CONTROLLERS = ("gravity", "boids", "random")
 _BACKENDS = ("auto", "dense", "pallas", "ring", "gspmd")

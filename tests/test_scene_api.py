@@ -133,3 +133,21 @@ def test_auto_backend_resolution(monkeypatch):
     assert scene_mod._resolve_backend(
         SimConfig(n=256, controller="gravity", backend="dense")
     ) == "dense"
+
+
+def test_vision_config_validation():
+    import pytest as _pytest
+
+    from nenbody_tpu import VisionConfig
+
+    VisionConfig(width=64)  # fine
+    for bad in (
+        dict(width=0),
+        dict(hfov_deg=0.0),
+        dict(hfov_deg=180.0),
+        dict(near=0.0),
+        dict(near=10.0, far=5.0),
+        dict(sprite_radius=0.0),
+    ):
+        with _pytest.raises(ValueError):
+            VisionConfig(**bad)
