@@ -224,3 +224,27 @@ def test_observe_rgb():
     if hits.any():
         px = arr[hits]
         assert (px[:, 0] >= px[:, 2]).all()
+
+
+@pytest.mark.parametrize("hfov", [45.0, 120.0])
+def test_nonstandard_fov(hfov):
+    """The camera algebra must hold away from the reference's 90-degree FOV
+    (kernels vs dense vs brute force)."""
+    from nenbody_tpu.ops import raycast
+
+    cfg = VisionConfig(width=48, hfov_deg=hfov)
+    rng = np.random.RandomState(3)
+    n = 16
+    pos = rng.uniform(-40, 40, (n, 2)).astype(np.float32)
+    vel = rng.uniform(-1, 1, (n, 2)).astype(np.float32)
+    dirs = np.asarray(camera.unit_heading(jnp.asarray(vel)))
+
+    shade, depth = render.render_rows(jnp.asarray(pos), jnp.asarray(vel), cfg)
+    for i in range(0, n, 5):
+        ref_shade, ref_depth = brute_force_row(pos[i], dirs[i], pos, cfg)
+        np.testing.assert_allclose(np.asarray(shade[i]), ref_shade, rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(depth[i]), ref_depth, rtol=1e-4, atol=1e-4)
+
+    got_s, got_d = raycast.render_rows_tiled(jnp.asarray(pos), jnp.asarray(vel), cfg)
+    np.testing.assert_allclose(np.asarray(got_s), np.asarray(shade), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_d), np.asarray(depth), rtol=1e-5, atol=1e-4)
