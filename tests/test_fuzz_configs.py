@@ -1,0 +1,84 @@
+"""Config-combination fuzz: random (n, controller, vision, flags) configs
+must agree across every backend and never produce non-finite state — the
+class of bug that hides in unusual-but-valid combinations."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nenbody_tpu import Scene, SimConfig, VisionConfig, spawn
+from nenbody_tpu.config import BoidsConfig, GravityConfig
+
+RNG = np.random.RandomState(20260816)
+
+
+def _random_cfg(i):
+    n = int(RNG.choice([3, 17, 33, 65, 127, 200, 333]))
+    controller = str(RNG.choice(["gravity", "boids"]))
+    width = int(RNG.choice([8, 16, 24, 48, 64, 96, 160]))
+    vision = VisionConfig(
+        width=width,
+        hfov_deg=float(RNG.uniform(30, 150)),
+        sprite_radius=float(RNG.uniform(0.3, 3.0)),
+        antialias=bool(RNG.randint(2)),
+    )
+    gravity = GravityConfig(dt_on_position=bool(RNG.randint(2)))
+    boids = BoidsConfig(global_alignment=bool(RNG.randint(2)))
+    return SimConfig(
+        n=n, controller=controller, vision=vision, gravity=gravity, boids=boids
+    )
+
+
+@pytest.mark.parametrize("i", range(8))
+def test_random_config_backend_agreement(i):
+    cfg = _random_cfg(i)
+    state = spawn(jax.random.key(1000 + i), cfg)
+    # give agents real headings so vision exercises all quadrants
+    state = state.replace(
+        vel=jax.random.uniform(
+            jax.random.key(i), (cfg.n, 2), minval=-1, maxval=1, dtype=jnp.float32
+        )
+    )
+
+    results = {}
+    for backend in ("dense", "pallas"):
+        import dataclasses
+
+        c = dataclasses.replace(cfg, backend=backend)
+        scene = Scene(c)
+        out = scene.step(state)
+        obs = scene.observe(out)
+        assert np.isfinite(np.asarray(out.pos)).all(), (backend, cfg)
+        assert np.isfinite(np.asarray(obs)).all(), (backend, cfg)
+        results[backend] = (np.asarray(out.pos), np.asarray(obs))
+
+    pos_d, obs_d = results["dense"]
+    pos_p, obs_p = results["pallas"]
+    np.testing.assert_allclose(pos_p, pos_d, rtol=5e-5, atol=1e-5, err_msg=str(cfg))
+    np.testing.assert_allclose(obs_p, obs_d, rtol=1e-4, atol=1e-4, err_msg=str(cfg))
+
+
+@pytest.mark.parametrize("i", range(4))
+def test_random_config_ring_agreement(i):
+    """Same fuzz against the 8-device ring backend (divisible agent counts)."""
+    import dataclasses
+
+    cfg = _random_cfg(100 + i)
+    n = int(RNG.choice([16, 64, 128, 256]))
+    cfg = dataclasses.replace(cfg, n=n)
+    state = spawn(jax.random.key(2000 + i), cfg)
+    state = state.replace(
+        vel=jax.random.uniform(
+            jax.random.key(i), (cfg.n, 2), minval=-1, maxval=1, dtype=jnp.float32
+        )
+    )
+    dense_out = Scene(dataclasses.replace(cfg, backend="dense")).step(state)
+    ring_scene = Scene(dataclasses.replace(cfg, backend="ring"))
+    ring_out = ring_scene.step(state)
+    np.testing.assert_allclose(
+        np.asarray(ring_out.pos), np.asarray(dense_out.pos),
+        rtol=5e-5, atol=1e-5, err_msg=str(cfg),
+    )
+    obs = ring_scene.observe(ring_out)
+    assert np.isfinite(np.asarray(obs)).all()
