@@ -44,7 +44,8 @@ def _timed(fn, *args, sync_slice, steps, label=""):
             last_err = e
             print(f"[bench] {label}: attempt {attempt} failed: {e}",
                   file=sys.stderr, flush=True)
-            time.sleep(2.0)
+            if attempt == 0:
+                time.sleep(2.0)
     raise last_err
 
 

@@ -238,7 +238,7 @@ def cmd_datagen(args) -> int:
     env = VisionEnv(
         SimConfig(
             n=args.agents, controller="gravity",
-            vision=VisionConfig(width=args.vision_width or 64),
+            vision=VisionConfig(width=args.vision_width),
         )
     )
     params = apply_fn = None

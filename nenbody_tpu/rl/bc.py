@@ -72,6 +72,8 @@ def fit(
     """Train a policy on a dataset dict (from datagen.load_shards).
 
     Returns (params, apply_fn, final_loss)."""
+    if steps <= 0:
+        raise ValueError(f"steps must be positive, got {steps}")
     policy = policy or MLPPolicy()
     obs_np, act_np = flatten_dataset(data)
     if obs_np.shape[-1] != env.obs_width:

@@ -33,16 +33,25 @@ def _ego_to_world(forward: jax.Array, lateral: jax.Array, vel: jax.Array):
     return jnp.stack([ax, ay], axis=-1)
 
 
+def _saliency_offset(lines: jax.Array, background: float):
+    """(mass [...], offset [...]) — total above-background brightness and
+    its brightness-weighted NDC position, using the renderer's pixel-center
+    convention ((2(i+0.5)/W) - 1, vision/camera.pixel_centers) so a dead-
+    center target reads offset exactly 0."""
+    w = lines.shape[-1]
+    u = (2.0 * (jnp.arange(w, dtype=lines.dtype) + 0.5) / w) - 1.0
+    sal = jnp.maximum(lines - background, 0.0)
+    mass = jnp.sum(sal, axis=-1)
+    offset = jnp.sum(sal * u, axis=-1) / jnp.maximum(mass, 1e-6)
+    return mass, offset
+
+
 def seek_brightest(obs: jax.Array, gain: float = 1.0, background: float = 0.2):
     """Steer toward the brightest thing in view (phototaxis): turn in
     proportion to the brightness-weighted pixel offset from center, push
     forward when anything is visible. Returns accel [..., 2]."""
     lines, vel = _split(obs)
-    w = lines.shape[-1]
-    u = jnp.linspace(-1.0, 1.0, w)  # +u is to the RIGHT of heading
-    sal = jnp.maximum(lines - background, 0.0)
-    mass = jnp.sum(sal, axis=-1)
-    offset = jnp.sum(sal * u, axis=-1) / jnp.maximum(mass, 1e-6)
+    mass, offset = _saliency_offset(lines, background)
     seen = (mass > 1e-4).astype(lines.dtype)
     return gain * _ego_to_world(0.5 * seen, offset * seen, vel)
 
@@ -51,12 +60,8 @@ def avoid_crowding(obs: jax.Array, gain: float = 1.0, background: float = 0.2):
     """Anti-phototaxis: steer away from the occupied side, brake when the
     view is crowded — a separation rule from pixels alone."""
     lines, vel = _split(obs)
-    w = lines.shape[-1]
-    u = jnp.linspace(-1.0, 1.0, w)
-    sal = jnp.maximum(lines - background, 0.0)
-    mass = jnp.sum(sal, axis=-1)
-    offset = jnp.sum(sal * u, axis=-1) / jnp.maximum(mass, 1e-6)
-    crowd = jnp.tanh(mass / (0.25 * w))
+    mass, offset = _saliency_offset(lines, background)
+    crowd = jnp.tanh(mass / (0.25 * lines.shape[-1]))
     return gain * _ego_to_world(-0.5 * crowd, -offset * crowd, vel)
 
 

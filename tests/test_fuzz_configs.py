@@ -10,21 +10,21 @@ import pytest
 from nenbody_tpu import Scene, SimConfig, VisionConfig, spawn
 from nenbody_tpu.config import BoidsConfig, GravityConfig
 
-RNG = np.random.RandomState(20260816)
-
-
 def _random_cfg(i):
-    n = int(RNG.choice([3, 17, 33, 65, 127, 200, 333]))
-    controller = str(RNG.choice(["gravity", "boids"]))
-    width = int(RNG.choice([8, 16, 24, 48, 64, 96, 160]))
+    # per-test seeding: a failing test id reproduces its exact config in
+    # isolation (a shared module RNG would depend on execution order)
+    rng = np.random.RandomState(20260816 + i)
+    n = int(rng.choice([3, 17, 33, 65, 127, 200, 333]))
+    controller = str(rng.choice(["gravity", "boids"]))
+    width = int(rng.choice([8, 16, 24, 48, 64, 96, 160]))
     vision = VisionConfig(
         width=width,
-        hfov_deg=float(RNG.uniform(30, 150)),
-        sprite_radius=float(RNG.uniform(0.3, 3.0)),
-        antialias=bool(RNG.randint(2)),
+        hfov_deg=float(rng.uniform(30, 150)),
+        sprite_radius=float(rng.uniform(0.3, 3.0)),
+        antialias=bool(rng.randint(2)),
     )
-    gravity = GravityConfig(dt_on_position=bool(RNG.randint(2)))
-    boids = BoidsConfig(global_alignment=bool(RNG.randint(2)))
+    gravity = GravityConfig(dt_on_position=bool(rng.randint(2)))
+    boids = BoidsConfig(global_alignment=bool(rng.randint(2)))
     return SimConfig(
         n=n, controller=controller, vision=vision, gravity=gravity, boids=boids
     )
@@ -65,7 +65,7 @@ def test_random_config_ring_agreement(i):
     import dataclasses
 
     cfg = _random_cfg(100 + i)
-    n = int(RNG.choice([16, 64, 128, 256]))
+    n = int(np.random.RandomState(300 + i).choice([16, 64, 128, 256]))
     cfg = dataclasses.replace(cfg, n=n)
     state = spawn(jax.random.key(2000 + i), cfg)
     state = state.replace(
