@@ -160,10 +160,14 @@ def cmd_train(args) -> int:
     from .rl.env import VisionEnv
     from .rl import train as train_lib
 
+    if args.vision_width < 1:
+        print("error: training needs vision; --vision-width must be >= 1",
+              file=sys.stderr)
+        return 2
     cfg = SimConfig(
         n=args.agents,
         controller="gravity",
-        vision=VisionConfig(width=args.vision_width or 64),
+        vision=VisionConfig(width=args.vision_width),
     )
     env = VisionEnv(cfg)
     opt = optax.adam(args.lr)
@@ -235,6 +239,10 @@ def cmd_datagen(args) -> int:
     from .rl import datagen as dg
     from .rl.env import VisionEnv
 
+    if args.vision_width < 1:
+        print("error: datagen needs vision; --vision-width must be >= 1",
+              file=sys.stderr)
+        return 2
     env = VisionEnv(
         SimConfig(
             n=args.agents, controller="gravity",

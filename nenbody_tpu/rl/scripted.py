@@ -35,11 +35,11 @@ def _ego_to_world(forward: jax.Array, lateral: jax.Array, vel: jax.Array):
 
 def _saliency_offset(lines: jax.Array, background: float):
     """(mass [...], offset [...]) — total above-background brightness and
-    its brightness-weighted NDC position, using the renderer's pixel-center
-    convention ((2(i+0.5)/W) - 1, vision/camera.pixel_centers) so a dead-
-    center target reads offset exactly 0."""
-    w = lines.shape[-1]
-    u = (2.0 * (jnp.arange(w, dtype=lines.dtype) + 0.5) / w) - 1.0
+    its brightness-weighted NDC position, in the renderer's shared
+    pixel-center convention so a dead-center target reads offset exactly 0."""
+    from ..vision.camera import pixel_centers_for_width
+
+    u = pixel_centers_for_width(lines.shape[-1], dtype=lines.dtype)
     sal = jnp.maximum(lines - background, 0.0)
     mass = jnp.sum(sal, axis=-1)
     offset = jnp.sum(sal * u, axis=-1) / jnp.maximum(mass, 1e-6)

@@ -43,10 +43,16 @@ def tan_half_fov(cfg: VisionConfig) -> float:
     return math.tan(math.radians(cfg.hfov_deg) * 0.5)
 
 
+def pixel_centers_for_width(w: int, dtype=jnp.float32) -> jax.Array:
+    """NDC u-coordinate of each pixel center for a w-pixel line, [w] in
+    (-1, 1) — THE pixel convention; renderers, kernels, and scripted
+    controllers must all share it."""
+    return (2.0 * (jnp.arange(w, dtype=dtype) + 0.5) / w) - 1.0
+
+
 def pixel_centers(cfg: VisionConfig) -> jax.Array:
     """NDC u-coordinate of each pixel center, [W] in (-1, 1)."""
-    w = cfg.width
-    return (2.0 * (jnp.arange(w, dtype=jnp.float32) + 0.5) / w) - 1.0
+    return pixel_centers_for_width(cfg.width)
 
 
 def project(

@@ -2,6 +2,8 @@
 must agree across every backend and never produce non-finite state — the
 class of bug that hides in unusual-but-valid combinations."""
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -43,8 +45,6 @@ def test_random_config_backend_agreement(i):
 
     results = {}
     for backend in ("dense", "pallas"):
-        import dataclasses
-
         c = dataclasses.replace(cfg, backend=backend)
         scene = Scene(c)
         out = scene.step(state)
@@ -62,8 +62,6 @@ def test_random_config_backend_agreement(i):
 @pytest.mark.parametrize("i", range(4))
 def test_random_config_ring_agreement(i):
     """Same fuzz against the 8-device ring backend (divisible agent counts)."""
-    import dataclasses
-
     cfg = _random_cfg(100 + i)
     n = int(np.random.RandomState(300 + i).choice([16, 64, 128, 256]))
     cfg = dataclasses.replace(cfg, n=n)
@@ -73,12 +71,21 @@ def test_random_config_ring_agreement(i):
             jax.random.key(i), (cfg.n, 2), minval=-1, maxval=1, dtype=jnp.float32
         )
     )
-    dense_out = Scene(dataclasses.replace(cfg, backend="dense")).step(state)
+    dense_scene = Scene(dataclasses.replace(cfg, backend="dense"))
+    dense_out = dense_scene.step(state)
     ring_scene = Scene(dataclasses.replace(cfg, backend="ring"))
     ring_out = ring_scene.step(state)
     np.testing.assert_allclose(
         np.asarray(ring_out.pos), np.asarray(dense_out.pos),
         rtol=5e-5, atol=1e-5, err_msg=str(cfg),
     )
-    obs = ring_scene.observe(ring_out)
-    assert np.isfinite(np.asarray(obs)).all()
+    # CLAUDE.md invariant: ring observations must also match the oracle.
+    # atol 5e-4: antialiased edge pixels can differ by ~2e-4 when the ring's
+    # per-hop depth merges reassociate fp32 relative to the dense reduction;
+    # a real sharding bug would show O(1) errors across many pixels.
+    obs_ring = ring_scene.observe(ring_out)
+    obs_dense = dense_scene.observe(dense_out)
+    np.testing.assert_allclose(
+        np.asarray(obs_ring), np.asarray(obs_dense),
+        rtol=1e-3, atol=5e-4, err_msg=str(cfg),
+    )

@@ -136,7 +136,7 @@ def test_auto_backend_resolution(monkeypatch):
 
 
 def test_vision_config_validation():
-    import pytest as _pytest
+    import pytest
 
     from nenbody_tpu import VisionConfig
 
@@ -149,5 +149,5 @@ def test_vision_config_validation():
         dict(near=10.0, far=5.0),
         dict(sprite_radius=0.0),
     ):
-        with _pytest.raises(ValueError):
+        with pytest.raises(ValueError):
             VisionConfig(**bad)
