@@ -37,7 +37,9 @@ def make_ac_step(
     gamma: float = 0.99,
     value_coef: float = 0.5,
     mesh: Optional[Mesh] = None,
+    episodic: bool = True,
 ):
+    """episodic=True respawns envs per iteration (see train.make_train_step)."""
     observe_b, step_b = _batched_env_fns(env, mesh)
 
     def rollout(params, env_states, key):
@@ -57,8 +59,12 @@ def make_ac_step(
         return env_states, Trajectory(obs, action, reward)
 
     def ac_step(ts: ACState) -> Tuple[ACState, dict]:
-        key, sub = jax.random.split(ts.key)
-        env_states, traj = rollout(ts.params, ts.env_states, sub)
+        key, sub, k_envs = jax.random.split(ts.key, 3)
+        start_states = ts.env_states
+        if episodic:
+            num_envs = ts.env_states.pos.shape[0]
+            start_states = spawn_batch(k_envs, env.cfg, num_envs)
+        env_states, traj = rollout(ts.params, start_states, sub)
         rets = discounted_returns(traj.reward, gamma)
 
         def loss_fn(p):

@@ -86,11 +86,18 @@ def make_train_step(
     horizon: int = 8,
     gamma: float = 0.99,
     mesh: Optional[Mesh] = None,
+    episodic: bool = True,
+    standardize_adv: bool = True,
 ):
     """Build the jitted full training step:
     rollout (scan over vmapped env) -> returns/advantages -> REINFORCE
     gradient -> optax update. With a mesh, env states shard (data, agents)
-    and the sim runs the ppermute ring."""
+    and the sim runs the ppermute ring.
+
+    episodic=True respawns the env batch each iteration — without it the
+    persistent states drift (e.g. gravitational collapse) away from the
+    fresh-spawn distribution and the policy degrades on it; set False for
+    deliberate continuing-task training."""
     observe_b, step_b = _batched_env_fns(env, mesh)
 
     def rollout(params, env_states, key):
@@ -110,10 +117,16 @@ def make_train_step(
         return env_states, Trajectory(obs, action, reward)
 
     def train_step(ts: TrainState) -> Tuple[TrainState, dict]:
-        key, sub = jax.random.split(ts.key)
-        env_states, traj = rollout(ts.params, ts.env_states, sub)
+        key, sub, k_envs = jax.random.split(ts.key, 3)
+        start_states = ts.env_states
+        if episodic:
+            num_envs = ts.env_states.pos.shape[0]
+            start_states = spawn_batch(k_envs, env.cfg, num_envs)
+        env_states, traj = rollout(ts.params, start_states, sub)
         rets = discounted_returns(traj.reward, gamma)
         adv = rets - jnp.mean(rets)
+        if standardize_adv:
+            adv = adv / (jnp.std(adv) + 1e-6)
 
         def loss_fn(p):
             mean, log_std = apply_fn(p, traj.obs)

@@ -78,11 +78,14 @@ def test_train_step_runs_and_updates_params():
     leaves0 = jax.tree.leaves(ts.params)
     leaves1 = jax.tree.leaves(ts2.params)
     assert any(not np.allclose(a, b) for a, b in zip(leaves0, leaves1))
-    # env states advanced by horizon
+    # episodic default: fresh spawns each iteration, advanced by horizon
     assert int(ts2.env_states.t[0]) == 3
-    # second step composes
     ts3, _ = step(ts2)
-    assert int(ts3.env_states.t[0]) == 6
+    assert int(ts3.env_states.t[0]) == 3
+    # new spawns actually differ between iterations
+    assert not np.allclose(
+        np.asarray(ts2.env_states.pos), np.asarray(ts3.env_states.pos)
+    )
 
 
 def test_train_step_on_mesh():
@@ -303,9 +306,9 @@ def test_ac_trainer_runs_and_trains_both_heads():
             )
         )
         assert moved, head
-    # composes over iterations and on a mesh
+    # composes over iterations (episodic default: t == horizon each time)
     ts3, _ = step(ts2)
-    assert int(ts3.env_states.t[0]) == 6
+    assert int(ts3.env_states.t[0]) == 3
 
     from nenbody_tpu.parallel import mesh as mesh_lib
 
@@ -412,3 +415,29 @@ def test_scripted_as_datagen_expert(tmp_path):
     )
     act = chunks[0][1]["action"]
     assert np.isfinite(act).all() and act.shape == (4, 2, 8, 2)
+
+
+def test_reinforce_learns_brake_task():
+    """Estimator correctness: on the single-agent task (cohesion term is
+    identically zero, reward = -speed_penalty*|v|^2) REINFORCE must learn to
+    brake. (The multi-agent shared-centroid task is a known-hard credit
+    assignment for likelihood-ratio methods — APG/ES cover it; see NEXT.md.)"""
+    import optax
+
+    env = env_lib.VisionEnv(
+        SimConfig(n=1, controller="gravity", vision=VisionConfig(width=8)),
+        max_accel=1.0,
+        speed_penalty=0.5,
+    )
+    opt = optax.adam(3e-3)
+    ts, apply_fn, _ = train_lib.init_train_state(
+        env, num_envs=128, key=jax.random.key(0), optimizer=opt,
+        policy=policy_lib.MLPPolicy(hidden=(32,), use_bf16=False),
+    )
+    step = jax.jit(train_lib.make_train_step(env, apply_fn, opt, horizon=8))
+    _, m0 = step(ts)
+    for _ in range(150):
+        ts, m = step(ts)
+    # training reward must approach 0 (perfect braking) from ~-0.006
+    assert float(m["reward_mean"]) > float(m0["reward_mean"]) + 1e-3
+    assert float(m["reward_mean"]) > -2e-3
