@@ -29,7 +29,11 @@ def _timed(fn, *args, sync_slice, steps, label=""):
     (Same methodology as utils.profiling.scan_throughput, plus compile-time
     progress on stderr so a stalled remote compile is visible, plus one
     retry — the remote-execution tunnel occasionally throws a transient
-    'TPU backend error (Internal)' on a cold first dispatch.)"""
+    'TPU backend error (Internal)' on a cold first dispatch.)
+
+    The timed dispatch runs on perturbed inputs so it is never bit-identical
+    to the warm-up dispatch — a runtime that deduped or cached identical
+    dispatches would otherwise report inflated throughput."""
     last_err = None
     for attempt in range(2):
         try:
@@ -37,8 +41,14 @@ def _timed(fn, *args, sync_slice, steps, label=""):
             _ = np.asarray(sync_slice(fn(*args)))  # compile + full sync
             print(f"[bench] {label}: compiled in {time.perf_counter()-t0:.0f}s",
                   file=sys.stderr, flush=True)
+            args2 = tuple(
+                jax.block_until_ready(a + jnp.float32(1e-6))
+                if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating)
+                else a
+                for a in args
+            )
             t0 = time.perf_counter()
-            _ = np.asarray(sync_slice(fn(*args)))
+            _ = np.asarray(sync_slice(fn(*args2)))
             return (time.perf_counter() - t0) / steps
         except Exception as e:  # noqa: BLE001 - transient runtime errors
             last_err = e

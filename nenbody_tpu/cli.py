@@ -52,10 +52,12 @@ def _build_cfg(args) -> "SimConfig":
         cfg = SimConfig(
             n=args.n if args.n is not None else 1024,
             controller=args.controller or "boids",
-            backend=args.backend,
+            backend=args.backend or "auto",
             vision=vision,
         )
-    if args.backend != "auto":
+    # None = flag not provided; an explicit --backend (including "auto")
+    # always overrides the preset's pinned backend
+    if args.backend is not None:
         cfg = dataclasses.replace(cfg, backend=args.backend)
     return cfg
 
@@ -70,7 +72,8 @@ def _add_sim_flags(p: argparse.ArgumentParser):
         help="default boids",
     )
     p.add_argument(
-        "--backend", choices=["auto", "dense", "pallas", "ring", "gspmd"], default="auto"
+        "--backend", choices=["auto", "dense", "pallas", "ring", "gspmd"],
+        default=None, help="default: the preset's backend, else auto",
     )
     p.add_argument(
         "--vision-width", type=int, default=None, help="0 disables vision"
@@ -133,12 +136,15 @@ def cmd_run(args) -> int:
             pos = np.asarray(state.pos)  # host tap (sync point)
             done += k
             timer.mark(k)
-            print(timer.report({"t": int(np.asarray(state.t).reshape(-1)[0])}))
+            t_abs = int(np.asarray(state.t).reshape(-1)[0])
+            print(timer.report({"t": t_abs}))
             if viewer is not None and done % args.capture < k:
                 obs = scene.observe(state) if cfg.vision else None
                 viewer.capture(state, obs)
             if recorder is not None:
-                if not recorder.append(done, pos, np.asarray(state.vel)):
+                # absolute sim time, so recordings from --resume'd runs stay
+                # consistent with the checkpoint step counter
+                if not recorder.append(t_abs, pos, np.asarray(state.vel)):
                     dropped_frames += 1
             if ckpt is not None:
                 ckpt.maybe_save(state)

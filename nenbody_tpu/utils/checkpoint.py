@@ -25,16 +25,26 @@ def _npz_path(path: str) -> str:
     return path if path.endswith(".npz") else path + ".npz"
 
 
+def _is_key(leaf) -> bool:
+    return hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype, jax.dtypes.prng_key)
+
+
 def save_state(path: str, state: SceneState) -> str:
-    """Write a SceneState (batched or not) to an npz file."""
+    """Write a SceneState (batched or not) to an npz file.
+
+    SceneState permits both typed PRNG keys and raw [..., 2] uint32 key
+    arrays; `key_typed` records which flavor was stored so load_state can
+    round-trip it exactly."""
     path = _npz_path(path)
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    key = np.asarray(jax.random.key_data(state.key))
+    typed = _is_key(state.key)
+    key = np.asarray(jax.random.key_data(state.key) if typed else state.key)
     np.savez(
         path,
         pos=np.asarray(state.pos),
         vel=np.asarray(state.vel),
         key=key,
+        key_typed=np.asarray(typed),
         t=np.asarray(state.t),
     )
     return path
@@ -42,17 +52,16 @@ def save_state(path: str, state: SceneState) -> str:
 
 def load_state(path: str) -> SceneState:
     with np.load(path) as z:
-        key = jax.random.wrap_key_data(jnp.asarray(z["key"]))
+        key = jnp.asarray(z["key"])
+        # files written before key_typed existed always held typed-key data
+        if "key_typed" not in z or bool(z["key_typed"]):
+            key = jax.random.wrap_key_data(key)
         return SceneState(
             pos=jnp.asarray(z["pos"]),
             vel=jnp.asarray(z["vel"]),
             key=key,
             t=jnp.asarray(z["t"]),
         )
-
-
-def _is_key(leaf) -> bool:
-    return hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype, jax.dtypes.prng_key)
 
 
 def save_pytree(path: str, tree) -> str:

@@ -169,6 +169,8 @@ class TrajectoryRecorder:
             raise OSError(f"cannot open {path}")
 
     def append(self, t: int, pos: np.ndarray, vel: np.ndarray) -> bool:
+        if self._rec is None:
+            raise ValueError("recorder closed")
         pos = np.ascontiguousarray(pos, dtype=np.float32)
         vel = np.ascontiguousarray(vel, dtype=np.float32)
         assert pos.shape == (self.n, self.dim) and vel.shape == (self.n, self.dim)
@@ -183,6 +185,8 @@ class TrajectoryRecorder:
 
     @property
     def frames(self) -> int:
+        if self._rec is None:
+            raise ValueError("recorder closed")
         return int(self._lib.nen_recorder_frames(self._rec))
 
     def close(self) -> None:
