@@ -4,15 +4,24 @@ Headline (BASELINE.json): body-pair force evaluations/sec/chip at N=65,536
 via the tiled Pallas gravity kernel, fp32, reference force law. Baseline
 target is 1e9 pair-evals/s/chip; vs_baseline = value / 1e9.
 
-Methodology: K data-dependent steps chained under one `lax.scan` inside a
-single jit, synchronized once by fetching a slice of the result — this
-measures pure device throughput (the rollout use case) and is immune to
-per-dispatch RPC latency and to runtimes whose `block_until_ready` returns
-before remote execution finishes.
+Methodology ("slope timing"): K data-dependent steps chained under one
+`lax.scan` inside a single jit. One dispatch is timed with a host fetch,
+then M chained dispatches (each feeding the previous output) are timed with
+one final fetch; per-step time is the SLOPE (T_M - T_1) / ((M-1)*K). The
+subtraction cancels the fixed dispatch+fetch round-trip (~30-40 ms through
+a remote tunnel), which would otherwise swamp sub-millisecond steps — the
+round-1 "single-env vision misses 1e6" was exactly this artifact. Each
+dispatch runs on different data (chained outputs), so a dedup-caching
+runtime cannot inflate the numbers, and fetches sync for real (immune to
+block_until_ready returning early under remote runtimes).
 
 Secondary metrics ride along in the same JSON object: vision agent-frames/s
-for the batched-env datagen config (target 1e6/s) and the N=1,024 single-env
-config, plus boids pair throughput.
+for the batched-env datagen config (target 1e6/s), the N=1,024 single-env
+config at W=64, the reference's own eye width W=1024 (src/main.rs:694) at
+N=100 (the shipping config, main.rs:654) and N=1,024, plus boids pair
+throughput. Compile times are reported in "extra" — the persistent
+compilation cache (utils.profiling.enable_compilation_cache) makes every
+run after the first start warm.
 """
 
 import json
@@ -24,32 +33,36 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _timed(fn, *args, sync_slice, steps, label=""):
-    """Compile, then time one chained-scan dispatch; returns sec/step.
-    (Same methodology as utils.profiling.scan_throughput, plus compile-time
-    progress on stderr so a stalled remote compile is visible, plus one
-    retry — the remote-execution tunnel occasionally throws a transient
-    'TPU backend error (Internal)' on a cold first dispatch.)
+def _slope_timed(fn, carry, *, sync_slice, steps, label="", m=4):
+    """Compile, then measure sec/step as the multi-dispatch slope.
 
-    The timed dispatch runs on perturbed inputs so it is never bit-identical
-    to the warm-up dispatch — a runtime that deduped or cached identical
-    dispatches would otherwise report inflated throughput."""
+    fn: carry -> carry (one jitted chained-scan of `steps` sim steps).
+    Retries once — the remote-execution tunnel occasionally throws a
+    transient 'TPU backend error (Internal)' on a cold first dispatch."""
     last_err = None
     for attempt in range(2):
         try:
             t0 = time.perf_counter()
-            _ = np.asarray(sync_slice(fn(*args)))  # compile + full sync
-            print(f"[bench] {label}: compiled in {time.perf_counter()-t0:.0f}s",
+            _ = np.asarray(sync_slice(fn(carry)))  # compile + full sync
+            compile_s = time.perf_counter() - t0
+            print(f"[bench] {label}: compiled in {compile_s:.0f}s",
                   file=sys.stderr, flush=True)
-            args2 = tuple(
-                jax.block_until_ready(a + jnp.float32(1e-6))
-                if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating)
-                else a
-                for a in args
+            c = jax.block_until_ready(
+                jax.tree.map(lambda x: x + jnp.asarray(1e-6, x.dtype), carry)
             )
             t0 = time.perf_counter()
-            _ = np.asarray(sync_slice(fn(*args2)))
-            return (time.perf_counter() - t0) / steps
+            _ = np.asarray(sync_slice(fn(c)))
+            t1 = time.perf_counter() - t0
+            c = jax.block_until_ready(
+                jax.tree.map(lambda x: x + jnp.asarray(2e-6, x.dtype), carry)
+            )
+            t0 = time.perf_counter()
+            for _ in range(m):
+                c = fn(c)
+            _ = np.asarray(sync_slice(c))
+            tm = time.perf_counter() - t0
+            sec_per_step = max((tm - t1) / ((m - 1) * steps), 1e-12)
+            return sec_per_step, compile_s
         except Exception as e:  # noqa: BLE001 - transient runtime errors
             last_err = e
             print(f"[bench] {label}: attempt {attempt} failed: {e}",
@@ -63,65 +76,93 @@ def main():
     from nenbody_tpu.config import BoidsConfig, GravityConfig, VisionConfig
     from nenbody_tpu.ops import boids as boids_ops
     from nenbody_tpu.ops import pairwise, raycast
+    from nenbody_tpu.utils.profiling import enable_compilation_cache
 
+    cache_dir = enable_compilation_cache()
     on_tpu = jax.default_backend() == "tpu"
     key = jax.random.key(0)
+    compile_times = {}
 
     # -- headline: pair-force evals/s at N=65,536 (gravity, Pallas, fp32) ----
     n = 65536 if on_tpu else 2048
     k_steps = 20 if on_tpu else 3
     pos = jax.random.uniform(key, (n, 2), minval=-100, maxval=100, dtype=jnp.float32)
     vel = jax.random.uniform(key, (n, 2), dtype=jnp.float32)
-    gcfg = GravityConfig()
 
-    @jax.jit
-    def grav_roll(p, v):
-        def body(c, _):
-            p, v = c
-            g = pairwise.gravity_forces_tiled(p, gcfg)
-            v = v + g * gcfg.dt
-            return (p + v, v), ()
+    def grav_carry(cfg):
+        @jax.jit
+        def roll(c):
+            def body(c, _):
+                p, v = c
+                g = pairwise.gravity_forces_tiled(p, cfg)
+                v = v + g * cfg.dt
+                return (p + v, v), ()
 
-        c, _ = jax.lax.scan(body, (p, v), None, length=k_steps)
-        return c[0]
+            c, _ = jax.lax.scan(body, c, None, length=k_steps)
+            return c
 
-    dt = _timed(grav_roll, pos, vel, sync_slice=lambda o: o[:1], steps=k_steps, label="gravity")
+        return roll
+
+    dt, compile_times["gravity"] = _slope_timed(
+        grav_carry(GravityConfig()), (pos, vel),
+        sync_slice=lambda c: c[0][:1], steps=k_steps, label="gravity",
+    )
     pair_evals_per_s = n * n / dt
 
     # fast mode: approximate reciprocal (documented ~1e-3 force error)
-    gcfg_fast = GravityConfig(approx_reciprocal=True)
-
-    @jax.jit
-    def grav_roll_fast(p, v):
-        def body(c, _):
-            p, v = c
-            g = pairwise.gravity_forces_tiled(p, gcfg_fast)
-            v = v + g * gcfg_fast.dt
-            return (p + v, v), ()
-
-        c, _ = jax.lax.scan(body, (p, v), None, length=k_steps)
-        return c[0]
-
-    dt_fast = _timed(grav_roll_fast, pos, vel, sync_slice=lambda o: o[:1], steps=k_steps, label="gravity-approx")
+    dt_fast, _ = _slope_timed(
+        grav_carry(GravityConfig(approx_reciprocal=True)), (pos, vel),
+        sync_slice=lambda c: c[0][:1], steps=k_steps, label="gravity-approx",
+    )
     pair_evals_fast = n * n / dt_fast
 
     # -- boids pair throughput at the same N ---------------------------------
     bcfg = BoidsConfig()
 
     @jax.jit
-    def boids_roll(p, v):
+    def boids_roll(c):
         def body(c, _):
             p, v = c
             nv = boids_ops.boids_velocity_tiled(p, v, bcfg)
             return (p + nv * bcfg.dt, nv), ()
 
-        c, _ = jax.lax.scan(body, (p, v), None, length=k_steps)
-        return c[0]
+        c, _ = jax.lax.scan(body, c, None, length=k_steps)
+        return c
 
-    dt_b = _timed(boids_roll, pos, vel, sync_slice=lambda o: o[:1], steps=k_steps, label="boids")
+    dt_b, compile_times["boids"] = _slope_timed(
+        boids_roll, (pos, vel),
+        sync_slice=lambda c: c[0][:1], steps=k_steps, label="boids",
+    )
     boids_pairs_per_s = n * n / dt_b
 
-    # -- vision: batched datagen config (4096 envs x 256 agents x W=64) ------
+    # -- vision helpers -------------------------------------------------------
+    def vis_roll_single(vcfg, k):
+        @jax.jit
+        def roll(c):
+            p, v = c
+
+            def body(p, _):
+                s = raycast.render_rows_tiled(p, v, vcfg)[0]
+                return p + 1e-7 * s[:, :2], ()
+
+            p, _ = jax.lax.scan(body, p, None, length=k)
+            return p, v
+
+        return roll
+
+    def vis_shape(n_v, w, k, label):
+        kp, kv = jax.random.split(jax.random.key(7))
+        p = jax.random.uniform(kp, (n_v, 2), minval=-100, maxval=100,
+                               dtype=jnp.float32)
+        v = jax.random.uniform(kv, (n_v, 2), minval=-1, maxval=1,
+                               dtype=jnp.float32)
+        dt_v, compile_times[label] = _slope_timed(
+            vis_roll_single(VisionConfig(width=w), k), (p, v),
+            sync_slice=lambda c: c[0][:1], steps=k, label=label,
+        )
+        return n_v / dt_v
+
+    # -- vision: batched datagen config (envs x 256 agents x W=64) -----------
     benvs = 1024 if on_tpu else 16  # 1024 compiles fast; fps matches 4096
     bn, bw = 256, 64
     kv_steps = 5 if on_tpu else 2
@@ -131,32 +172,31 @@ def main():
     bvel = jax.random.uniform(kv, (benvs, bn, 2), minval=-1, maxval=1, dtype=jnp.float32)
 
     @jax.jit
-    def vis_roll(p, v):
+    def vis_roll_batched(c):
+        p, v = c
+
         def body(p, _):
             s = jax.vmap(lambda a, b: raycast.render_rows_tiled(a, b, vcfg)[0])(p, v)
             return p + 1e-7 * s[..., :2], ()  # consume obs to defeat DCE
 
         p, _ = jax.lax.scan(body, p, None, length=kv_steps)
-        return p
+        return p, v
 
-    dt_v = _timed(vis_roll, bpos, bvel, sync_slice=lambda o: o[:1, :1], steps=kv_steps, label="vision-batched")
+    dt_v, compile_times["vision-batched"] = _slope_timed(
+        vis_roll_batched, (bpos, bvel),
+        sync_slice=lambda c: c[0][:1, :1], steps=kv_steps, label="vision-batched",
+    )
     vision_fps_batched = benvs * bn / dt_v
 
-    # -- vision: single env N=1024, W=64 (BASELINE config 2) -----------------
-    n1 = 1024
-    p1, v1 = bpos[:4].reshape(n1, 2), bvel[:4].reshape(n1, 2)
-
-    @jax.jit
-    def vis1_roll(p, v):
-        def body(p, _):
-            s = raycast.render_rows_tiled(p, v, vcfg)[0]
-            return p + 1e-7 * s[:, :2], ()
-
-        p, _ = jax.lax.scan(body, p, None, length=k_steps)
-        return p
-
-    dt_v1 = _timed(vis1_roll, p1, v1, sync_slice=lambda o: o[:1], steps=k_steps, label="vision-single")
-    vision_fps_single = n1 / dt_v1
+    # -- vision: single-env shapes --------------------------------------------
+    k1 = 100 if on_tpu else 2
+    vision_fps_single = vis_shape(1024, 64, k1, "vision-n1024-w64")
+    # the reference's ACTUAL eye: W=1024 px (src/main.rs:694); N=100 is its
+    # shipping scale (main.rs:654), N=1024 the wide-eye stress shape
+    vision_fps_ref100 = vis_shape(100, 1024, k1, "vision-n100-w1024")
+    vision_fps_wide = vis_shape(
+        1024, 1024, 20 if on_tpu else 2, "vision-n1024-w1024"
+    )
 
     print(
         json.dumps(
@@ -173,7 +213,14 @@ def main():
                     "boids_pair_evals_per_s": boids_pairs_per_s,
                     "vision_agent_frames_per_s_batched_1024x256_w64": vision_fps_batched,
                     "vision_agent_frames_per_s_n1024_w64": vision_fps_single,
+                    "vision_agent_frames_per_s_n100_w1024": vision_fps_ref100,
+                    "vision_agent_frames_per_s_n1024_w1024": vision_fps_wide,
                     "vision_vs_1e6_target": vision_fps_batched / 1e6,
+                    "vision_single_vs_1e6_target": vision_fps_single / 1e6,
+                    "compile_seconds": compile_times,
+                    "compilation_cache_dir": cache_dir,
+                    "timing": "multi-dispatch slope of chained scans "
+                              "(fixed dispatch+fetch latency cancelled)",
                 },
             }
         )

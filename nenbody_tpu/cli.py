@@ -108,7 +108,11 @@ def cmd_run(args) -> int:
     if args.capture:
         from .viz.viewer import Viewer
 
-        viewer = Viewer(out_dir=args.out_dir)
+        viewer = Viewer(
+            out_dir=args.out_dir,
+            first_person=args.first_person,
+            scene=scene if args.first_person else None,
+        )
     recorder = None
     if args.record:
         from .utils import native
@@ -360,6 +364,10 @@ def main(argv=None) -> int:
     p.add_argument("--steps", type=int, default=1000)
     p.add_argument("--log-every", type=int, default=100)
     p.add_argument("--capture", type=int, default=0, help="PNG every K steps")
+    p.add_argument(
+        "--first-person", action="store_true",
+        help="add the selected eye's first-person viewport to captures",
+    )
     p.add_argument("--out-dir", default="out/frames")
     p.add_argument("--record", default="", help=".nentraj trajectory path")
     p.add_argument("--checkpoint-dir", default="")
@@ -418,6 +426,9 @@ def main(argv=None) -> int:
     p.set_defaults(fn=cmd_info)
 
     args = ap.parse_args(argv)
+    from .utils.profiling import enable_compilation_cache
+
+    enable_compilation_cache()
     return args.fn(args)
 
 

@@ -121,8 +121,33 @@ class VisionConfig:
     # piecewise constant), which gives vision meaningful gradients.
     # Blending approximates the occluder behind an edge as background.
     antialias: bool = False
+    # Sprite model for the eye lines:
+    #   "disc"      (default) rotation-invariant splat of radius
+    #               sprite_radius with the radial vignette — the fast model.
+    #   "wireframe" the reference's exact sprite: the LineStrip triangle
+    #               (verts/uvs src/main.rs:130-139, topology main.rs:249)
+    #               oriented to each TARGET's heading, scanline-intersected
+    #               per edge with per-fragment uv-interpolated vignette
+    #               (shaders/scene.frag:15-16). A 2D polygon viewed edge-on
+    #               has identical silhouette coverage and nearest-depth for
+    #               boundary vs interior, so this equals rasterizing the
+    #               FILLED sprite too. Orientation-dependent: the projected
+    #               extent varies with the target's heading (nose radius 1,
+    #               rear corners sqrt(2)), which the disc approximates at
+    #               constant radius. Dense path only; no analytic AA.
+    sprite_mode: str = "disc"
 
     def __post_init__(self):
+        if self.sprite_mode not in ("disc", "wireframe"):
+            raise ValueError(
+                f"sprite_mode must be 'disc' or 'wireframe', got "
+                f"{self.sprite_mode!r}"
+            )
+        if self.sprite_mode == "wireframe" and self.antialias:
+            raise ValueError(
+                "antialias (the disc splat's analytic-coverage model) is not "
+                "implemented for sprite_mode='wireframe'"
+            )
         if self.width < 1:
             raise ValueError(f"vision width must be positive, got {self.width}")
         if not 0.0 < self.hfov_deg < 180.0:

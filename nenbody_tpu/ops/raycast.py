@@ -27,21 +27,49 @@ from jax.experimental.pallas import tpu as pltpu
 from ..config import VisionConfig
 from ..state import SceneState
 from ..vision import camera
-from .common import col, fit_tile, interpret_mode, pad_axis, round_up
+from .common import col, fit_tile, interpret_mode, pad_axis, round_up, row
 
 EYES_PER_PROGRAM = 8
 TILE_J = 512
+
+
+def _decode_winner(best_d, best_o2, best_inv, cfg: VisionConfig, best_alb=None):
+    """Per-pixel epilogue shared by both kernels: reconstruct the winning
+    fragment's vignette shade from its squared splat offset (and, in AA mode,
+    its projected splat scale). Runs on O(W) elements — the O(N*W) inner
+    loops only track (depth, off^2[, 1/du[, albedo]]) via select+min, which
+    is ~half the ops of computing the shade for every (target, pixel) pair.
+    best_alb carries the winner's per-agent albedo when enabled."""
+    hit = best_d < cfg.far
+    oc2 = jnp.minimum(best_o2, 1.0)  # clip(off,-1,1)^2
+    alb = cfg.sprite_albedo if best_alb is None else best_alb
+    val = alb * (1.0 - 0.25 * oc2)
+    if cfg.antialias:
+        # exact 1D box-filter edge coverage: covf = clip((1-|o|)*s_cov + .5)
+        # with s_cov = (W/2)*du the splat half-width in pixels (best_inv=1/du)
+        s_cov = (0.5 * cfg.width) / best_inv
+        covf = jnp.clip(
+            (1.0 - jnp.sqrt(best_o2)) * s_cov + 0.5, 0.0, 1.0
+        )
+        val = cfg.background + covf * (val - cfg.background)
+    shade = jnp.where(hit, val, cfg.background)
+    return shade, best_d
 
 
 def _raycast_kernel(
     ex_ref, ey_ref, dx_ref, dy_ref,  # [TE, 1] eye position / unit heading
     tx_ref, ty_ref,  # [N_pad, 1] target positions (sublane-major)
     m_ref,  # [N_pad, 1] target padding mask
-    shade_ref, depth_ref,  # [TE, WB] output blocks
-    *,
+    *rest,  # [alb_ref ([N_pad, 1]) when has_alb,] shade_ref, depth_ref
     cfg: VisionConfig,
     tj: int,
+    has_alb: bool = False,
 ):
+    if has_alb:
+        alb_ref, shade_ref, depth_ref = rest
+    else:
+        alb_ref = None
+        shade_ref, depth_ref = rest
     te = ex_ref.shape[0]
     wb = shade_ref.shape[1]  # pixel-block width (grid dim 1 tiles the image)
     n_pad = tx_ref.shape[0]
@@ -61,17 +89,22 @@ def _raycast_kernel(
         - 1.0
     )
 
-    for e in range(te):  # static unroll over the eye block
+    def eye_body(e, _):
+        # dynamic eye loop (not a Python unroll): Mosaic allocates the body's
+        # VMEM stack ONCE and reuses it per iteration — a te-wide unroll
+        # multiplies the scoped-vmem footprint past the 16 MB budget for the
+        # antialias+albedo variants
         px, py = ex_ref[e, 0], ey_ref[e, 0]
         hx, hy = dx_ref[e, 0], dy_ref[e, 0]
 
         def body(k, carry, px=px, py=py, hx=hx, hy=hy):
-            best_d, best_s = carry
+            best_d, best_o2, best_inv, best_alb = carry
             j0 = pl.multiple_of(k * tj, tj)
             tx = tx_ref[pl.ds(j0, tj), :]  # (TJ, 1)
             ty = ty_ref[pl.ds(j0, tj), :]
             mj = m_ref[pl.ds(j0, tj), :] > 0.0
 
+            # per-target projection, (TJ, 1) columns (amortized over WB)
             relx = tx - px
             rely = ty - py
             f = relx * hx + rely * hy  # view-space depth, (TJ, 1)
@@ -80,47 +113,102 @@ def _raycast_kernel(
             fs = jnp.where(valid, f, 1.0)
             inv = 1.0 / (fs * t)
             u_c = l * inv
-            du = cfg.sprite_radius * inv
-
-            off = (u_p - u_c) / jnp.maximum(du, 1e-30)  # (TJ, W)
+            inv_du = fs * (t / cfg.sprite_radius)  # 1/du
             if cfg.antialias:
-                # pixel half-width in off units (mul-only forms of 1/(W*du))
-                hp = fs * (t / (cfg.width * cfg.sprite_radius))  # (TJ, 1)
-                s_cov = (0.5 * cfg.width * cfg.sprite_radius) * inv
-                cover = valid & (jnp.abs(off) < 1.0 + hp)
+                hpp = 1.0 + fs * (t / (cfg.width * cfg.sprite_radius))
+                cov_th = jnp.where(valid, hpp * hpp, 0.0)  # (1+hp)^2
             else:
-                cover = valid & (jnp.abs(off) < 1.0)
-            dfield = jnp.where(cover, f, cfg.far)  # (TJ, W)
-            cmin = jnp.min(dfield, axis=0, keepdims=True)  # (1, W)
-            offc = jnp.clip(off, -1.0, 1.0)
-            val = cfg.sprite_albedo * (1.0 - 0.25 * offc * offc)
+                cov_th = jnp.where(valid, 1.0, 0.0)
+            dsrc = jnp.where(valid, f, cfg.far)
+
+            # the O(TJ*WB) core: 5 elementwise ops + 2 ops per select, with
+            # the winner decoded per-pixel in the epilogue
+            off = (u_p - u_c) * inv_du  # (TJ, WB)
+            o2 = off * off
+            dfield = jnp.where(o2 < cov_th, dsrc, cfg.far)
+            cmin = jnp.min(dfield, axis=0, keepdims=True)  # (1, WB)
+            win = dfield == cmin
+            # non-winner filler: AA-covered fragments can sit at o2 > 1
+            # (edge pixels within the half-pixel apron), so the filler must
+            # be +inf there; without AA every covered o2 < 1
+            filler = jnp.inf if cfg.antialias else 1.0
+            o2m = jnp.min(jnp.where(win, o2, filler), axis=0, keepdims=True)
             if cfg.antialias:
-                covf = jnp.clip((1.0 - jnp.abs(off)) * s_cov + 0.5, 0.0, 1.0)
-                val = cfg.background + covf * (val - cfg.background)
-            sh = jnp.where(cover & (dfield == cmin), val, -1.0)
-            csh = jnp.max(sh, axis=0, keepdims=True)  # (1, W)
+                invm = jnp.min(
+                    jnp.where(win, inv_du, jnp.inf), axis=0, keepdims=True
+                )
+            else:
+                invm = best_inv
+            if has_alb:
+                albj = alb_ref[pl.ds(j0, tj), :]
+                albm = jnp.min(
+                    jnp.where(win, albj, jnp.inf), axis=0, keepdims=True
+                )
+            else:
+                albm = best_alb
 
             better = cmin < best_d
-            best_s = jnp.where(better, csh, best_s)
+            best_o2 = jnp.where(better, o2m, best_o2)
+            if cfg.antialias:
+                best_inv = jnp.where(better, invm, best_inv)
+            if has_alb:
+                best_alb = jnp.where(better, albm, best_alb)
             best_d = jnp.minimum(best_d, cmin)
-            return best_d, best_s
+            return best_d, best_o2, best_inv, best_alb
 
         init = (
             jnp.full((1, wb), cfg.far, jnp.float32),
-            jnp.full((1, wb), cfg.background, jnp.float32),
+            jnp.ones((1, wb), jnp.float32),
+            jnp.ones((1, wb), jnp.float32),
+            jnp.full((1, wb), cfg.sprite_albedo, jnp.float32),
         )
-        best_d, best_s = jax.lax.fori_loop(0, num_chunks, body, init)
-        shade_ref[e : e + 1, :] = best_s
-        depth_ref[e : e + 1, :] = best_d
+        best_d, best_o2, best_inv, best_alb = jax.lax.fori_loop(
+            0, num_chunks, body, init
+        )
+        shade, depth = _decode_winner(
+            best_d, best_o2, best_inv, cfg, best_alb if has_alb else None
+        )
+        shade_ref[pl.ds(e, 1), :] = shade
+        depth_ref[pl.ds(e, 1), :] = depth
+        return 0
+
+    # Manual partial unroll: a dynamic outer loop over groups of 8
+    # statically-unrolled eyes. Full unroll multiplies Mosaic's scoped-vmem
+    # stack past 16 MB on the antialias+albedo variants; a fully dynamic
+    # loop costs ~2.5x in throughput; groups give both.
+    # Unroll factor vs Mosaic's 16 MB scoped-vmem stack: each unrolled eye
+    # holds ~bufs live (WB, TJ) temporaries. The antialias+albedo variant
+    # carries three select streams (o2/inv/albedo) and measured ~2x the
+    # stack of the others (observed OOMs at 16.25-17.6 MB), so it caps at
+    # 4 unrolled eyes (2 for the largest tiles); everything else is safe
+    # (validated on v5e) and faster up to 16.
+    heavy = cfg.antialias and has_alb
+    cap = (2 if wb * tj >= (1 << 17) else 4) if heavy else 16
+    ue = 1
+    while ue * 2 <= min(te, cap) and te % (ue * 2) == 0:
+        ue *= 2
+
+    def group_body(g, _):
+        base = g * ue
+        for u in range(ue):
+            eye_body(base + u, 0)
+        return 0
+
+    jax.lax.fori_loop(0, te // ue, group_body, 0)
 
 
 def _raster_kernel(
     uc_ref, inv_ref, f_ref,  # [TE, N_pad] precomputed projections
-    shade_ref, depth_ref,  # [TE, WB] output blocks
-    *,
+    *rest,  # [alb_ref ([1, N_pad]) when has_alb,] shade_ref, depth_ref
     cfg: VisionConfig,
     tj: int,
+    has_alb: bool = False,
 ):
+    if has_alb:
+        alb_ref, shade_ref, depth_ref = rest
+    else:
+        alb_ref = None
+        shade_ref, depth_ref = rest
     """Rasterize-only kernel over XLA-precomputed projections.
 
     The streaming kernel (_raycast_kernel) computes per-target projections
@@ -148,43 +236,91 @@ def _raster_kernel(
         - 1.0
     )  # (WB, 1): pixels on sublanes
 
-    for e in range(te):  # static unroll; row slices are static sublane picks
+    def eye_body(e, _):
+        # dynamic eye loop — see _raycast_kernel for the scoped-vmem rationale
         def body(k, carry, e=e):
-            best_d, best_s = carry
+            best_d, best_o2, best_inv, best_alb = carry
             j0 = pl.multiple_of(k * tj, tj)
-            uc = uc_ref[e : e + 1, pl.ds(j0, tj)]  # (1, TJ)
-            inv = inv_ref[e : e + 1, pl.ds(j0, tj)]
-            f = f_ref[e : e + 1, pl.ds(j0, tj)]
+            uc = uc_ref[pl.ds(e, 1), pl.ds(j0, tj)]  # (1, TJ)
+            inv = inv_ref[pl.ds(e, 1), pl.ds(j0, tj)]
+            f = f_ref[pl.ds(e, 1), pl.ds(j0, tj)]
 
-            off = (u_p - uc) * inv  # (WB, TJ)
             if cfg.antialias:
-                hp = inv * (1.0 / cfg.width)  # (1, TJ): (1/W)/du
-                s_cov = (0.5 * cfg.width) / inv
-                cover = jnp.abs(off) < 1.0 + hp
+                hpp = 1.0 + inv * (1.0 / cfg.width)  # (1, TJ): 1 + (1/W)/du
+                cov_th = hpp * hpp
             else:
-                cover = jnp.abs(off) < 1.0
-            dfield = jnp.where(cover, f, cfg.far)
+                cov_th = 1.0
+
+            # O(WB*TJ) core (see _raycast_kernel for the op accounting)
+            off = (u_p - uc) * inv  # (WB, TJ)
+            o2 = off * off
+            dfield = jnp.where(o2 < cov_th, f, cfg.far)
             cmin = jnp.min(dfield, axis=1, keepdims=True)  # (WB, 1)
-            offc = jnp.clip(off, -1.0, 1.0)
-            val = cfg.sprite_albedo * (1.0 - 0.25 * offc * offc)
+            win = dfield == cmin
+            filler = jnp.inf if cfg.antialias else 1.0
+            o2m = jnp.min(jnp.where(win, o2, filler), axis=1, keepdims=True)
             if cfg.antialias:
-                covf = jnp.clip((1.0 - jnp.abs(off)) * s_cov + 0.5, 0.0, 1.0)
-                val = cfg.background + covf * (val - cfg.background)
-            sh = jnp.where(cover & (dfield == cmin), val, -1.0)
-            csh = jnp.max(sh, axis=1, keepdims=True)
+                invm = jnp.min(
+                    jnp.where(win, inv, jnp.inf), axis=1, keepdims=True
+                )
+            else:
+                invm = best_inv
+            if has_alb:
+                albj = alb_ref[0:1, pl.ds(j0, tj)]
+                albm = jnp.min(
+                    jnp.where(win, albj, jnp.inf), axis=1, keepdims=True
+                )
+            else:
+                albm = best_alb
 
             better = cmin < best_d
-            best_s = jnp.where(better, csh, best_s)
+            best_o2 = jnp.where(better, o2m, best_o2)
+            if cfg.antialias:
+                best_inv = jnp.where(better, invm, best_inv)
+            if has_alb:
+                best_alb = jnp.where(better, albm, best_alb)
             best_d = jnp.minimum(best_d, cmin)
-            return best_d, best_s
+            return best_d, best_o2, best_inv, best_alb
 
         init = (
             jnp.full((wb, 1), cfg.far, jnp.float32),
-            jnp.full((wb, 1), cfg.background, jnp.float32),
+            jnp.ones((wb, 1), jnp.float32),
+            jnp.ones((wb, 1), jnp.float32),
+            jnp.full((wb, 1), cfg.sprite_albedo, jnp.float32),
         )
-        best_d, best_s = jax.lax.fori_loop(0, num_chunks, body, init)
-        shade_ref[e : e + 1, :] = jnp.transpose(best_s)
-        depth_ref[e : e + 1, :] = jnp.transpose(best_d)
+        best_d, best_o2, best_inv, best_alb = jax.lax.fori_loop(
+            0, num_chunks, body, init
+        )
+        shade, depth = _decode_winner(
+            best_d, best_o2, best_inv, cfg, best_alb if has_alb else None
+        )
+        shade_ref[pl.ds(e, 1), :] = jnp.transpose(shade)
+        depth_ref[pl.ds(e, 1), :] = jnp.transpose(depth)
+        return 0
+
+    # Manual partial unroll: a dynamic outer loop over groups of 8
+    # statically-unrolled eyes. Full unroll multiplies Mosaic's scoped-vmem
+    # stack past 16 MB on the antialias+albedo variants; a fully dynamic
+    # loop costs ~2.5x in throughput; groups give both.
+    # Unroll factor vs Mosaic's 16 MB scoped-vmem stack: each unrolled eye
+    # holds ~bufs live (WB, TJ) temporaries. The antialias+albedo variant
+    # carries three select streams (o2/inv/albedo) and measured ~2x the
+    # stack of the others (observed OOMs at 16.25-17.6 MB), so it caps at
+    # 4 unrolled eyes (2 for the largest tiles); everything else is safe
+    # (validated on v5e) and faster up to 16.
+    heavy = cfg.antialias and has_alb
+    cap = (2 if wb * tj >= (1 << 17) else 4) if heavy else 16
+    ue = 1
+    while ue * 2 <= min(te, cap) and te % (ue * 2) == 0:
+        ue *= 2
+
+    def group_body(g, _):
+        base = g * ue
+        for u in range(ue):
+            eye_body(base + u, 0)
+        return 0
+
+    jax.lax.fori_loop(0, te // ue, group_body, 0)
 
 
 def _project_all(pos, dirs, tgt, cfg: VisionConfig, n_pad_t: int):
@@ -215,7 +351,9 @@ def _project_all(pos, dirs, tgt, cfg: VisionConfig, n_pad_t: int):
 _PRECOMPUTE_MAX_ELEMS = 1 << 24
 
 
-def _render_precomputed(pos, dirs, tgt, cfg, te, tj, wb, n_pad_e, n_pad_t):
+def _render_precomputed(
+    pos, dirs, tgt, cfg, te, tj, wb, n_pad_e, n_pad_t, albedo=None
+):
     uc, inv_du, f = _project_all(pos, dirs, tgt, cfg, n_pad_t)
     if n_pad_e != pos.shape[0]:
         pad = ((0, n_pad_e - pos.shape[0]), (0, 0))
@@ -224,17 +362,25 @@ def _render_precomputed(pos, dirs, tgt, cfg, te, tj, wb, n_pad_e, n_pad_t):
         f = jnp.pad(f, pad, constant_values=cfg.far)
 
     grid = (n_pad_e // te, cfg.width // wb)
-    kernel = functools.partial(_raster_kernel, cfg=cfg, tj=tj)
+    has_alb = albedo is not None
+    kernel = functools.partial(_raster_kernel, cfg=cfg, tj=tj, has_alb=has_alb)
     pspec = lambda: pl.BlockSpec(
         (te, n_pad_t), lambda i, p: (i, 0), memory_space=pltpu.VMEM
     )
     ospec = lambda: pl.BlockSpec(
         (te, wb), lambda i, p: (i, p), memory_space=pltpu.VMEM
     )
+    in_specs = [pspec(), pspec(), pspec()]
+    args = [uc, inv_du, f]
+    if has_alb:
+        in_specs.append(
+            pl.BlockSpec((1, n_pad_t), lambda i, p: (0, 0), memory_space=pltpu.VMEM)
+        )
+        args.append(row(pad_axis(albedo, n_pad_t)))
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[pspec(), pspec(), pspec()],
+        in_specs=in_specs,
         out_specs=[ospec(), ospec()],
         out_shape=[
             jax.ShapeDtypeStruct((n_pad_e, cfg.width), jnp.float32),
@@ -246,7 +392,7 @@ def _render_precomputed(pos, dirs, tgt, cfg, te, tj, wb, n_pad_e, n_pad_t):
             transcendentals=0,
         ),
         interpret=interpret_mode(),
-    )(uc, inv_du, f)
+    )(*args)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "te", "tj"))
@@ -257,14 +403,22 @@ def render_rows_tiled(
     te: int = EYES_PER_PROGRAM,
     tj: int = TILE_J,
     targets: jax.Array | None = None,
+    albedo: jax.Array | None = None,
 ):
     """Pallas counterpart of vision.render.render_rows.
 
     pos, vel: [N, 2] -> (shade [N, W], depth [N, W]) float32.
     `targets` [M, 2] renders the eyes against a different position set (the
     vision ring's per-hop primitive); partial rows depth-merge with
-    vision.render.merge_rows.
+    vision.render.merge_rows. `albedo` [M] gives each target its own base
+    brightness in place of cfg.sprite_albedo (per-agent appearance,
+    src/main.rs:322-356's skin texture analog).
     """
+    if cfg.sprite_mode != "disc":
+        raise NotImplementedError(
+            "the Pallas raycast models the disc splat; "
+            "sprite_mode='wireframe' renders through vision.render (dense)"
+        )
     tgt = pos if targets is None else targets
     n = pos.shape[0]
     m = tgt.shape[0]
@@ -272,13 +426,15 @@ def render_rows_tiled(
     n_pad_t = round_up(m, tj)  # target padding
     n_pad_e = round_up(n, te)  # eye padding
     # wide images are tiled into pixel blocks so the (TJ, WB) temporaries of
-    # the te-way unrolled eye loop stay inside the VMEM budget
-    if cfg.width <= 256:
+    # the te-way unrolled eye loop stay inside the VMEM budget; wb=128 with
+    # the widest tj the budget allows won the v5e sweep at W=1024 (1.68x
+    # over wb=256/tj=512)
+    if cfg.width <= 128:
         wb = cfg.width
-    elif cfg.width % 256 == 0:
-        wb = 256
     elif cfg.width % 128 == 0:
         wb = 128
+    elif cfg.width <= 256:
+        wb = cfg.width
     else:
         raise ValueError(
             f"the Pallas render path needs vision width <= 256 or a multiple "
@@ -297,12 +453,21 @@ def render_rows_tiled(
         # lane-major projections want 128-multiple chunks; widest chunk the
         # (WB, TJ) temporaries allow minimizes per-eye loop trips (swept on
         # v5e: +20% over TJ=512 at W=64), and 32 eyes/program amortizes
-        # program-switch overhead
+        # program-switch overhead. The temporary budget is per pixel-BLOCK
+        # (wb), not per image width — wide images tile the pixel axis.
+        # Few-target scenes (one 128-chunk, e.g. the reference's N=100 with
+        # W=1024 eyes) instead want the widest pixel block and fewer eyes
+        # per program — the work per (eye, chunk) is tiny, so program count
+        # dominates (swept on v5e: te=16/wb=512 is 1.6x te=32/wb=128).
+        if round_up(m, 128) <= 128 and cfg.width % 128 == 0 and cfg.width > 128:
+            wb = next(d for d in (512, 256, 128) if cfg.width % d == 0)
+            te_p = fit_tile(16, n, 8)
         n_pad_e_p = round_up(n, te_p)
-        tj_p = fit_tile(min(1024, max(128, (1 << 17) // cfg.width)), m, 128)
+        tj_p = fit_tile(min(2048, max(128, (1 << 17) // wb)), m, 128)
         n_pad_t_p = round_up(m, tj_p)
         shade, depth = _render_precomputed(
-            pos, dirs, tgt, cfg, te_p, tj_p, wb, n_pad_e_p, n_pad_t_p
+            pos, dirs, tgt, cfg, te_p, tj_p, wb, n_pad_e_p, n_pad_t_p,
+            albedo=albedo,
         )
         return shade[:n], depth[:n]
 
@@ -315,7 +480,8 @@ def render_rows_tiled(
     mask = pad_axis(jnp.ones((m,), jnp.float32), n_pad_t)
 
     grid = (n_pad_e // te, cfg.width // wb)
-    kernel = functools.partial(_raycast_kernel, cfg=cfg, tj=tj)
+    has_alb = albedo is not None
+    kernel = functools.partial(_raycast_kernel, cfg=cfg, tj=tj, has_alb=has_alb)
     espec = lambda: pl.BlockSpec(
         (te, 1), lambda i, p: (i, 0), memory_space=pltpu.VMEM
     )
@@ -325,10 +491,15 @@ def render_rows_tiled(
     ospec = lambda: pl.BlockSpec(
         (te, wb), lambda i, p: (i, p), memory_space=pltpu.VMEM
     )
+    in_specs = [espec(), espec(), espec(), espec(), tspec(), tspec(), tspec()]
+    args = [col(ex), col(ey), col(dx), col(dy), col(tx), col(ty), col(mask)]
+    if has_alb:
+        in_specs.append(tspec())
+        args.append(col(pad_axis(albedo, n_pad_t)))
     shade, depth = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[espec(), espec(), espec(), espec(), tspec(), tspec(), tspec()],
+        in_specs=in_specs,
         out_specs=[ospec(), ospec()],
         out_shape=[
             jax.ShapeDtypeStruct((n_pad_e, cfg.width), jnp.float32),
@@ -340,9 +511,259 @@ def render_rows_tiled(
             transcendentals=0,
         ),
         interpret=interpret_mode(),
-    )(col(ex), col(ey), col(dx), col(dy), col(tx), col(ty), col(mask))
+    )(*args)
 
     return shade[:n], depth[:n]
+
+
+# ---------------------------------------------------------------------------
+# Differentiable path: custom VJP with a tiled backward kernel
+# ---------------------------------------------------------------------------
+#
+# The observation is piecewise-smooth in agent state: the depth test picks a
+# winner (piecewise constant, zero gradient a.e.), and the winning fragment's
+# shade varies smoothly with the projection. The key simplification is that
+# the splat offset is LINEAR in view-space coordinates:
+#
+#     off = (u_p - u_c) / du = (u_p * t * f - l) / R
+#
+# (t = tan(hfov/2), R = sprite radius, f/l = forward/lateral view coords), so
+#     d off / d f = u_p * t / R,      d off / d l = -1 / R.
+# With antialiasing the edge coverage also depends on the splat's pixel scale
+# s = (W/2) * du = W*R / (2*f*t), ds/df = -s/f. The backward kernel re-walks
+# the forward's tiles, identifies each pixel's winner by matching the saved
+# depth residual, and pulls the (shade, depth) cotangents back through the
+# winner into (d pos, d heading) — the same all-pairs access pattern as the
+# forward, with per-eye accumulators plus a grid-accumulated target-gradient
+# output. Gradients of the discrete winner choice and of binary-coverage
+# boundaries are zero a.e. and dropped (exactly what autodiff of the dense
+# oracle does); with cfg.antialias the observation is piecewise-linear in
+# positions and the gradient is the full, useful one (the reason the
+# antialias flag exists — see VisionConfig).
+#
+# Equal-depth ties would double-count (both fragments match the residual);
+# real configurations never tie (same caveat as the forward's tie-break).
+
+BWD_EYES_PER_PROGRAM = 8
+
+
+def _raycast_bwd_kernel(
+    ex_ref, ey_ref, dx_ref, dy_ref,  # [TE, 1] eye position / unit heading
+    tx_ref, ty_ref, m_ref,  # [N_pad, 1] targets (sublane-major) + mask
+    dep_ref, us_ref, ud_ref,  # [TE, W] depth residual + cotangents
+    gxi_ref, gyi_ref, gdx_ref, gdy_ref,  # [TE, 1] out: eye pos/heading grads
+    gtx_ref, gty_ref,  # [N_pad, 1] out: target grads (grid-accumulated)
+    *,
+    cfg: VisionConfig,
+    tj: int,
+):
+    te = ex_ref.shape[0]
+    w = dep_ref.shape[1]
+    n_pad = tx_ref.shape[0]
+    num_chunks = n_pad // tj
+    t = math.tan(math.radians(cfg.hfov_deg) * 0.5)
+    r_s = cfg.sprite_radius
+    alb = cfg.sprite_albedo
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        gtx_ref[:] = jnp.zeros_like(gtx_ref)
+        gty_ref[:] = jnp.zeros_like(gty_ref)
+
+    u_p = (
+        2.0
+        * (
+            jax.lax.broadcasted_iota(jnp.int32, (1, w), 1).astype(jnp.float32)
+            + 0.5
+        )
+        / cfg.width
+        - 1.0
+    )  # (1, W)
+
+    def eye_body(e, _):
+        # dynamic eye loop — see _raycast_kernel for the scoped-vmem rationale
+        px, py = ex_ref[e, 0], ey_ref[e, 0]
+        hx, hy = dx_ref[e, 0], dy_ref[e, 0]
+        dpr = dep_ref[pl.ds(e, 1), :]  # (1, W)
+        usr = us_ref[pl.ds(e, 1), :]
+        udr = ud_ref[pl.ds(e, 1), :]
+
+        def body(k, carry, px=px, py=py, hx=hx, hy=hy, dpr=dpr, usr=usr, udr=udr):
+            axi, ayi, adx, ady = carry
+            j0 = pl.multiple_of(k * tj, tj)
+            tx = tx_ref[pl.ds(j0, tj), :]  # (TJ, 1)
+            ty = ty_ref[pl.ds(j0, tj), :]
+            mj = m_ref[pl.ds(j0, tj), :] > 0.0
+
+            relx = tx - px
+            rely = ty - py
+            f = relx * hx + rely * hy
+            l = relx * hy - rely * hx
+            valid = (f > cfg.near) & (f < cfg.far) & mj
+            fs = jnp.where(valid, f, 1.0)
+            inv_du = fs * (t / r_s)
+
+            off = (u_p - l / (fs * t)) * inv_du  # (TJ, W)
+            o2 = off * off
+            if cfg.antialias:
+                hp = fs * (t / (cfg.width * r_s))  # (TJ, 1)
+                cov = o2 < (1.0 + hp) * (1.0 + hp)
+            else:
+                cov = o2 < 1.0
+            # winner: covered and depth matches the stored residual (small
+            # relative tolerance absorbs fp reassociation between the
+            # forward's projection and this recomputation)
+            win = valid & cov & (f <= dpr * (1.0 + 1e-5))
+
+            inside = o2 < 1.0
+            dval = jnp.where(inside, (-0.5 * alb) * off, 0.0)
+            if cfg.antialias:
+                s = (0.5 * cfg.width * r_s) / (fs * t)  # (TJ, 1) splat px scale
+                absoff = jnp.abs(off)
+                c = (1.0 - absoff) * s + 0.5
+                live = (c > 0.0) & (c < 1.0)
+                covf = jnp.clip(c, 0.0, 1.0)
+                oc2 = jnp.minimum(o2, 1.0)
+                vmb = alb * (1.0 - 0.25 * oc2) - cfg.background  # val - bg
+                dsh_doff = covf * dval + jnp.where(
+                    live, -jnp.sign(off) * s * vmb, 0.0
+                )
+                dsh_ds = jnp.where(live, (1.0 - absoff) * vmb, 0.0)
+                goff = jnp.where(win, usr * dsh_doff, 0.0)
+                gf_extra = jnp.where(win, usr * dsh_ds * (-s / fs), 0.0)
+            else:
+                goff = jnp.where(win, usr * dval, 0.0)
+                gf_extra = 0.0
+            gf = goff * (u_p * (t / r_s)) + gf_extra + jnp.where(win, udr, 0.0)
+            gl = goff * (-1.0 / r_s)
+
+            Gf = jnp.sum(gf, axis=1, keepdims=True)  # (TJ, 1)
+            Gl = jnp.sum(gl, axis=1, keepdims=True)
+
+            # d x_j = Gf * dir + Gl * right, right = (hy, -hx)
+            gx_j = Gf * hx + Gl * hy
+            gy_j = Gf * hy - Gl * hx
+            gtx_ref[pl.ds(j0, tj), :] += gx_j
+            gty_ref[pl.ds(j0, tj), :] += gy_j
+
+            axi = axi - jnp.sum(gx_j)
+            ayi = ayi - jnp.sum(gy_j)
+            # d dir: df/dd = rel, dl/dd = (-rel_y, rel_x)
+            adx = adx + jnp.sum(Gf * relx - Gl * rely)
+            ady = ady + jnp.sum(Gf * rely + Gl * relx)
+            return axi, ayi, adx, ady
+
+        zero = jnp.float32(0.0)
+        axi, ayi, adx, ady = jax.lax.fori_loop(
+            0, num_chunks, body, (zero, zero, zero, zero)
+        )
+        gxi_ref[pl.ds(e, 1), :] = jnp.full((1, 1), axi, jnp.float32)
+        gyi_ref[pl.ds(e, 1), :] = jnp.full((1, 1), ayi, jnp.float32)
+        gdx_ref[pl.ds(e, 1), :] = jnp.full((1, 1), adx, jnp.float32)
+        gdy_ref[pl.ds(e, 1), :] = jnp.full((1, 1), ady, jnp.float32)
+        return 0
+
+    # Manual partial unroll: a dynamic outer loop over groups of 8
+    # statically-unrolled eyes. Full unroll multiplies Mosaic's scoped-vmem
+    # stack past 16 MB on the antialias+albedo variants; a fully dynamic
+    # loop costs ~2.5x in throughput; groups give both.
+    ue = min(8, te)
+
+    def group_body(g, _):
+        base = g * ue
+        for u in range(ue):
+            eye_body(base + u, 0)
+        return 0
+
+    jax.lax.fori_loop(0, te // ue, group_body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "te"))
+def _render_rows_vjp(
+    pos: jax.Array,
+    dirs: jax.Array,
+    depth: jax.Array,
+    us: jax.Array,
+    ud: jax.Array,
+    cfg: VisionConfig,
+    te: int = BWD_EYES_PER_PROGRAM,
+):
+    """Pullback of the eye render: cotangents (us, ud) on (shade, depth)
+    -> (d pos, d dirs), both [N, 2]."""
+    n = pos.shape[0]
+    te = fit_tile(te, n, 8)
+    n_pad_e = round_up(n, te)
+    # (TJ, W) temporaries: bound to ~32k elems so ~8 live temps stay ~1 MB
+    tj = fit_tile(max(8, (1 << 15) // cfg.width), n, 8)
+    n_pad_t = round_up(n, tj)
+
+    ex = pad_axis(pos[:, 0], n_pad_e)
+    ey = pad_axis(pos[:, 1], n_pad_e)
+    dx = pad_axis(dirs[:, 0], n_pad_e)
+    dy = pad_axis(dirs[:, 1], n_pad_e)
+    tx = pad_axis(pos[:, 0], n_pad_t)
+    ty = pad_axis(pos[:, 1], n_pad_t)
+    mask = pad_axis(jnp.ones((n,), jnp.float32), n_pad_t)
+    dep = pad_axis(depth, n_pad_e)
+    usp = pad_axis(us, n_pad_e)  # zero cotangents on padded eyes
+    udp = pad_axis(ud, n_pad_e)
+
+    grid = (n_pad_e // te,)
+    kernel = functools.partial(_raycast_bwd_kernel, cfg=cfg, tj=tj)
+    espec = lambda: pl.BlockSpec((te, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    tspec = lambda: pl.BlockSpec(
+        (n_pad_t, 1), lambda i: (0, 0), memory_space=pltpu.VMEM
+    )
+    wspec = lambda: pl.BlockSpec(
+        (te, cfg.width), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[espec()] * 4 + [tspec()] * 3 + [wspec()] * 3,
+        out_specs=[espec()] * 4 + [tspec()] * 2,
+        out_shape=[jax.ShapeDtypeStruct((n_pad_e, 1), jnp.float32)] * 4
+        + [jax.ShapeDtypeStruct((n_pad_t, 1), jnp.float32)] * 2,
+        cost_estimate=pl.CostEstimate(
+            flops=30 * n_pad_e * n_pad_t * cfg.width,
+            bytes_accessed=(4 * n_pad_e + 3 * n_pad_t + 3 * n_pad_e * cfg.width) * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret_mode(),
+    )(col(ex), col(ey), col(dx), col(dy), col(tx), col(ty), col(mask),
+      dep, usp, udp)
+    gxi, gyi, gdx, gdy, gtx, gty = outs
+    dpos = jnp.concatenate([gxi, gyi], axis=1)[:n] + jnp.concatenate(
+        [gtx, gty], axis=1
+    )[:n]
+    ddirs = jnp.concatenate([gdx, gdy], axis=1)[:n]
+    return dpos, ddirs
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def render_rows_diff(pos: jax.Array, vel: jax.Array, cfg: VisionConfig):
+    """render_rows_tiled with a tiled custom VJP — rollouts that look at the
+    world differentiate THROUGH perception (jax.grad / jax.vjp work). Use
+    cfg.antialias=True for meaningful gradients: binary coverage is piecewise
+    constant in positions, the antialiased observation is piecewise linear."""
+    return render_rows_tiled(pos, vel, cfg)
+
+
+def _rrd_fwd(pos, vel, cfg):
+    shade, depth = render_rows_tiled(pos, vel, cfg)
+    return (shade, depth), (pos, vel, depth)
+
+
+def _rrd_bwd(cfg, res, cot):
+    pos, vel, depth = res
+    us, ud = cot
+    dirs, pull_dirs = jax.vjp(camera.unit_heading, vel)
+    dpos, ddirs = _render_rows_vjp(pos, dirs, depth, us, ud, cfg)
+    (dvel,) = pull_dirs(ddirs)
+    return dpos, dvel
+
+
+render_rows_diff.defvjp(_rrd_fwd, _rrd_bwd)
 
 
 def render_lines(state: SceneState, cfg: VisionConfig) -> jax.Array:

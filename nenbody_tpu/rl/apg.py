@@ -3,11 +3,16 @@
 The third trainer: where REINFORCE estimates gradients from log-probs and
 ES from perturbations, APG backpropagates the reward THROUGH the physics —
 the Pallas gravity force carries a custom VJP (ops/pairwise.py), so
-`d reward / d action` flows chip-side through every rollout step. The
-vision observation is stop-gradiented (the rasterizer's depth test is
-piecewise constant, so its gradient is zero-almost-everywhere anyway);
-gradients reach the policy through the actions it emitted, not through
-perception — "semi-APG", the standard trick for sims with hard visibility.
+`d reward / d action` flows chip-side through every rollout step.
+
+Perception has two modes. Default ("semi-APG"): the observation is
+stop-gradiented and gradients reach the policy only through the actions it
+emitted — the safe choice with binary-coverage observations, whose gradient
+is zero almost everywhere. diff_vision=True: the observation stays inside
+the gradient and the raycast custom VJP (ops/raycast.render_rows_diff)
+carries d reward / d perception back into positions/headings — pair with
+cfg.vision.antialias=True, which makes the eye lines piecewise-linear in
+agent positions exactly so this gradient is informative.
 
 Deterministic (mean-action) policy; short horizons recommended (gradient
 explosion through long chaotic rollouts is a property of the physics, not
@@ -41,13 +46,27 @@ def make_apg_step(
     num_envs: int = 8,
     remat: bool = False,
     mesh=None,
+    diff_vision: bool = False,
 ):
     """Build the jitted APG step: rollout -> -mean reward -> grad through
     dynamics -> optax update. Fresh envs each iteration (episodic).
 
     With a mesh, envs shard over the data axis and agents over the agent
     axis; the gradient flows through the ppermute ring (collectives are
-    linear, so their transpose is the reversed ring — XLA derives it)."""
+    linear, so their transpose is the reversed ring — XLA derives it).
+
+    diff_vision=True additionally backpropagates THROUGH perception: the
+    observation is not stop-gradiented, so d reward / d params flows
+    obs -> raycast VJP (ops/raycast.render_rows_diff) -> positions as well
+    as through the action chain. Pair with cfg.vision.antialias=True — the
+    antialiased observation is piecewise-linear in positions, binary
+    coverage is piecewise-constant (gradient zero a.e.)."""
+    if diff_vision and mesh is not None:
+        raise ValueError(
+            "diff_vision is single-host for now: the ring render has no VJP "
+            "(the per-hop raycast does — wiring the ring transpose is "
+            "tracked in NEXT.md)"
+        )
     if mesh is None:
         observe_b = jax.vmap(env.observe)
         dyn_b = jax.vmap(env.dynamics)
@@ -64,7 +83,7 @@ def make_apg_step(
             return jnp.concatenate([lines, states.vel], axis=-1)
 
         def dyn_b(states, action):
-            accel = jnp.clip(action, -env.max_accel, env.max_accel)
+            accel = env.actuate(action)
             g = ring.ring_gravity_forces(
                 states.pos, cfg, mesh=mesh, data_axis=DATA_AXIS
             )
@@ -77,17 +96,30 @@ def make_apg_step(
     if remat:
         dyn_b = jax.checkpoint(dyn_b)
 
+    from_obs = getattr(env, "reward_mode", "cohesion") == "visibility"
+
     def loss(params, env_states):
-        def body(states, _):
-            # perception OUTSIDE the gradient: the raycast kernel has no
-            # JVP (and its depth test is piecewise constant anyway); the
-            # grad path runs action -> dynamics -> reward only.
-            obs = observe_b(jax.lax.stop_gradient(states))
+        def body(carry, _):
+            states, obs = carry
             action, _ = apply_fn(params, obs)
             states = dyn_b(states, action)
-            return states, jnp.mean(reward_b(states))
+            # diff_vision routes gradients through the raycast custom VJP;
+            # otherwise perception sits OUTSIDE the gradient ("semi-APG":
+            # grads reach the policy through its actions only — note an
+            # observation-defined reward is then gradient-dead).
+            if diff_vision:
+                obs = observe_b(states)
+            else:
+                obs = observe_b(jax.lax.stop_gradient(states))
+            r = jax.vmap(env.reward_obs)(obs) if from_obs else reward_b(states)
+            return (states, obs), jnp.mean(r)
 
-        _, rewards = jax.lax.scan(body, env_states, None, length=horizon)
+        obs0 = observe_b(
+            env_states if diff_vision else jax.lax.stop_gradient(env_states)
+        )
+        _, rewards = jax.lax.scan(
+            body, (env_states, obs0), None, length=horizon
+        )
         return -jnp.mean(rewards)
 
     def apg_step(ts: APGState) -> Tuple[APGState, dict]:

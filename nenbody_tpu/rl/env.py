@@ -33,10 +33,15 @@ def _forces(pos: jax.Array, cfg: SimConfig, backend: str) -> jax.Array:
 
 
 def _render(pos: jax.Array, vel: jax.Array, cfg: SimConfig, backend: str):
+    if cfg.vision.sprite_mode == "wireframe":
+        backend = "dense"  # exact-sprite mode lives in the dense renderer
     if backend == "pallas":
         from ..ops import raycast
 
-        return raycast.render_rows_tiled(pos, vel, cfg.vision)[0]
+        # custom-VJP wrapper: identical forward to render_rows_tiled, plus a
+        # tiled backward kernel, so observe() is differentiable on every
+        # backend (dense is plain jnp autodiff) — see rl/apg.py diff_vision
+        return raycast.render_rows_diff(pos, vel, cfg.vision)[0]
     from ..vision import render
 
     return render.render_rows(pos, vel, cfg.vision)[0]
@@ -47,16 +52,32 @@ class VisionEnv:
     (see rl.train.make_train_step). All methods are pure and jittable."""
 
     def __init__(
-        self, cfg: SimConfig, max_accel: float = 0.05, speed_penalty: float = 0.0
+        self,
+        cfg: SimConfig,
+        max_accel: float = 0.05,
+        speed_penalty: float = 0.0,
+        smooth_clip: bool = False,
+        reward_mode: str = "cohesion",
     ):
         if cfg.vision is None:
             raise ValueError("VisionEnv requires cfg.vision")
+        if reward_mode not in ("cohesion", "visibility"):
+            raise ValueError(
+                f"reward_mode must be 'cohesion' or 'visibility', got "
+                f"{reward_mode!r}"
+            )
         self.cfg = cfg
+        self.reward_mode = reward_mode
         self.max_accel = max_accel
         # quadratic speed cost: without it, short-horizon trainers learn to
         # accelerate toward the centroid and never brake, diverging on
         # longer rollouts (classic horizon exploitation)
         self.speed_penalty = speed_penalty
+        # actuator model: hard clip (default) or max_accel*tanh(a/max_accel).
+        # Hard clip has ZERO gradient outside the band — once a
+        # differentiable trainer (APG) rails the actions, learning freezes;
+        # the tanh actuator is bounded but everywhere-differentiable.
+        self.smooth_clip = smooth_clip
         # honor the config's backend choice (Scene uses the same resolver,
         # so env rollouts and Scene rollouts run identical dynamics)
         from ..scene import _resolve_backend
@@ -75,6 +96,13 @@ class VisionEnv:
         state = spawn(key, self.cfg)
         return state, self.observe(state)
 
+    def actuate(self, action: jax.Array) -> jax.Array:
+        """Bound raw policy actions to [-max_accel, max_accel] through the
+        configured actuator (hard clip or smooth tanh)."""
+        if self.smooth_clip:
+            return self.max_accel * jnp.tanh(action / self.max_accel)
+        return jnp.clip(action, -self.max_accel, self.max_accel)
+
     def observe(self, state: SceneState) -> jax.Array:
         """[N, W+2]: the eye line plus the raw ego velocity."""
         lines = _render(state.pos, state.vel, self.cfg, self.backend)
@@ -82,11 +110,11 @@ class VisionEnv:
 
     def dynamics(self, state: SceneState, action: jax.Array) -> SceneState:
         """Physics-only transition (no observation) — fully differentiable
-        on every backend (the Pallas force kernel carries a custom VJP; the
-        raycast kernel does not, so trainers that differentiate the rollout
-        must call this + observe() on a stop-gradiented state, see rl/apg.py).
+        on every backend (the Pallas force kernel carries a custom VJP, and
+        observe() goes through the raycast custom VJP, so trainers may
+        differentiate through perception too — rl/apg.py diff_vision).
         """
-        accel = jnp.clip(action, -self.max_accel, self.max_accel)
+        accel = self.actuate(action)
         g = _forces(state.pos, self.cfg, self.backend)
         gcfg = self.cfg.gravity
         vel = state.vel + (g + accel) * gcfg.dt
@@ -101,15 +129,32 @@ class VisionEnv:
         Returns (next_state, obs, reward[N]).
         """
         next_state = self.dynamics(state, action)
-        return next_state, self.observe(next_state), self.reward(next_state)
+        obs = self.observe(next_state)
+        if self.reward_mode == "visibility":
+            return next_state, obs, self.reward_obs(obs)
+        return next_state, obs, self.reward(next_state)
 
     def reward(self, state: SceneState) -> jax.Array:
         """[N]: cohesion shaping — negative mean-square distance to the
         swarm centroid (scaled to O(1) for spawn bounds +-100), minus an
-        optional quadratic speed cost."""
+        optional quadratic speed cost. (reward_mode='cohesion'; for
+        'visibility' the reward is a function of the OBSERVATION, see
+        reward_obs — state-only callers fall back to recomputing it.)"""
+        if self.reward_mode == "visibility":
+            return self.reward_obs(self.observe(state))
         centroid = jnp.mean(state.pos, axis=-2, keepdims=True)
         d2 = jnp.sum((state.pos - centroid) ** 2, axis=-1)
         r = -d2 / 1e4
         if self.speed_penalty:
             r = r - self.speed_penalty * jnp.sum(state.vel**2, axis=-1)
         return r
+
+    def reward_obs(self, obs: jax.Array) -> jax.Array:
+        """[N]: visibility shaping — mean sprite signal over the eye line
+        ("keep the swarm in view"). Differentiable through perception when
+        the obs carries gradients (rl/apg.py diff_vision): pixels brighten
+        as splats move toward/over them, so d reward / d positions is live
+        through the raycast VJP. With antialias=True the signal is
+        piecewise-linear in positions."""
+        lines = obs[..., : self.cfg.vision.width]
+        return jnp.mean(lines - self.cfg.vision.background, axis=-1)

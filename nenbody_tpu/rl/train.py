@@ -55,7 +55,7 @@ def _batched_env_fns(env: VisionEnv, mesh: Optional[Mesh]):
         return jnp.concatenate([lines, states.vel], axis=-1)
 
     def step(states, action):
-        accel = jnp.clip(action, -env.max_accel, env.max_accel)
+        accel = env.actuate(action)
         g = ring.ring_gravity_forces(
             states.pos, cfg, mesh=mesh, data_axis=DATA_AXIS
         )

@@ -74,6 +74,11 @@ def make_observe_fn(cfg: SimConfig) -> Optional[Callable[[SceneState], jax.Array
     if cfg.vision is None:
         return None
     backend = _resolve_backend(cfg)
+    if cfg.vision.sprite_mode == "wireframe":
+        # exact-sprite parity mode lives in the dense renderer only (the
+        # Pallas kernels model the disc splat) — route vision dense and keep
+        # the physics backend as resolved
+        backend = "dense"
     if backend == "pallas":
         from .ops import raycast
 
@@ -118,6 +123,8 @@ class Scene:
         self._jit_observe = jax.jit(self._observe_b) if self._observe_b else None
         self._rollout_cache = {}
         self._depth_cache = {}
+        self._eye_view_cache = {}
+        self._rgb_cache = {}
 
     # -- construction -------------------------------------------------------
 
@@ -148,11 +155,35 @@ class Scene:
             raise ValueError("vision is disabled for this config (vision=None)")
         return self._jit_observe(state)
 
-    def observe_rgb(self, state: SceneState) -> jax.Array:
+    def observe_rgb(
+        self, state: SceneState, colors: Optional[jax.Array] = None
+    ) -> jax.Array:
         """[..., N, W, 3] RGB observation rows — the reference's RGBA eye
-        texture (alpha always 1, shaders/scene.frag:16)."""
+        texture (alpha always 1, shaders/scene.frag:16).
+
+        colors: optional [N, 3] per-agent colors (per-agent appearance —
+        the skin.png analog upgraded to discriminative observations). Pass
+        vision.render.default_agent_colors(n) for a deterministic palette.
+        Unbatched states only when colors are given."""
         from .vision import render as render_lib
 
+        if colors is not None:
+            if state.batch_shape:
+                raise ValueError("per-agent colors need an unbatched state")
+            backend = _resolve_backend(self.cfg)
+            if self.cfg.vision.sprite_mode == "wireframe":
+                backend = "dense"
+            fn = self._rgb_cache.get("rgb")
+            if fn is None:
+                vcfg = self.cfg.vision
+                be = "pallas" if backend == "pallas" else "dense"
+                fn = jax.jit(
+                    lambda p, v, c: render_lib.render_rows_rgb(
+                        p, v, vcfg, c, backend=be
+                    )
+                )
+                self._rgb_cache["rgb"] = fn
+            return fn(state.pos, state.vel, colors)
         shade, depth = self.observe_with_depth(state)
         return render_lib.to_rgb(shade, depth, self.cfg.vision)
 
@@ -168,6 +199,8 @@ class Scene:
         cached = self._depth_cache.get(rank)
         if cached is None:
             backend = _resolve_backend(self.cfg)
+            if self.cfg.vision.sprite_mode == "wireframe":
+                backend = "dense"  # see make_observe_fn
             if backend == "pallas":
                 from .ops import raycast
 
@@ -224,6 +257,50 @@ class Scene:
             obs = np.asarray(self.observe(state))
             strip = frame_lib.eye_strip(obs[selected_eye], width=size[1])
         return frame_lib.to_uint8(frame_lib.compose(scene_img, strip))
+
+    def render_eye_view(
+        self,
+        state: SceneState,
+        eye: int = 0,
+        size=(270, 480),
+        thickness: int = 2,
+    ):
+        """First-person viewport: the scene re-rendered from agent `eye`'s
+        perspective camera as an RGB uint8 [H, W, 3] frame — the third
+        render the reference's UI shows (selected-eye re-render into the
+        imgui viewport texture, src/main.rs:979-998). Width follows the
+        viewport (horizontal FOV is preserved on resize, gfx.rs:411-418);
+        the planar scene draws on the horizon row (see
+        viz.frame.first_person_view). Unbatched states only."""
+        import dataclasses as _dc
+
+        import numpy as np
+
+        from .config import VisionConfig
+        from .viz import frame as frame_lib
+        from .vision import render as render_lib
+
+        if state.batch_shape:
+            raise ValueError("render_eye_view takes an unbatched state")
+        if not 0 <= eye < self.cfg.n:
+            raise ValueError(f"eye {eye} out of range [0, {self.cfg.n})")
+        h, w = size
+        base = self.cfg.vision or VisionConfig()
+        vcfg = _dc.replace(base, width=w)
+        fn = self._eye_view_cache.get(w)
+        if fn is None:
+            fn = jax.jit(
+                lambda pos, vel, eye: render_lib.render_single_row(
+                    pos, vel, eye, vcfg
+                )
+            )
+            self._eye_view_cache[w] = fn
+        shade, depth = jax.device_get(fn(state.pos, state.vel, eye))
+        img = frame_lib.first_person_view(
+            shade, depth, size=size, far=vcfg.far,
+            sprite_albedo=vcfg.sprite_albedo, thickness=thickness,
+        )
+        return frame_lib.to_uint8(img)
 
     # -- rollouts ------------------------------------------------------------
 

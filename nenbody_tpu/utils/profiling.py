@@ -16,6 +16,27 @@ from typing import Optional
 import jax
 
 
+def enable_compilation_cache(path: Optional[str] = None) -> Optional[str]:
+    """Turn on JAX's persistent compilation cache so repeated CLI/bench
+    invocations skip XLA recompiles (the reference binary starts instantly,
+    src/main.rs:649-734; our N=65k gravity scan cold-compiles in ~10s and
+    some vmapped-Pallas shapes far longer — caching makes every run after
+    the first start warm). Honors NENBODY_CACHE_DIR; returns the cache dir
+    or None if the runtime rejects the config (older plugin)."""
+    target = path or os.environ.get(
+        "NENBODY_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache", "nenbody_tpu", "xla"),
+    )
+    try:
+        os.makedirs(target, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", target)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        return None
+    return target
+
+
 @contextlib.contextmanager
 def device_trace(log_dir: Optional[str] = None):
     """Capture a jax.profiler trace if NENBODY_TRACE (or log_dir) is set."""
@@ -27,12 +48,16 @@ def device_trace(log_dir: Optional[str] = None):
         yield
 
 
-def scan_throughput(body_fn, carry, steps: int, sync):
-    """Canonical throughput measurement: `steps` data-dependent iterations
-    of `body_fn` chained under one lax.scan in a single jit, synchronized by
-    a host fetch of `sync(result)`. Immune to per-dispatch RPC latency and
-    to runtimes whose block_until_ready returns before remote execution
-    finishes (see DESIGN.md §7). Returns seconds per step.
+def scan_throughput(body_fn, carry, steps: int, sync, m: int = 4):
+    """Canonical throughput measurement ("slope timing"): `steps`
+    data-dependent iterations of `body_fn` chained under one lax.scan in a
+    single jit. One dispatch is timed with a host fetch, then `m` chained
+    dispatches (each feeding the previous output) with one final fetch;
+    seconds/step is the slope (T_m - T_1) / ((m-1)*steps). The subtraction
+    cancels the fixed dispatch+fetch round-trip (~30-40 ms through a remote
+    tunnel) that would otherwise swamp sub-millisecond steps, every dispatch
+    sees different data (no dedup inflation), and the host fetches make the
+    sync real even where block_until_ready returns early (DESIGN.md §7).
 
     Used by bench.py, tpu_tests, and examples — keep the methodology here
     so it cannot drift between them.
@@ -46,19 +71,28 @@ def scan_throughput(body_fn, carry, steps: int, sync):
         c, _ = _jax.lax.scan(lambda c, _: (body_fn(c), ()), c, None, length=steps)
         return c
 
+    def _perturb(c, eps):
+        return _jax.block_until_ready(
+            _jax.tree.map(
+                lambda x: x + _jnp.asarray(eps, x.dtype)
+                if hasattr(x, "dtype") and _jnp.issubdtype(x.dtype, _jnp.floating)
+                else x,
+                c,
+            )
+        )
+
     _ = _np.asarray(sync(roll(carry)))  # compile + full sync
-    # perturb float leaves so the timed dispatch is never bit-identical to
-    # the warm-up (guards against dispatch dedup/caching in the runtime)
-    carry = _jax.tree.map(
-        lambda x: x + _jnp.asarray(1e-6, x.dtype)
-        if hasattr(x, "dtype") and _jnp.issubdtype(x.dtype, _jnp.floating)
-        else x,
-        carry,
-    )
-    _jax.block_until_ready(carry)
+    c = _perturb(carry, 1e-6)
     t0 = time.perf_counter()
-    _ = _np.asarray(sync(roll(carry)))
-    return (time.perf_counter() - t0) / steps
+    _ = _np.asarray(sync(roll(c)))
+    t1 = time.perf_counter() - t0
+    c = _perturb(carry, 2e-6)
+    t0 = time.perf_counter()
+    for _ in range(m):
+        c = roll(c)
+    _ = _np.asarray(sync(c))
+    tm = time.perf_counter() - t0
+    return max((tm - t1) / ((m - 1) * steps), 1e-12)
 
 
 class StepTimer:

@@ -33,10 +33,14 @@ def _agent_row(
     d_i: jax.Array,  # [2] unit heading
     pos: jax.Array,  # [M, 2] all target positions (including self)
     cfg: VisionConfig,
+    albedo: jax.Array | None = None,  # [M] per-target albedo override
 ) -> Tuple[jax.Array, jax.Array]:
     """Render one agent's 1D line. Returns (shade [W], depth [W]).
 
     The self-target is culled for free: rel=0 gives forward depth 0 < near.
+    `albedo` gives each target its own base brightness (the skin.png
+    per-agent appearance analog, src/main.rs:322-356) in place of the
+    scalar cfg.sprite_albedo.
     """
     rel = pos - p_i  # [M, 2]
     u_c, du, f, visible = camera.project(rel, d_i, cfg)
@@ -62,7 +66,11 @@ def _agent_row(
     # frag does mix(tex, 0, mag^2) => shade = albedo * (1 - off^2/4).
     o = jnp.take_along_axis(off, winner[None, :], axis=0)[0]  # [W]
     oc = jnp.clip(o, -1.0, 1.0)
-    shade = cfg.sprite_albedo * (1.0 - 0.25 * oc * oc)
+    if albedo is None:
+        alb = cfg.sprite_albedo
+    else:
+        alb = jnp.take(albedo, winner)  # winner's own base brightness
+    shade = alb * (1.0 - 0.25 * oc * oc)
     if cfg.antialias:
         # exact 1D box-filter coverage of the splat edge over the pixel
         # footprint (the MSAA analog); interior pixels saturate to 1.
@@ -79,12 +87,96 @@ def _agent_row(
     return shade.astype(jnp.float32), depth.astype(jnp.float32)
 
 
+# The reference's sprite geometry (src/main.rs:130-139): wireframe triangle
+# verts with their uv coords, drawn as a LineStrip with index buffer
+# [0, 1, 2, 0] (three edges). uv shades through the squared-radial vignette
+# mix(tex, 0, |uv - 0.5|^2) of shaders/scene.frag:15-16.
+SPRITE_VERTS = ((-1.0, -1.0), (1.0, 0.0), (-1.0, 1.0))
+SPRITE_UVS = ((0.0, 0.0), (0.0, 1.0), (1.0, 1.0))
+SPRITE_EDGES = ((0, 1), (1, 2), (2, 0))
+
+
+def _agent_row_wireframe(
+    p_i: jax.Array,  # [2] eye position
+    d_i: jax.Array,  # [2] eye unit heading
+    pos: jax.Array,  # [M, 2] target positions
+    hdg: jax.Array,  # [M, 2] target unit headings (sprite orientation)
+    cfg: VisionConfig,
+    albedo: jax.Array | None = None,  # [M] per-target albedo override
+) -> Tuple[jax.Array, jax.Array]:
+    """One eye line against the exact reference sprite (see
+    VisionConfig.sprite_mode). Every sprite edge is a segment in the eye's
+    (lateral l, forward f) view plane; the pixel ray at NDC u is the line
+    l = u*tan(hfov/2)*f, hitting the edge at
+
+        tau = (u*t*f_a - l_a) / (dl - u*t*df),   dl = l_b-l_a, df = f_b-f_a,
+
+    with depth f(tau) and uv(tau) linear in tau. Nearest fragment wins the
+    depth test; shade = albedo * (1 - |uv - 0.5|^2)."""
+    t = camera.tan_half_fov(cfg)
+    r = cfg.sprite_radius
+    verts = jnp.asarray(SPRITE_VERTS, jnp.float32) * r  # [3, 2] sprite frame
+    uvs = jnp.asarray(SPRITE_UVS, jnp.float32)  # [3, 2]
+
+    # world verts [M, 3, 2]: rotate each sprite to its target's heading
+    # (model matrix = T(pos) * Rz(atan2(vel)), src/main.rs:398-400) —
+    # column-major rotation applied to sprite-frame verts
+    cth, sth = hdg[:, 0], hdg[:, 1]  # cos/sin of the target heading
+    vx = verts[None, :, 0] * cth[:, None] - verts[None, :, 1] * sth[:, None]
+    vy = verts[None, :, 0] * sth[:, None] + verts[None, :, 1] * cth[:, None]
+    wx = pos[:, 0:1] + vx  # [M, 3]
+    wy = pos[:, 1:2] + vy
+
+    # project vertices into the eye's view frame
+    dx, dy = d_i[0], d_i[1]
+    relx = wx - p_i[0]
+    rely = wy - p_i[1]
+    f = relx * dx + rely * dy  # [M, 3] forward
+    l = relx * dy - rely * dx  # [M, 3] lateral (right = (dy, -dx))
+
+    u_p = camera.pixel_centers(cfg)  # [W]
+    ut = u_p * t  # [W]
+
+    shades, depths = [], []
+    for a, b in SPRITE_EDGES:
+        fa, la = f[:, a], l[:, a]  # [M]
+        df_ = f[:, b] - fa
+        dl_ = l[:, b] - la
+        num = ut[None, :] * fa[:, None] - la[:, None]  # [M, W]
+        den = dl_[:, None] - ut[None, :] * df_[:, None]
+        ok = jnp.abs(den) > 1e-12  # edge parallel to the ray: no crossing
+        tau = num / jnp.where(ok, den, 1.0)
+        fk = fa[:, None] + tau * df_[:, None]
+        hit = ok & (tau >= 0.0) & (tau <= 1.0) & (fk > cfg.near) & (fk < cfg.far)
+        uv = uvs[a][None, None, :] + tau[..., None] * (uvs[b] - uvs[a])[
+            None, None, :
+        ]  # [M, W, 2]
+        mag2 = jnp.sum((uv - 0.5) ** 2, axis=-1)
+        alb = cfg.sprite_albedo if albedo is None else albedo[:, None]
+        shades.append(alb * (1.0 - mag2))
+        depths.append(jnp.where(hit, fk, jnp.inf))
+
+    shade_all = jnp.stack(shades)  # [3, M, W]
+    depth_all = jnp.stack(depths)
+    flat_d = depth_all.reshape(-1, depth_all.shape[-1])  # [3M, W]
+    flat_s = shade_all.reshape(-1, shade_all.shape[-1])
+    best = jnp.min(flat_d, axis=0)  # [W]
+    winner = jnp.argmin(flat_d, axis=0)
+    hit = jnp.isfinite(best)
+    sh = jnp.take_along_axis(flat_s, winner[None, :], axis=0)[0]
+    shade = jnp.where(hit, sh, cfg.background)
+    depth = jnp.where(hit, best, cfg.far)
+    return shade.astype(jnp.float32), depth.astype(jnp.float32)
+
+
 def render_rows(
     pos: jax.Array,
     vel: jax.Array,
     cfg: VisionConfig,
     chunk: int = 128,
     targets: jax.Array | None = None,
+    target_vel: jax.Array | None = None,
+    albedo: jax.Array | None = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Render every agent's eye line. pos, vel: [N, 2].
 
@@ -95,12 +187,39 @@ def render_rows(
     `targets` (default: pos itself) renders the eyes against a different
     position set — the cross-block primitive the multi-chip vision ring
     streams remote blocks through; partial rows merge with `merge_rows`.
+    With sprite_mode='wireframe' the targets' sprites orient to their
+    headings, so `target_vel` must accompany `targets`.
     """
     dirs = camera.unit_heading(vel)
     tgt = pos if targets is None else targets
-    fn = lambda args: _agent_row(args[0], args[1], tgt, cfg)
     n = pos.shape[0]
+    if cfg.sprite_mode == "wireframe":
+        tvel = vel if targets is None else target_vel
+        if tvel is None:
+            raise ValueError("wireframe sprites need target_vel with targets")
+        hdg = camera.unit_heading(tvel)
+        fn = lambda args: _agent_row_wireframe(
+            args[0], args[1], tgt, hdg, cfg, albedo=albedo
+        )
+    else:
+        fn = lambda args: _agent_row(args[0], args[1], tgt, cfg, albedo=albedo)
     return jax.lax.map(fn, (pos, dirs), batch_size=min(chunk, n))
+
+
+def render_single_row(
+    pos: jax.Array,
+    vel: jax.Array,
+    eye: int,
+    cfg: VisionConfig,
+) -> Tuple[jax.Array, jax.Array]:
+    """One agent's eye line at an arbitrary width — the first-person
+    viewport's pixel source (the reference re-renders the scene from the
+    selected eye camera into the imgui viewport texture, a THIRD render
+    pass, src/main.rs:979-998). Returns (shade [W], depth [W])."""
+    dirs = camera.unit_heading(vel)
+    if cfg.sprite_mode == "wireframe":
+        return _agent_row_wireframe(pos[eye], dirs[eye], pos, dirs, cfg)
+    return _agent_row(pos[eye], dirs[eye], pos, cfg)
 
 
 BACKGROUND_RGB = (0.1, 0.2, 0.3)  # clear color, src/main.rs:543
@@ -117,6 +236,48 @@ def to_rgb(shade: jax.Array, depth: jax.Array, cfg: VisionConfig) -> jax.Array:
     sprite = jnp.asarray(SPRITE_RGB, shade.dtype)
     norm = shade[..., None] / max(cfg.sprite_albedo, 1e-6)
     return jnp.where(hit, sprite * norm, bg)
+
+
+def default_agent_colors(n: int) -> jax.Array:
+    """[n, 3] deterministic distinct colors (golden-ratio hue walk) — the
+    stand-in for giving every agent its own skin texture (the reference
+    shares one skin.png across all agents, src/main.rs:322-356; per-agent
+    appearance is the discriminative upgrade, NEXT #5)."""
+    i = jnp.arange(n, dtype=jnp.float32)
+    h = (i * 0.61803398875) % 1.0  # golden-ratio spacing: maximally spread
+    # compact HSV->RGB with s=0.65, v=1.0
+    k = jnp.stack([(5.0 + h * 6.0) % 6.0, (3.0 + h * 6.0) % 6.0,
+                   (1.0 + h * 6.0) % 6.0])
+    f = 1.0 - 0.65 * jnp.clip(jnp.minimum(k, 4.0 - k), 0.0, 1.0)
+    return jnp.transpose(f).astype(jnp.float32)
+
+
+def render_rows_rgb(
+    pos: jax.Array,
+    vel: jax.Array,
+    cfg: VisionConfig,
+    colors: jax.Array,
+    backend: str = "dense",
+) -> jax.Array:
+    """[N, W, 3] color observation with per-agent appearance: one render
+    per channel, each against that channel's clear-color chroma
+    (src/main.rs:543), with the channel of each agent's color as its
+    albedo. Dense or Pallas backend; both agree at fp32 tolerances
+    (tests/test_albedo.py)."""
+    from dataclasses import replace
+
+    chans = []
+    for c in range(3):
+        ccfg = replace(cfg, background=float(BACKGROUND_RGB[c]))
+        alb = colors[:, c]
+        if backend == "pallas":
+            from ..ops import raycast
+
+            sh, _ = raycast.render_rows_tiled(pos, vel, ccfg, albedo=alb)
+        else:
+            sh, _ = render_rows(pos, vel, ccfg, albedo=alb)
+        chans.append(sh)
+    return jnp.stack(chans, axis=-1)
 
 
 def merge_rows(a, b):

@@ -83,6 +83,47 @@ def render_topdown(
     return img
 
 
+def first_person_view(
+    shade_row: np.ndarray,
+    depth_row: np.ndarray,
+    size: Tuple[int, int] = (270, 480),
+    far: float = 10000.0,
+    sprite_albedo: float = 1.0,
+    thickness: int = 2,
+) -> np.ndarray:
+    """The first-person viewport: the 2D scene re-rendered from an agent's
+    perspective camera (the reference's third render pass into the imgui
+    viewport texture, src/main.rs:979-998, target main.rs:707-717).
+
+    The scene is planar and the eye camera lies IN the plane with up=+z
+    (main.rs:770), so every sprite projects exactly onto the horizon row:
+    the faithful 2D frame is the clear color with the 1D render drawn as a
+    thin line across the vertical center — which is also what the
+    reference's viewport visibly shows (LineStrip fragments rasterize at
+    ~1px screen thickness). shade/depth rows must be rendered at width
+    size[1] (vision.render.render_single_row)."""
+    h, w = size
+    shade_row = np.asarray(shade_row, np.float32)
+    depth_row = np.asarray(depth_row, np.float32)
+    if shade_row.shape[0] != w:
+        raise ValueError(
+            f"row width {shade_row.shape[0]} != viewport width {w}; render "
+            f"the row at the viewport width"
+        )
+    img = np.empty((h, w, 3), np.float32)
+    img[:] = CLEAR_COLOR
+    hit = depth_row < far
+    norm = shade_row / max(sprite_albedo, 1e-6)
+    rgb = np.where(
+        hit[:, None],
+        np.asarray(AGENT_COLOR, np.float32)[None] * norm[:, None],
+        np.asarray(CLEAR_COLOR, np.float32)[None],
+    )
+    r0 = max(0, h // 2 - thickness // 2)
+    img[r0 : min(h, r0 + max(1, thickness))] = rgb[None]
+    return img
+
+
 def eye_strip(
     obs_row: np.ndarray, height: int = 48, width: Optional[int] = None
 ) -> np.ndarray:

@@ -7,6 +7,8 @@ frametime readout, and key bindings —
     w/a/s/d   pan the scene camera        (reference: WASD, src/main.rs:877-886)
     q/e       zoom out / in               (reference: QE height)
     [/]       previous / next eye         (reference: camera slider, main.rs:77-81)
+    v         toggle first-person viewport (the selected-eye re-render,
+                                           src/main.rs:979-998)
     c         capture a PNG               (the reference's never-wired key, main.rs:111)
     escape    quit                        (src/main.rs:869-876)
 
@@ -49,6 +51,7 @@ def run_live(
         "zoom": 1.0,
         "quit": False,
         "capture": False,
+        "fp": False,  # first-person viewport in the eye panel
     }
 
     def on_key(ev):  # pragma: no cover - needs a display
@@ -71,6 +74,8 @@ def run_live(
             ctl["eye"] = (ctl["eye"] - 1) % scene.cfg.n
         elif ev.key == "]":
             ctl["eye"] = (ctl["eye"] + 1) % scene.cfg.n
+        elif ev.key == "v":
+            ctl["fp"] = not ctl["fp"]
         elif ev.key == "c":
             ctl["capture"] = True
 
@@ -98,11 +103,14 @@ def run_live(
             half_extent=half_extent * ctl["zoom"],
             selected=ctl["eye"],
         )
-        strip = (
-            frame_lib.eye_strip(obs[ctl["eye"]], height=24)
-            if obs is not None
-            else np.zeros((24, 8, 3), np.float32)
-        )
+        if ctl["fp"]:
+            strip = scene.render_eye_view(
+                state, ctl["eye"], size=(96, 480)
+            ).astype(np.float32) / 255.0
+        elif obs is not None:
+            strip = frame_lib.eye_strip(obs[ctl["eye"]], height=24)
+        else:
+            strip = np.zeros((24, 8, 3), np.float32)
         if im_scene is None:
             im_scene = ax_scene.imshow(img)
             im_eye = ax_eye.imshow(strip, aspect="auto")
@@ -110,7 +118,11 @@ def run_live(
             ax_eye.set_axis_off()
         else:
             im_scene.set_data(img)
-            im_eye.set_data(strip)
+            if im_eye.get_array().shape != strip.shape:  # mode switched
+                im_eye.remove()
+                im_eye = ax_eye.imshow(strip, aspect="auto")
+            else:
+                im_eye.set_data(strip)
         dt = time.perf_counter() - t0
         ax_scene.set_title(
             f"t={int(np.asarray(state.t))}  eye={ctl['eye']}  "

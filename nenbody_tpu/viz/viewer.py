@@ -40,6 +40,9 @@ class Viewer:
         strip_height: int = 48,
         use_native: bool = True,
         follow: str = "agent0",  # "agent0" (reference semantics) | "centroid"
+        first_person: bool = False,
+        scene=None,
+        fp_height: int = 96,
     ):
         self.out_dir = out_dir
         self.size = size
@@ -47,6 +50,13 @@ class Viewer:
         self.selected_eye = selected_eye
         self.strip_height = strip_height
         self.follow = follow
+        # first-person viewport (the reference's selected-eye re-render,
+        # src/main.rs:979-998) — needs the owning Scene for the renderer
+        self.first_person = first_person
+        self.scene = scene
+        self.fp_height = fp_height
+        if first_person and scene is None:
+            raise ValueError("first_person=True needs scene=<Scene>")
         self.frames_written = 0
         self._frame_times = []
         self._native = None
@@ -81,6 +91,11 @@ class Viewer:
             strip = frame_lib.eye_strip(
                 row, height=self.strip_height, width=self.size[1]
             )
+        if self.first_person:
+            fp = self.scene.render_eye_view(
+                state, self.selected_eye, size=(self.fp_height, self.size[1])
+            ).astype(np.float32) / 255.0
+            strip = fp if strip is None else np.concatenate([fp, strip], axis=0)
         return frame_lib.to_uint8(frame_lib.compose(scene, strip))
 
     def capture(self, state: SceneState, obs: Optional[np.ndarray] = None) -> str:

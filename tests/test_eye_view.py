@@ -1,0 +1,99 @@
+"""First-person viewport (Scene.render_eye_view / viz.frame.first_person_view)
+— the selected-eye 2D re-render the reference's UI shows as its third render
+pass (/root/reference/src/main.rs:979-998)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nenbody_tpu.config import SimConfig, VisionConfig
+from nenbody_tpu.scene import Scene
+from nenbody_tpu.state import SceneState
+from nenbody_tpu.viz import frame as frame_lib
+
+
+def _state_two_agents():
+    # eye 0 at origin heading +x; target 1 dead ahead at distance 10
+    pos = jnp.array([[0.0, 0.0], [10.0, 0.0]], jnp.float32)
+    vel = jnp.array([[1.0, 0.0], [0.0, 1.0]], jnp.float32)
+    return SceneState(pos=pos, vel=vel, key=jax.random.key(0), t=jnp.int32(0))
+
+
+def test_eye_view_shows_target_on_horizon():
+    cfg = SimConfig(n=2, controller="gravity", backend="dense",
+                    vision=VisionConfig(width=64))
+    scene = Scene(cfg)
+    img = scene.render_eye_view(_state_two_agents(), eye=0, size=(120, 240),
+                                thickness=2)
+    assert img.shape == (120, 240, 3) and img.dtype == np.uint8
+
+    clear = frame_lib.to_uint8(
+        np.asarray(frame_lib.CLEAR_COLOR, np.float32)[None, None]
+    )[0, 0]
+    # above and below the horizon: pure clear color
+    assert (img[:59] == clear).all() and (img[61:] == clear).all()
+    # the horizon row shows the target around the center pixel, brighter
+    # than the clear color
+    mid = img[59:61]
+    center = mid[:, 118:122]
+    assert (center.mean(axis=(0, 1)) > clear).any()
+    # and the frame is not all clear (the sprite is visible)
+    assert (mid != clear).any()
+
+
+def test_eye_view_follows_heading():
+    """The camera looks along the eye's velocity: rotate the eye away and
+    the target leaves the frame."""
+    cfg = SimConfig(n=2, controller="gravity", backend="dense",
+                    vision=VisionConfig(width=64))
+    scene = Scene(cfg)
+    st = _state_two_agents()
+    st_away = st.replace(vel=st.vel.at[0].set(jnp.array([-1.0, 0.0])))
+    img = scene.render_eye_view(st_away, eye=0, size=(60, 120))
+    clear = frame_lib.to_uint8(
+        np.asarray(frame_lib.CLEAR_COLOR, np.float32)[None, None]
+    )[0, 0]
+    assert (img == clear).all()
+
+
+def test_eye_view_validation_and_modes():
+    cfg = SimConfig(n=4, controller="boids", backend="dense",
+                    vision=VisionConfig(width=32, sprite_mode="wireframe"))
+    scene = Scene(cfg)
+    st = scene.spawn(seed=0)
+    img = scene.render_eye_view(st, eye=3, size=(40, 80))
+    assert img.shape == (40, 80, 3)
+    with pytest.raises(ValueError, match="out of range"):
+        scene.render_eye_view(st, eye=4)
+    from nenbody_tpu.state import spawn_batch
+
+    batched = spawn_batch(jax.random.key(0), cfg, 2)
+    with pytest.raises(ValueError, match="unbatched"):
+        scene.render_eye_view(batched, eye=0)
+
+
+def test_eye_view_works_without_vision_config():
+    cfg = SimConfig(n=4, controller="gravity", backend="dense")
+    scene = Scene(cfg)
+    st = scene.spawn(seed=0)
+    img = scene.render_eye_view(st, eye=0, size=(30, 60))
+    assert img.shape == (30, 60, 3)
+
+
+def test_viewer_composes_first_person_panel():
+    cfg = SimConfig(n=8, controller="gravity", backend="dense",
+                    vision=VisionConfig(width=32))
+    scene = Scene(cfg)
+    st = scene.spawn(seed=1)
+    from nenbody_tpu.viz.viewer import Viewer
+
+    v = Viewer(out_dir="out/test_fp", size=(100, 200), use_native=False,
+               first_person=True, scene=scene, fp_height=40)
+    obs = np.asarray(scene.observe(st))
+    img = v.compose(st, obs)
+    # scene (100) + pad + fp (40) + strip (48)
+    assert img.shape[0] >= 100 + 40 + 48 and img.shape[1] == 200
+
+    with pytest.raises(ValueError, match="scene"):
+        Viewer(out_dir="out/test_fp", first_person=True)

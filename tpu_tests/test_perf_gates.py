@@ -66,6 +66,49 @@ def test_vision_fps_gate_1e6():
     assert rate >= 1e6, f"vision rate {rate:.3e} < 1e6"
 
 
+def _single_env_vision_rate(n, w, steps):
+    from nenbody_tpu.config import VisionConfig
+    from nenbody_tpu.ops import raycast
+
+    key = jax.random.key(7)
+    kp, kv = jax.random.split(key)
+    pos = jax.random.uniform(kp, (n, 2), minval=-100, maxval=100, dtype=jnp.float32)
+    vel = jax.random.uniform(kv, (n, 2), minval=-1, maxval=1, dtype=jnp.float32)
+    vcfg = VisionConfig(width=w)
+
+    def body(c):
+        p, v = c
+        s = raycast.render_rows_tiled(p, v, vcfg)[0]
+        return p + 1e-7 * s[:, :2], v
+
+    dt = _scan_time(body, (pos, vel), steps=steps, sync=lambda c: c[0][:1])
+    return n / dt
+
+
+@requires_tpu
+def test_vision_single_env_gate_1e6():
+    """VERDICT r1 #1: the SINGLE-env BASELINE config 2 shape (N=1,024 agents,
+    W=64 eyes) must clear 1e6 agent-frames/s on one chip (measured ~5-6e6
+    after the o2-select kernel rework + slope timing)."""
+    rate = _single_env_vision_rate(1024, 64, steps=100)
+    assert rate >= 1e6, f"single-env vision rate {rate:.3e} < 1e6"
+    assert rate >= 3e6, f"regression: single-env rate {rate:.3e} < 3e6 (was ~5e6)"
+
+
+@requires_tpu
+def test_vision_reference_width_gates():
+    """VERDICT r1 #2: the reference's ACTUAL eye is 1024 px wide
+    (src/main.rs:694). Gate both the shipping scale (N=100, main.rs:654 —
+    measured ~1.4e6 agent-frames/s) and the wide-eye stress shape N=1,024
+    (measured ~4.4e5; the work is 16x BASELINE config 2's)."""
+    ref100 = _single_env_vision_rate(100, 1024, steps=100)
+    # the reference caps at ~500 frames/s (main.rs:837-845) = 5e4 agent-
+    # frames/s at N=100; 10x that is the floor here
+    assert ref100 >= 5e5, f"reference-100 vision rate {ref100:.3e} < 5e5"
+    wide = _single_env_vision_rate(1024, 1024, steps=20)
+    assert wide >= 2e5, f"N=1024/W=1024 vision rate {wide:.3e} < 2e5"
+
+
 @requires_tpu
 def test_ring_single_chip_parity_on_hardware():
     """The pallas-partials ring compiles and matches dense on real silicon
