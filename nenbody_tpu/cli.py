@@ -203,6 +203,18 @@ def cmd_train(args) -> int:
                 env, apply_fn, opt, horizon=args.horizon, num_envs=args.envs
             )
         )
+    elif args.algo == "ppo":
+        from .rl import ppo as ppo_lib
+
+        ts, pol_apply, val_apply = ppo_lib.init_ppo_state(
+            env, key=jax.random.key(args.seed), optimizer=opt
+        )
+        step = jax.jit(
+            ppo_lib.make_ppo_step(
+                env, pol_apply, val_apply, opt, horizon=args.horizon,
+                num_envs=args.envs,
+            )
+        )
     elif args.algo == "es":
         from .rl import es as es_lib
 
@@ -376,7 +388,10 @@ def main(argv=None) -> int:
     p.set_defaults(fn=cmd_run)
 
     p = sub.add_parser("train", help="policy training on the vision env")
-    p.add_argument("--algo", choices=["reinforce", "ac", "es", "apg"], default="reinforce")
+    p.add_argument(
+        "--algo", choices=["reinforce", "ppo", "ac", "es", "apg"],
+        default="reinforce",
+    )
     p.add_argument("--population", type=int, default=8, help="ES antithetic pairs")
     p.add_argument("--envs", type=int, default=64)
     p.add_argument("--agents", type=int, default=64)

@@ -1,6 +1,15 @@
 """Mesh helpers: the TPU replacement for the reference's Gpu device layer
 (gfx.rs:20-100) — instead of one wgpu device/queue, a named mesh of chips
-with sharding rules."""
+with sharding rules.
+
+Multi-host (SURVEY.md §5.8, the DCN half of the comm backend): call
+`init_distributed()` once per process before any jax.devices() use, then
+every helper here operates on the GLOBAL device set — `make_mesh()` builds
+a cross-host mesh and the ring/gspmd backends run their collectives over
+ICI within a slice and DCN across slices, exactly as XLA lays them out.
+`host_local_state`/`global_state` move SceneStates between per-process
+shards and global arrays. Validated by a real 2-process CPU-mesh test
+(tests/test_multihost.py)."""
 
 from __future__ import annotations
 
@@ -9,10 +18,85 @@ from typing import Optional, Sequence, Tuple
 
 import jax
 import numpy as np
-from jax.sharding import Mesh, PartitionSpec as P
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 AGENT_AXIS = "agents"
 DATA_AXIS = "data"
+
+
+def init_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+    local_device_ids: Optional[Sequence[int]] = None,
+) -> None:
+    """Join the multi-host process group (jax.distributed.initialize).
+
+    On Cloud TPU pods all arguments auto-detect from the metadata server;
+    elsewhere pass coordinator ("host:port"), world size, and rank. Must run
+    before the backend initializes (any jax.devices() call freezes it).
+    After this, jax.devices() is the GLOBAL device list and make_mesh()
+    spans hosts."""
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+        local_device_ids=local_device_ids,
+    )
+
+
+def is_distributed() -> bool:
+    return jax.process_count() > 1
+
+
+def _is_typed_key(x) -> bool:
+    import jax.numpy as jnp
+
+    return hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jax.dtypes.prng_key)
+
+
+def _map_state(state, mesh, batch, data_axis, lift):
+    from ..state import SceneState
+
+    specs = shard_state_specs(batch=batch, data_axis=data_axis)
+    out = {}
+    for name, spec in specs.items():
+        leaf = getattr(state, name)
+        if name == "key" and _is_typed_key(leaf):
+            # typed PRNG keys can't cross the host/global boundary raw;
+            # move their uint32 key data and re-wrap
+            data = lift(jax.random.key_data(leaf), spec)
+            out[name] = jax.random.wrap_key_data(data)
+        else:
+            out[name] = lift(leaf, spec)
+    return SceneState(**out)
+
+
+def global_state(state, mesh: Mesh, batch: bool = False,
+                 data_axis: Optional[str] = None):
+    """Lift a per-process (host-local) SceneState into a globally-sharded
+    one: each process contributes its local block of the agent (and env)
+    axis. The inverse of host_local_state."""
+    from jax.experimental import multihost_utils
+
+    def lift(x, spec):
+        return multihost_utils.host_local_array_to_global_array(
+            np.asarray(x), mesh, spec
+        )
+
+    return _map_state(state, mesh, batch, data_axis, lift)
+
+
+def host_local_state(state, mesh: Mesh, batch: bool = False,
+                     data_axis: Optional[str] = None):
+    """Project a globally-sharded SceneState back to this process's local
+    block (for host-side logging/checkpointing)."""
+    from jax.experimental import multihost_utils
+
+    def lower(x, spec):
+        return multihost_utils.global_array_to_host_local_array(x, mesh, spec)
+
+    return _map_state(state, mesh, batch, data_axis, lower)
 
 
 def make_mesh(

@@ -6,6 +6,15 @@ this trains a Gaussian policy on them by maximizing the action log-density
 for distilling an expensive controller (e.g. the reference boids rules or
 an ES-trained policy) into a cheap MLP, and as the warm start for the
 on-policy trainers.
+
+Recordings are also a data source: `dataset_from_trajectory` ingests a
+`.nentraj` file (the CLI's --record stream, utils/native.py) and recovers
+the demonstrator's actions by INVERSE DYNAMICS — the gravity world's
+transition is v' = v + (g(x) + a)*dt, so a = (v' - v)/dt - g(x) exactly,
+frame-to-frame. Observations are re-rendered on device from the recorded
+states. This turns any recorded run (scripted controller, human-tuned
+boids, a prior policy) into demonstrations without ever exporting
+observations through the host.
 """
 
 from __future__ import annotations
@@ -33,6 +42,58 @@ def flatten_dataset(data: dict) -> Tuple[np.ndarray, np.ndarray]:
     obs = np.asarray(data["obs"], np.float32)
     act = np.asarray(data["action"], np.float32)
     return obs.reshape(-1, obs.shape[-1]), act.reshape(-1, act.shape[-1])
+
+
+def dataset_from_trajectory(path: str, env: VisionEnv, chunk: int = 64) -> dict:
+    """.nentraj recording -> {obs [T-1,1,N,W+2], action [T-1,1,N,2]}.
+
+    Observations re-render on device from the recorded (pos, vel); actions
+    come from exact inverse dynamics (module docstring). Requires a
+    stride-1 recording (`run --record ... --log-every 1`): with missing
+    intermediate frames the inverse is ill-posed.
+    """
+    from ..state import SceneState
+    from ..utils import native
+
+    ts, pos, vel = native.read_trajectory(path)
+    if len(ts) < 2:
+        raise ValueError(f"{path}: need >= 2 frames for inverse dynamics")
+    dt_frames = np.diff(ts)
+    if not (dt_frames == 1).all():
+        raise ValueError(
+            f"{path}: inverse dynamics needs consecutive frames (stride 1); "
+            f"got t deltas {sorted(set(dt_frames.tolist()))} — record with "
+            f"--log-every 1"
+        )
+    if pos.shape[1] != env.cfg.n:
+        raise ValueError(
+            f"{path}: recording has {pos.shape[1]} agents, env expects "
+            f"{env.cfg.n}"
+        )
+    pos_j = jnp.asarray(pos)
+    vel_j = jnp.asarray(vel)
+    gcfg = env.cfg.gravity
+
+    from .env import _forces, _render
+
+    @jax.jit
+    def invert(p_t, v_t, v_next):
+        g = _forces(p_t, env.cfg, env.backend)
+        action = (v_next - v_t) / gcfg.dt - g
+        obs = jnp.concatenate(
+            [_render(p_t, v_t, env.cfg, env.backend), v_t], axis=-1
+        )
+        return obs, action
+
+    obs_chunks, act_chunks = [], []
+    for i in range(0, len(ts) - 1, chunk):
+        j = min(i + chunk, len(ts) - 1)
+        o, a = jax.vmap(invert)(pos_j[i:j], vel_j[i:j], vel_j[i + 1 : j + 1])
+        obs_chunks.append(np.asarray(o))
+        act_chunks.append(np.asarray(a))
+    obs = np.concatenate(obs_chunks)[:, None]  # [T-1, B=1, N, W+2]
+    act = np.concatenate(act_chunks)[:, None]
+    return {"obs": obs, "action": act}
 
 
 def make_bc_step(
