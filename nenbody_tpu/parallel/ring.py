@@ -53,13 +53,6 @@ def _maybe_vmap(fn, *args):
 
 
 def _check_divisible(pos, mesh, axis, data_axis):
-    n = pos.shape[-2]
-    d = mesh.shape[axis]
-    if n % d:
-        raise ValueError(
-            f"agent count {n} must divide evenly over mesh axis "
-            f"{axis!r} (size {d}); pad the scene or choose a different mesh"
-        )
     if pos.ndim == 3 and data_axis is not None:
         b = pos.shape[0]
         db = mesh.shape[data_axis]
@@ -68,6 +61,27 @@ def _check_divisible(pos, mesh, axis, data_axis):
                 f"env batch {b} must divide evenly over mesh axis "
                 f"{data_axis!r} (size {db})"
             )
+
+
+# Sentinel coordinate for internal agent-axis padding. Far sentinels are
+# EXACTLY inert for boids (every rule thresholds distances: 1e17 fails all)
+# and vision (view depth > far culls), and their gravity contribution
+# g/(1e17)^2 ~ 1e-37 underflows below one fp32 ulp of any real force — so
+# arbitrary N runs on any mesh without perturbing the physics. Padded rows
+# are sliced off before returning.
+_PAD_SENTINEL = 1e17
+
+
+def _pad_agents(arrays, n: int, d: int):
+    """Pad the agent axis (-2) of each array up to a multiple of d with the
+    far sentinel. Returns (padded_arrays, n_pad)."""
+    n_pad = ((n + d - 1) // d) * d
+    if n_pad == n:
+        return arrays, n
+    widths = lambda a: [(0, 0)] * (a.ndim - 2) + [(0, n_pad - n), (0, 0)]
+    return [
+        jnp.pad(a, widths(a), constant_values=_PAD_SENTINEL) for a in arrays
+    ], n_pad
 
 
 # -- gravity ------------------------------------------------------------------
@@ -81,10 +95,15 @@ def ring_gravity_forces(
     data_axis: Optional[str] = None,
     partials: str = "auto",
 ) -> jax.Array:
-    """Forces for globally-sharded pos [(B,) N, 2] over mesh[axis]."""
+    """Forces for globally-sharded pos [(B,) N, 2] over mesh[axis].
+
+    N need not divide the mesh axis: far-sentinel padding (see _pad_agents)
+    absorbs the remainder without perturbing the physics."""
     mesh = mesh or default_mesh()
     _check_divisible(pos, mesh, axis, data_axis)
     d = mesh.shape[axis]
+    n = pos.shape[-2]
+    (pos,), _ = _pad_agents([pos], n, d)
     gcfg = cfg.gravity
 
     def partial_force(pi, blk):
@@ -107,9 +126,10 @@ def ring_gravity_forces(
 
     lead = (data_axis,) if pos.ndim == 3 else ()
     spec = P(*lead, axis, None)
-    return jax.shard_map(
+    out = jax.shard_map(
         local, mesh=mesh, in_specs=spec, out_specs=spec, check_vma=False
     )(pos)
+    return out[..., :n, :]
 
 
 # -- boids --------------------------------------------------------------------
@@ -124,10 +144,14 @@ def ring_boids_velocity(
     data_axis: Optional[str] = None,
     partials: str = "auto",
 ) -> jax.Array:
-    """Replacement velocity (pre-clamp) for sharded pos/vel [(B,) N, 2]."""
+    """Replacement velocity (pre-clamp) for sharded pos/vel [(B,) N, 2].
+    Non-divisible N handled by far-sentinel padding (all three boids rules
+    threshold distances, so sentinels are exactly inert)."""
     mesh = mesh or default_mesh()
     _check_divisible(pos, mesh, axis, data_axis)
     d = mesh.shape[axis]
+    n = pos.shape[-2]
+    (pos, vel), _ = _pad_agents([pos, vel], n, d)
     bcfg = cfg.boids
 
     def partial_fn(pi, vi, pj, vj, excl):
@@ -154,9 +178,10 @@ def ring_boids_velocity(
 
     lead = (data_axis,) if pos.ndim == 3 else ()
     spec = P(*lead, axis, None)
-    return jax.shard_map(
+    out = jax.shard_map(
         local, mesh=mesh, in_specs=(spec, spec), out_specs=spec, check_vma=False
     )(pos, vel)
+    return out[..., :n, :]
 
 
 # -- vision -------------------------------------------------------------------
@@ -173,10 +198,14 @@ def ring_render_rows(
 ) -> Tuple[jax.Array, jax.Array]:
     """(shade, depth) [(B,) N, W] with both eyes and targets sharded: each
     hop renders the local eyes against the circulating target block and
-    depth-merges (min-depth is associative across disjoint blocks)."""
+    depth-merges (min-depth is associative across disjoint blocks). Non-
+    divisible N handled by far-sentinel padding (sentinel targets cull at
+    the far plane; padded eye rows are sliced off)."""
     mesh = mesh or default_mesh()
     _check_divisible(pos, mesh, axis, data_axis)
     d = mesh.shape[axis]
+    n = pos.shape[-2]
+    (pos, vel), _ = _pad_agents([pos, vel], n, d)
 
     def partial_render(pi, vi, tgt):
         if _use_pallas(partials):
@@ -203,10 +232,11 @@ def ring_render_rows(
 
     lead = (data_axis,) if pos.ndim == 3 else ()
     spec = P(*lead, axis, None)
-    return jax.shard_map(
+    shade, depth = jax.shard_map(
         local, mesh=mesh, in_specs=(spec, spec), out_specs=(spec, spec),
         check_vma=False,
     )(pos, vel)
+    return shade[..., :n, :], depth[..., :n, :]
 
 
 # -- steppers (Scene backend="ring") ------------------------------------------

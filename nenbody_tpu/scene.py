@@ -38,7 +38,9 @@ def _resolve_backend(cfg: SimConfig) -> str:
     # footprint becomes prohibitive.
     if jax.default_backend() == "tpu":
         n_dev = len(jax.devices())
-        if n_dev > 1 and cfg.n % n_dev == 0:
+        if n_dev > 1:
+            # arbitrary n: the ring pads the agent axis internally with
+            # inert far sentinels (parallel/ring.py)
             return "ring"
         return "pallas"
     return "dense" if cfg.n <= 8192 else "pallas"

@@ -27,25 +27,8 @@ import numpy as np
 from . import frame as frame_lib
 
 
-def run_live(
-    scene,
-    state,
-    steps_per_frame: int = 10,
-    half_extent: float = 120.0,
-    capture_dir: str = "out/live",
-    max_frames: int | None = None,
-):
-    """Run an interactive viewer loop. Returns the final state."""
-    import matplotlib
-
-    if matplotlib.get_backend().lower() == "agg":  # pragma: no cover
-        raise RuntimeError(
-            "no interactive matplotlib backend; use `nenbody-tpu run --capture`"
-            " or viz.viewer.record_rollout_gif for headless output"
-        )
-    import matplotlib.pyplot as plt
-
-    ctl = {
+def initial_controls() -> dict:
+    return {
         "eye": 0,
         "pan": np.zeros(2, np.float32),
         "zoom": 1.0,
@@ -54,30 +37,70 @@ def run_live(
         "fp": False,  # first-person viewport in the eye panel
     }
 
+
+def apply_key(ctl: dict, key: str, n_agents: int) -> dict:
+    """Pure key-binding logic (unit-testable without a display): mutate and
+    return the control dict for one key press. Bindings in the module
+    docstring; the reference's handlers are src/main.rs:877-886 (WASDQE +
+    escape) and the NenbodyUi slider (main.rs:77-81)."""
+    step = 10.0 * ctl["zoom"]
+    if key == "escape":
+        ctl["quit"] = True
+    elif key == "w":
+        ctl["pan"][1] += step
+    elif key == "s":
+        ctl["pan"][1] -= step
+    elif key == "a":
+        ctl["pan"][0] -= step
+    elif key == "d":
+        ctl["pan"][0] += step
+    elif key == "q":
+        ctl["zoom"] *= 1.25
+    elif key == "e":
+        ctl["zoom"] /= 1.25
+    elif key == "[":
+        ctl["eye"] = (ctl["eye"] - 1) % n_agents
+    elif key == "]":
+        ctl["eye"] = (ctl["eye"] + 1) % n_agents
+    elif key == "v":
+        ctl["fp"] = not ctl["fp"]
+    elif key == "c":
+        ctl["capture"] = True
+    return ctl
+
+
+def run_live(
+    scene,
+    state,
+    steps_per_frame: int = 10,
+    half_extent: float = 120.0,
+    capture_dir: str = "out/live",
+    max_frames: int | None = None,
+    _plt=None,
+    _key_source=None,
+):
+    """Run an interactive viewer loop. Returns the final state.
+
+    _plt/_key_source: test hooks — a pyplot-compatible stub and an iterator
+    of synthetic key presses applied once per frame, letting the full loop
+    (rollout, compose, mode switches, capture) run headless in CI."""
+    if _plt is None:
+        import matplotlib
+
+        if matplotlib.get_backend().lower() == "agg":  # pragma: no cover
+            raise RuntimeError(
+                "no interactive matplotlib backend; use `nenbody-tpu run "
+                "--capture` or viz.viewer.record_rollout_gif for headless "
+                "output"
+            )
+        import matplotlib.pyplot as plt
+    else:
+        plt = _plt
+
+    ctl = initial_controls()
+
     def on_key(ev):  # pragma: no cover - needs a display
-        step = 10.0 * ctl["zoom"]
-        if ev.key == "escape":
-            ctl["quit"] = True
-        elif ev.key == "w":
-            ctl["pan"][1] += step
-        elif ev.key == "s":
-            ctl["pan"][1] -= step
-        elif ev.key == "a":
-            ctl["pan"][0] -= step
-        elif ev.key == "d":
-            ctl["pan"][0] += step
-        elif ev.key == "q":
-            ctl["zoom"] *= 1.25
-        elif ev.key == "e":
-            ctl["zoom"] /= 1.25
-        elif ev.key == "[":
-            ctl["eye"] = (ctl["eye"] - 1) % scene.cfg.n
-        elif ev.key == "]":
-            ctl["eye"] = (ctl["eye"] + 1) % scene.cfg.n
-        elif ev.key == "v":
-            ctl["fp"] = not ctl["fp"]
-        elif ev.key == "c":
-            ctl["capture"] = True
+        apply_key(ctl, ev.key, scene.cfg.n)
 
     fig, (ax_scene, ax_eye) = plt.subplots(
         2, 1, height_ratios=[8, 1], figsize=(8, 5)
@@ -90,6 +113,10 @@ def run_live(
     cap = Viewer(out_dir=capture_dir)
 
     while not ctl["quit"] and (max_frames is None or frames < max_frames):
+        if _key_source is not None:
+            key = next(_key_source, None)
+            if key is not None:
+                apply_key(ctl, key, scene.cfg.n)
         t0 = time.perf_counter()
         state, _ = scene.rollout(state, steps_per_frame)
         pos = np.asarray(state.pos)
