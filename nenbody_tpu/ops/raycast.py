@@ -237,7 +237,12 @@ def _raster_kernel(
     )  # (WB, 1): pixels on sublanes
 
     def eye_body(e, _):
-        # dynamic eye loop — see _raycast_kernel for the scoped-vmem rationale
+        # dynamic eye loop — see _raycast_kernel for the scoped-vmem rationale.
+        # (A per-lane-running-best variant that deferred the cross-lane
+        # min-reductions to a single epilogue resolve was built and measured
+        # SLOWER on v5e across shapes — the extra elementwise select streams
+        # cost more than the per-chunk shuffles they saved; kept in git
+        # history.)
         def body(k, carry, e=e):
             best_d, best_o2, best_inv, best_alb = carry
             j0 = pl.multiple_of(k * tj, tj)
@@ -679,31 +684,40 @@ def _raycast_bwd_kernel(
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "te"))
-def _render_rows_vjp(
+def render_rows_vjp_cross(
     pos: jax.Array,
     dirs: jax.Array,
     depth: jax.Array,
     us: jax.Array,
     ud: jax.Array,
     cfg: VisionConfig,
+    targets: jax.Array | None = None,
     te: int = BWD_EYES_PER_PROGRAM,
 ):
-    """Pullback of the eye render: cotangents (us, ud) on (shade, depth)
-    -> (d pos, d dirs), both [N, 2]."""
+    """Pullback of the (cross-block) eye render: cotangents (us, ud) on
+    (shade, depth) -> (d eye-pos [N,2], d dirs [N,2], d targets [M,2]).
+
+    `depth` must be the FINAL merged depth rows — winners are identified by
+    residual matching, so when partial renders over disjoint target blocks
+    are depth-merged (the multi-chip vision ring), calling this per block
+    with the final depth yields each block's exact gradient share. This is
+    the per-hop primitive of parallel.ring.ring_render_rows_diff."""
+    tgt = pos if targets is None else targets
     n = pos.shape[0]
+    m = tgt.shape[0]
     te = fit_tile(te, n, 8)
     n_pad_e = round_up(n, te)
     # (TJ, W) temporaries: bound to ~32k elems so ~8 live temps stay ~1 MB
-    tj = fit_tile(max(8, (1 << 15) // cfg.width), n, 8)
-    n_pad_t = round_up(n, tj)
+    tj = fit_tile(max(8, (1 << 15) // cfg.width), m, 8)
+    n_pad_t = round_up(m, tj)
 
     ex = pad_axis(pos[:, 0], n_pad_e)
     ey = pad_axis(pos[:, 1], n_pad_e)
     dx = pad_axis(dirs[:, 0], n_pad_e)
     dy = pad_axis(dirs[:, 1], n_pad_e)
-    tx = pad_axis(pos[:, 0], n_pad_t)
-    ty = pad_axis(pos[:, 1], n_pad_t)
-    mask = pad_axis(jnp.ones((n,), jnp.float32), n_pad_t)
+    tx = pad_axis(tgt[:, 0], n_pad_t)
+    ty = pad_axis(tgt[:, 1], n_pad_t)
+    mask = pad_axis(jnp.ones((m,), jnp.float32), n_pad_t)
     dep = pad_axis(depth, n_pad_e)
     usp = pad_axis(us, n_pad_e)  # zero cotangents on padded eyes
     udp = pad_axis(ud, n_pad_e)
@@ -733,11 +747,10 @@ def _render_rows_vjp(
     )(col(ex), col(ey), col(dx), col(dy), col(tx), col(ty), col(mask),
       dep, usp, udp)
     gxi, gyi, gdx, gdy, gtx, gty = outs
-    dpos = jnp.concatenate([gxi, gyi], axis=1)[:n] + jnp.concatenate(
-        [gtx, gty], axis=1
-    )[:n]
+    deye = jnp.concatenate([gxi, gyi], axis=1)[:n]
     ddirs = jnp.concatenate([gdx, gdy], axis=1)[:n]
-    return dpos, ddirs
+    dtgt = jnp.concatenate([gtx, gty], axis=1)[:m]
+    return deye, ddirs, dtgt
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
@@ -758,9 +771,9 @@ def _rrd_bwd(cfg, res, cot):
     pos, vel, depth = res
     us, ud = cot
     dirs, pull_dirs = jax.vjp(camera.unit_heading, vel)
-    dpos, ddirs = _render_rows_vjp(pos, dirs, depth, us, ud, cfg)
+    deye, ddirs, dtgt = render_rows_vjp_cross(pos, dirs, depth, us, ud, cfg)
     (dvel,) = pull_dirs(ddirs)
-    return dpos, dvel
+    return deye + dtgt, dvel
 
 
 render_rows_diff.defvjp(_rrd_fwd, _rrd_bwd)

@@ -22,6 +22,7 @@ dispatch to the Pallas kernels on TPU and the dense jnp path elsewhere.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Tuple
 
 import jax
@@ -237,6 +238,107 @@ def ring_render_rows(
         check_vma=False,
     )(pos, vel)
     return shade[..., :n, :], depth[..., :n, :]
+
+
+# -- differentiable vision ring -----------------------------------------------
+#
+# ring_render_rows with a custom VJP: the forward is the ordinary ring; the
+# backward circulates target blocks a second time, and at each hop pulls the
+# local eyes' cotangents back through the cross-block raycast VJP
+# (ops/raycast.render_rows_vjp_cross — winners identified against the FINAL
+# merged depth residual, so each hop recovers exactly its block's gradient
+# share). The per-block target gradients travel WITH the circulating block:
+# after the full cycle of D ppermutes each block's accumulated gradient is
+# back on its home device. This makes APG-through-perception multi-chip
+# (rl/apg.py diff_vision with a mesh).
+
+
+def _unit_heading(vel):
+    from ..vision import camera
+
+    return camera.unit_heading(vel)
+
+
+def _ring_render_bwd_local(pos_l, vel_l, depth_l, us_l, ud_l, vcfg, d, axis):
+    """Per-device backward ring (runs inside shard_map; handles an optional
+    leading env-batch dim by vmapping the per-hop VJP primitive while the
+    ppermute moves whole batched blocks, mirroring the forward)."""
+    from ..ops import raycast
+
+    dirs_l, pull_dirs = jax.vjp(_unit_heading, vel_l)
+
+    def cross(p, dd, dep, us, ud, t):
+        return raycast.render_rows_vjp_cross(
+            p, dd, dep, us, ud, vcfg, targets=t
+        )
+
+    acc_eye = jnp.zeros_like(pos_l)
+    acc_dir = jnp.zeros_like(pos_l)
+    blk = pos_l
+    gblk = jnp.zeros_like(pos_l)
+    for _ in range(d):
+        if pos_l.ndim == 3:
+            deye, ddir, dtgt = jax.vmap(cross)(
+                pos_l, dirs_l, depth_l, us_l, ud_l, blk
+            )
+        else:
+            deye, ddir, dtgt = cross(pos_l, dirs_l, depth_l, us_l, ud_l, blk)
+        acc_eye = acc_eye + deye
+        acc_dir = acc_dir + ddir
+        gblk = gblk + dtgt
+        # permute on EVERY hop (d total) so blk/gblk return home
+        blk, gblk = jax.lax.ppermute((blk, gblk), axis, _perm(d))
+    (dvel,) = pull_dirs(acc_dir)
+    return acc_eye + gblk, dvel
+
+
+def ring_render_rows_diff(
+    pos: jax.Array,
+    vel: jax.Array,
+    vcfg: VisionConfig,
+    mesh: Optional[Mesh] = None,
+    axis: str = AGENT_AXIS,
+    data_axis: Optional[str] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """ring_render_rows with gradients (see block comment above). Requires
+    N divisible by the mesh axis (sentinel padding would need masked
+    cotangent plumbing; use divisible N for differentiable vision)."""
+    mesh = mesh or default_mesh()
+    n = pos.shape[-2]
+    d = mesh.shape[axis]
+    if n % d:
+        raise ValueError(
+            f"ring_render_rows_diff needs agent count {n} divisible by mesh "
+            f"axis {axis!r} (size {d})"
+        )
+
+    @functools.partial(jax.custom_vjp, nondiff_argnums=())
+    def _render(p, v):
+        return ring_render_rows(p, v, vcfg, mesh=mesh, axis=axis,
+                                data_axis=data_axis)
+
+    def _fwd(p, v):
+        shade, depth = _render(p, v)
+        return (shade, depth), (p, v, depth)
+
+    def _bwd(res, cot):
+        p, v, depth = res
+        us, ud = cot
+
+        def local(p_l, v_l, dep_l, us_l, ud_l):
+            return _ring_render_bwd_local(p_l, v_l, dep_l, us_l, ud_l,
+                                          vcfg, d, axis)
+
+        lead = (data_axis,) if p.ndim == 3 else ()
+        spec = P(*lead, axis, None)
+        dpos, dvel = jax.shard_map(
+            local, mesh=mesh, in_specs=(spec,) * 5, out_specs=(spec, spec),
+            check_vma=False,
+        )(p, v, depth, us, ud)
+        return dpos, dvel
+
+    _render.defvjp(_fwd, _bwd)
+    return _render(pos, vel)
 
 
 # -- steppers (Scene backend="ring") ------------------------------------------

@@ -57,16 +57,12 @@ def make_apg_step(
 
     diff_vision=True additionally backpropagates THROUGH perception: the
     observation is not stop-gradiented, so d reward / d params flows
-    obs -> raycast VJP (ops/raycast.render_rows_diff) -> positions as well
-    as through the action chain. Pair with cfg.vision.antialias=True — the
-    antialiased observation is piecewise-linear in positions, binary
-    coverage is piecewise-constant (gradient zero a.e.)."""
-    if diff_vision and mesh is not None:
-        raise ValueError(
-            "diff_vision is single-host for now: the ring render has no VJP "
-            "(the per-hop raycast does — wiring the ring transpose is "
-            "tracked in NEXT.md)"
-        )
+    obs -> raycast VJP (ops/raycast.render_rows_diff; on a mesh, the
+    backward vision ring parallel.ring.ring_render_rows_diff) -> positions
+    as well as through the action chain. Pair with
+    cfg.vision.antialias=True — the antialiased observation is
+    piecewise-linear in positions, binary coverage is piecewise-constant
+    (gradient zero a.e.)."""
     if mesh is None:
         observe_b = jax.vmap(env.observe)
         dyn_b = jax.vmap(env.dynamics)
@@ -75,9 +71,12 @@ def make_apg_step(
         from ..parallel.mesh import DATA_AXIS
 
         cfg = env.cfg
+        render_ring = (
+            ring.ring_render_rows_diff if diff_vision else ring.ring_render_rows
+        )
 
         def observe_b(states):
-            lines = ring.ring_render_rows(
+            lines = render_ring(
                 states.pos, states.vel, cfg.vision, mesh=mesh, data_axis=DATA_AXIS
             )[0]
             return jnp.concatenate([lines, states.vel], axis=-1)

@@ -61,10 +61,10 @@ class VisionEnv:
     ):
         if cfg.vision is None:
             raise ValueError("VisionEnv requires cfg.vision")
-        if reward_mode not in ("cohesion", "visibility"):
+        if reward_mode not in ("cohesion", "team", "difference", "visibility"):
             raise ValueError(
-                f"reward_mode must be 'cohesion' or 'visibility', got "
-                f"{reward_mode!r}"
+                f"reward_mode must be one of cohesion/team/difference/"
+                f"visibility, got {reward_mode!r}"
             )
         self.cfg = cfg
         self.reward_mode = reward_mode
@@ -135,16 +135,42 @@ class VisionEnv:
         return next_state, obs, self.reward(next_state)
 
     def reward(self, state: SceneState) -> jax.Array:
-        """[N]: cohesion shaping — negative mean-square distance to the
-        swarm centroid (scaled to O(1) for spawn bounds +-100), minus an
-        optional quadratic speed cost. (reward_mode='cohesion'; for
-        'visibility' the reward is a function of the OBSERVATION, see
-        reward_obs — state-only callers fall back to recomputing it.)"""
+        """[N] per-agent reward, by reward_mode:
+
+        cohesion   (default) -|x_i - centroid|^2 / 1e4 — per-agent shaping.
+        team       every agent receives the TEAM objective G = mean of the
+                   cohesion terms — the shared-reward credit-assignment
+                   stress case (NEXT r1 #6: score-function trainers starve
+                   on it at 64+ agents).
+        difference the counterfactual fix: D_i = G(z) - G(z_{-i}), the
+                   team objective minus the team objective WITH AGENT i
+                   REMOVED (Wolpert-Tumer difference rewards / the COMA
+                   idea in closed form). For the centroid objective the
+                   removal has an exact O(N) form via the parallel-axis
+                   theorem: with d_i = x_i - c and S = sum_j |d_j|^2,
+                   sum_{j!=i} |x_j - c_{-i}|^2 = S - N|d_i|^2/(N-1).
+                   Everything an agent cannot influence cancels in D_i, so
+                   the score-function gradient sees only its own marginal
+                   contribution.
+        visibility observation-defined (see reward_obs).
+
+        A quadratic speed cost subtracts from every mode when set."""
         if self.reward_mode == "visibility":
             return self.reward_obs(self.observe(state))
         centroid = jnp.mean(state.pos, axis=-2, keepdims=True)
-        d2 = jnp.sum((state.pos - centroid) ** 2, axis=-1)
-        r = -d2 / 1e4
+        d = state.pos - centroid
+        d2 = jnp.sum(d * d, axis=-1)
+        if self.reward_mode == "cohesion":
+            r = -d2 / 1e4
+        else:
+            n = state.pos.shape[-2]
+            team = -jnp.mean(d2, axis=-1, keepdims=True) / 1e4  # G, [..., 1]
+            if self.reward_mode == "team":
+                r = jnp.broadcast_to(team, d2.shape)
+            else:  # difference rewards
+                s = jnp.sum(d2, axis=-1, keepdims=True)
+                g_without = -(s - n * d2 / (n - 1)) / ((n - 1) * 1e4)
+                r = team - g_without
         if self.speed_penalty:
             r = r - self.speed_penalty * jnp.sum(state.vel**2, axis=-1)
         return r

@@ -34,13 +34,17 @@ def _agent_row(
     pos: jax.Array,  # [M, 2] all target positions (including self)
     cfg: VisionConfig,
     albedo: jax.Array | None = None,  # [M] per-target albedo override
+    texture: jax.Array | None = None,  # [Ht, Wt] sampled at the splat uv
 ) -> Tuple[jax.Array, jax.Array]:
     """Render one agent's 1D line. Returns (shade [W], depth [W]).
 
     The self-target is culled for free: rel=0 gives forward depth 0 < near.
     `albedo` gives each target its own base brightness (the skin.png
     per-agent appearance analog, src/main.rs:322-356) in place of the
-    scalar cfg.sprite_albedo.
+    scalar cfg.sprite_albedo. `texture` turns the constant-albedo disc into
+    a texture-sampled one: the fragment samples the texture at the splat's
+    scanline uv (uv = (off/2 + 0.5, 0.5)) before the vignette, exactly
+    scene.frag:11-16's tex * (1 - mag^2) structure.
     """
     rel = pos - p_i  # [M, 2]
     u_c, du, f, visible = camera.project(rel, d_i, cfg)
@@ -70,6 +74,9 @@ def _agent_row(
         alb = cfg.sprite_albedo
     else:
         alb = jnp.take(albedo, winner)  # winner's own base brightness
+    if texture is not None:
+        uv = jnp.stack([0.5 + 0.5 * oc, jnp.full_like(oc, 0.5)], axis=-1)
+        alb = alb * sample_texture(texture, uv)
     shade = alb * (1.0 - 0.25 * oc * oc)
     if cfg.antialias:
         # exact 1D box-filter coverage of the splat edge over the pixel
@@ -103,6 +110,7 @@ def _agent_row_wireframe(
     hdg: jax.Array,  # [M, 2] target unit headings (sprite orientation)
     cfg: VisionConfig,
     albedo: jax.Array | None = None,  # [M] per-target albedo override
+    texture: jax.Array | None = None,  # [Ht, Wt] sampled at edge uv
 ) -> Tuple[jax.Array, jax.Array]:
     """One eye line against the exact reference sprite (see
     VisionConfig.sprite_mode). Every sprite edge is a segment in the eye's
@@ -153,6 +161,10 @@ def _agent_row_wireframe(
         ]  # [M, W, 2]
         mag2 = jnp.sum((uv - 0.5) ** 2, axis=-1)
         alb = cfg.sprite_albedo if albedo is None else albedo[:, None]
+        if texture is not None:
+            # the reference samples skin.png at the interpolated vertex uv
+            # (scene.frag:11-14) before the vignette darkening
+            alb = alb * sample_texture(texture, uv)
         shades.append(alb * (1.0 - mag2))
         depths.append(jnp.where(hit, fk, jnp.inf))
 
@@ -177,6 +189,7 @@ def render_rows(
     targets: jax.Array | None = None,
     target_vel: jax.Array | None = None,
     albedo: jax.Array | None = None,
+    texture: jax.Array | None = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Render every agent's eye line. pos, vel: [N, 2].
 
@@ -199,10 +212,12 @@ def render_rows(
             raise ValueError("wireframe sprites need target_vel with targets")
         hdg = camera.unit_heading(tvel)
         fn = lambda args: _agent_row_wireframe(
-            args[0], args[1], tgt, hdg, cfg, albedo=albedo
+            args[0], args[1], tgt, hdg, cfg, albedo=albedo, texture=texture
         )
     else:
-        fn = lambda args: _agent_row(args[0], args[1], tgt, cfg, albedo=albedo)
+        fn = lambda args: _agent_row(
+            args[0], args[1], tgt, cfg, albedo=albedo, texture=texture
+        )
     return jax.lax.map(fn, (pos, dirs), batch_size=min(chunk, n))
 
 
@@ -236,6 +251,42 @@ def to_rgb(shade: jax.Array, depth: jax.Array, cfg: VisionConfig) -> jax.Array:
     sprite = jnp.asarray(SPRITE_RGB, shade.dtype)
     norm = shade[..., None] / max(cfg.sprite_albedo, 1e-6)
     return jnp.where(hit, sprite * norm, bg)
+
+
+def sample_texture(texture: jax.Array, uv: jax.Array) -> jax.Array:
+    """Bilinear texture sample — the sampler the reference binds for its
+    skin.png (clamp-to-edge, linear min filter; src/main.rs:358-376).
+    texture [Ht, Wt]; uv [..., 2] in [0, 1] (uv.x -> width axis, matching
+    scene.frag's vec2(v_TexCoord.x, v_TexCoord.y)). Returns [...]."""
+    ht, wt = texture.shape
+    x = jnp.clip(uv[..., 0], 0.0, 1.0) * (wt - 1)
+    y = jnp.clip(uv[..., 1], 0.0, 1.0) * (ht - 1)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, wt - 1)
+    y1 = jnp.minimum(y0 + 1, ht - 1)
+    fx = x - x0
+    fy = y - y0
+    t00 = texture[y0, x0]
+    t01 = texture[y0, x1]
+    t10 = texture[y1, x0]
+    t11 = texture[y1, x1]
+    return (
+        t00 * (1 - fx) * (1 - fy)
+        + t01 * fx * (1 - fy)
+        + t10 * (1 - fx) * fy
+        + t11 * fx * fy
+    )
+
+
+def checker_texture(size: int = 32, cells: int = 4,
+                    lo: float = 0.35, hi: float = 1.0) -> jax.Array:
+    """Procedural [size, size] checkerboard — a stand-in asset for the
+    reference's skin.png (we synthesize textures rather than copy assets);
+    any [Ht, Wt] array in [0, 1] works as a texture."""
+    i = jnp.arange(size) * cells // size
+    board = (i[:, None] + i[None, :]) % 2
+    return (lo + (hi - lo) * board).astype(jnp.float32)
 
 
 def default_agent_colors(n: int) -> jax.Array:

@@ -188,18 +188,5 @@ def test_apg_diff_vision_gradient_is_load_bearing():
     assert np.isfinite(norms[True]) and norms[True] > 0.0, norms[True]
 
 
-def test_diff_vision_rejects_mesh():
-    import optax
-
-    from nenbody_tpu.parallel.mesh import make_mesh
-    from nenbody_tpu.rl import apg as apg_lib
-    from nenbody_tpu.rl.env import VisionEnv
-
-    env = VisionEnv(
-        SimConfig(n=16, controller="gravity", vision=VisionConfig(width=16))
-    )
-    with pytest.raises(ValueError, match="diff_vision"):
-        apg_lib.make_apg_step(
-            env, lambda p, o: (o[..., :2], None), optax.adam(1e-3),
-            mesh=make_mesh({"agents": 1}), diff_vision=True,
-        )
+# (diff_vision on a mesh is exercised in tests/test_ring_diff_vision.py —
+# the backward vision ring makes it multi-chip.)

@@ -127,8 +127,8 @@ def test_auto_backend_resolution(monkeypatch):
     assert scene_mod._resolve_backend(SimConfig(n=256, controller="gravity")) == "pallas"
     monkeypatch.setattr(scene_mod.jax, "devices", lambda: [object()] * 4)
     assert scene_mod._resolve_backend(SimConfig(n=256, controller="gravity")) == "ring"
-    # indivisible agent counts stay single-chip
-    assert scene_mod._resolve_backend(SimConfig(n=255, controller="gravity")) == "pallas"
+    # indivisible agent counts ALSO ride the ring now (internal padding)
+    assert scene_mod._resolve_backend(SimConfig(n=255, controller="gravity")) == "ring"
     # explicit choice always wins
     assert scene_mod._resolve_backend(
         SimConfig(n=256, controller="gravity", backend="dense")
