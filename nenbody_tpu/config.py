@@ -134,7 +134,8 @@ class VisionConfig:
     #               FILLED sprite too. Orientation-dependent: the projected
     #               extent varies with the target's heading (nose radius 1,
     #               rear corners sqrt(2)), which the disc approximates at
-    #               constant radius. Dense path only; no analytic AA.
+    #               constant radius. Dense + Pallas (ops/wireframe.py);
+    #               no analytic AA.
     sprite_mode: str = "disc"
 
     def __post_init__(self):

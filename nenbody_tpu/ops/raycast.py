@@ -421,8 +421,8 @@ def render_rows_tiled(
     """
     if cfg.sprite_mode != "disc":
         raise NotImplementedError(
-            "the Pallas raycast models the disc splat; "
-            "sprite_mode='wireframe' renders through vision.render (dense)"
+            "the Pallas raycast models the disc splat; sprite_mode="
+            "'wireframe' has its own kernel in ops.wireframe"
         )
     tgt = pos if targets is None else targets
     n = pos.shape[0]

@@ -1,0 +1,501 @@
+"""Pallas wireframe-sprite raycast: the exact reference sprite, fast.
+
+The dense `vision.render._agent_row_wireframe` is the parity oracle for the
+reference's actual sprite — a LineStrip triangle (verts/uvs
+src/main.rs:130-139, index buffer [0,1,2,0] at main.rs:249) oriented to each
+target's heading, scanline-intersected per edge with the uv-interpolated
+squared-radial vignette of shaders/scene.frag:15-16. Round 2 left that mode
+dense-only (NEXT #3); this kernel makes `sprite_mode="wireframe"` a
+throughput mode too.
+
+Two TPU-specific simplifications keep the inner loop near the disc kernel's
+structure (ops/raycast.py):
+
+1. The uv vignette is a STATIC QUADRATIC in the edge parameter tau. The
+   sprite uvs are compile-time constants, so along edge (a, b)
+       mag2(tau) = |uv_a - .5 + tau*(uv_b - uv_a)|^2 = c0 + c1*tau + c2*tau^2
+   with python-float c's — no uv interpolation or 2D norm in the kernel.
+2. The three edges merge ELEMENTWISE (depth-min keeps the nearer fragment)
+   before any cross-target reduction, so each (target-chunk, pixel-block)
+   tile still pays exactly one depth min-reduce + one winner-select pass —
+   the same reduce count as the disc kernel, ~3x its elementwise ops.
+
+Both disc variants are mirrored: a rasterize-only kernel over XLA-
+precomputed per-(eye, target, vert) view coordinates (6 [N_e, N_t] tensors;
+pixels ride the sublanes) for shapes where those fit HBM, and a streaming
+kernel that projects the 3 sprite verts per target chunk in (TJ, 1) columns
+for huge N. Must match vision.render's wireframe path at fp32 tolerances —
+enforced by tests/test_wireframe_kernel.py.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import VisionConfig
+from ..vision import camera
+from ..vision.render import SPRITE_EDGES, SPRITE_UVS, SPRITE_VERTS
+from .common import col, fit_tile, interpret_mode, pad_axis, round_up, row
+
+EYES_PER_PROGRAM = 8
+TILE_J = 256
+
+
+def _unroll_cap(wb: int, tj: int, streaming: bool = False) -> int:
+    """Manual-unroll cap for the per-edge kernels (see raycast for the
+    Mosaic scoped-vmem rationale). Swept on v5e: the raster kernel gains
+    ~11% up to 16 unrolled eyes with no scoped-vmem OOM at any shape
+    (Mosaic reuses the per-edge temporaries across the static edge loop);
+    the STREAMING kernel regresses ~3x past 4 — its per-eye (TJ, 1)
+    projection columns multiply with the unroll and crowd the stack."""
+    return 4 if streaming else 16
+
+# Per-edge vignette quadratic mag2(tau) = C0 + C1*tau + C2*tau^2 (see module
+# docstring). Computed once from the static sprite uvs.
+_EDGE_QUAD = tuple(
+    (
+        (SPRITE_UVS[a][0] - 0.5) ** 2 + (SPRITE_UVS[a][1] - 0.5) ** 2,
+        2.0
+        * (
+            (SPRITE_UVS[a][0] - 0.5) * (SPRITE_UVS[b][0] - SPRITE_UVS[a][0])
+            + (SPRITE_UVS[a][1] - 0.5) * (SPRITE_UVS[b][1] - SPRITE_UVS[a][1])
+        ),
+        (SPRITE_UVS[b][0] - SPRITE_UVS[a][0]) ** 2
+        + (SPRITE_UVS[b][1] - SPRITE_UVS[a][1]) ** 2,
+    )
+    for a, b in SPRITE_EDGES
+)
+
+
+def _edge_fragments(ut, fa, la, fb, lb, quad, alb, cfg: VisionConfig):
+    """One edge's (depth, shade) fragment fields over a (pixel, target) tile.
+
+    ut: pixel ray slopes u*tan(hfov/2), broadcast against the per-vert view
+    coords fa/la/fb/lb (projected edge endpoints). Closed-form segment
+    intersection: tau = (ut*fa - la) / (dl - ut*df); depth f(tau) linear,
+    vignette mag2(tau) the static quadratic `quad`. Misses get depth=far.
+    """
+    df = fb - fa
+    dl = lb - la
+    num = ut * fa - la
+    den = dl - ut * df
+    ok = jnp.abs(den) > 1e-12  # edge parallel to the ray: no crossing
+    tau = num / jnp.where(ok, den, 1.0)
+    fk = fa + tau * df
+    hit = ok & (tau >= 0.0) & (tau <= 1.0) & (fk > cfg.near) & (fk < cfg.far)
+    c0, c1, c2 = quad
+    mag2 = c0 + tau * (c1 + c2 * tau)
+    shade = alb * (1.0 - mag2)
+    return jnp.where(hit, fk, cfg.far), shade
+
+
+def _merge_edges(ut, f_v, l_v, alb, cfg: VisionConfig):
+    """Elementwise depth-min across the 3 sprite edges -> (depth, shade)
+    fragment fields with one value per (pixel, target) element. The dense
+    oracle's argmin over the flattened [3M] axis factors into this
+    elementwise merge + the caller's cross-target reduce because depth-min
+    is associative (ties broken toward the lower edge index, as argmin)."""
+    d_m = None
+    s_m = None
+    for (a, b), quad in zip(SPRITE_EDGES, _EDGE_QUAD):
+        d_e, s_e = _edge_fragments(
+            ut, f_v[a], l_v[a], f_v[b], l_v[b], quad, alb, cfg
+        )
+        if d_m is None:
+            d_m, s_m = d_e, s_e
+        else:
+            take = d_e < d_m
+            s_m = jnp.where(take, s_e, s_m)
+            d_m = jnp.minimum(d_m, d_e)
+    return d_m, s_m
+
+
+def _reduce_chunk(d_m, s_m, best_d, best_s, axis: int, cfg: VisionConfig):
+    """Cross-target winner reduction for one chunk: depth min + the winning
+    fragment's shade (min-tie-break, same structure as the disc kernel),
+    folded into the running per-pixel best."""
+    cmin = jnp.min(d_m, axis=axis, keepdims=True)
+    covered = cmin < cfg.far
+    win = (d_m == cmin) & covered
+    s_win = jnp.min(jnp.where(win, s_m, jnp.inf), axis=axis, keepdims=True)
+    better = cmin < best_d
+    best_s = jnp.where(better, s_win, best_s)
+    best_d = jnp.minimum(best_d, cmin)
+    return best_d, best_s
+
+
+def _finish(best_d, best_s, cfg: VisionConfig):
+    hit = best_d < cfg.far
+    shade = jnp.where(hit, best_s, cfg.background)
+    return shade, best_d
+
+
+def _wireframe_raster_kernel(
+    # [TE, N_pad] per-vert view coords (f0, l0, f1, l1, f2, l2)
+    f0_ref, l0_ref, f1_ref, l1_ref, f2_ref, l2_ref,
+    *rest,  # [alb_ref ([1, N_pad]) when has_alb,] shade_ref, depth_ref
+    cfg: VisionConfig,
+    tj: int,
+    has_alb: bool = False,
+):
+    """Rasterize-only wireframe kernel over XLA-precomputed projections —
+    the wireframe mirror of raycast._raster_kernel (pixels on sublanes,
+    targets on lanes, full lane packing)."""
+    if has_alb:
+        alb_ref, shade_ref, depth_ref = rest
+    else:
+        alb_ref = None
+        shade_ref, depth_ref = rest
+    f_refs = (f0_ref, f1_ref, f2_ref)
+    l_refs = (l0_ref, l1_ref, l2_ref)
+    te = f0_ref.shape[0]
+    wb = shade_ref.shape[1]
+    n_pad = f0_ref.shape[1]
+    num_chunks = n_pad // tj
+    t = math.tan(math.radians(cfg.hfov_deg) * 0.5)
+
+    p0 = pl.program_id(1) * wb
+    u_p = (
+        2.0
+        * (
+            p0
+            + jax.lax.broadcasted_iota(jnp.int32, (wb, 1), 0).astype(jnp.float32)
+            + 0.5
+        )
+        / cfg.width
+        - 1.0
+    )  # (WB, 1): pixels on sublanes
+    ut = u_p * t
+
+    def eye_body(e, _):
+        # dynamic eye loop — see raycast._raycast_kernel for the scoped-vmem
+        # rationale (Mosaic allocates the body's stack once per loop)
+        def body(k, carry, e=e):
+            best_d, best_s = carry
+            j0 = pl.multiple_of(k * tj, tj)
+            f_v = [r[pl.ds(e, 1), pl.ds(j0, tj)] for r in f_refs]  # (1, TJ)
+            l_v = [r[pl.ds(e, 1), pl.ds(j0, tj)] for r in l_refs]
+            alb = (
+                alb_ref[0:1, pl.ds(j0, tj)] if has_alb else cfg.sprite_albedo
+            )
+            d_m, s_m = _merge_edges(ut, f_v, l_v, alb, cfg)  # (WB, TJ)
+            return _reduce_chunk(d_m, s_m, best_d, best_s, 1, cfg)
+
+        init = (
+            jnp.full((wb, 1), cfg.far, jnp.float32),
+            jnp.full((wb, 1), cfg.background, jnp.float32),
+        )
+        best_d, best_s = jax.lax.fori_loop(0, num_chunks, body, init)
+        shade, depth = _finish(best_d, best_s, cfg)
+        shade_ref[pl.ds(e, 1), :] = jnp.transpose(shade)
+        depth_ref[pl.ds(e, 1), :] = jnp.transpose(depth)
+        return 0
+
+    cap = _unroll_cap(wb, tj)
+    ue = 1
+    while ue * 2 <= min(te, cap) and te % (ue * 2) == 0:
+        ue *= 2
+
+    def group_body(g, _):
+        base = g * ue
+        for u in range(ue):
+            eye_body(base + u, 0)
+        return 0
+
+    jax.lax.fori_loop(0, te // ue, group_body, 0)
+
+
+def _wireframe_stream_kernel(
+    ex_ref, ey_ref, dx_ref, dy_ref,  # [TE, 1] eye position / unit heading
+    tx_ref, ty_ref,  # [N_pad, 1] target positions (sublane-major)
+    cx_ref, cy_ref,  # [N_pad, 1] target heading cos/sin (sprite orientation)
+    m_ref,  # [N_pad, 1] target padding mask
+    *rest,  # [alb_ref ([N_pad, 1]) when has_alb,] shade_ref, depth_ref
+    cfg: VisionConfig,
+    tj: int,
+    has_alb: bool = False,
+):
+    """Streaming wireframe kernel: per target chunk the 3 sprite verts are
+    rotated to the target heading and projected into the eye frame as
+    (TJ, 1) columns (amortized over the pixel block), then the per-edge
+    pixel core runs on (TJ, WB) tiles — the wireframe mirror of
+    raycast._raycast_kernel, for N too large for the precompute tensors."""
+    if has_alb:
+        alb_ref, shade_ref, depth_ref = rest
+    else:
+        alb_ref = None
+        shade_ref, depth_ref = rest
+    te = ex_ref.shape[0]
+    wb = shade_ref.shape[1]
+    n_pad = tx_ref.shape[0]
+    num_chunks = n_pad // tj
+    t = math.tan(math.radians(cfg.hfov_deg) * 0.5)
+    r = cfg.sprite_radius
+    verts = [(vx * r, vy * r) for vx, vy in SPRITE_VERTS]
+
+    p0 = pl.program_id(1) * wb
+    u_p = (
+        2.0
+        * (
+            p0
+            + jax.lax.broadcasted_iota(jnp.int32, (1, wb), 1).astype(jnp.float32)
+            + 0.5
+        )
+        / cfg.width
+        - 1.0
+    )  # (1, WB): pixels on lanes
+    ut = u_p * t
+
+    def eye_body(e, _):
+        px, py = ex_ref[e, 0], ey_ref[e, 0]
+        hx, hy = dx_ref[e, 0], dy_ref[e, 0]
+
+        def body(k, carry, px=px, py=py, hx=hx, hy=hy):
+            best_d, best_s = carry
+            j0 = pl.multiple_of(k * tj, tj)
+            tx = tx_ref[pl.ds(j0, tj), :]  # (TJ, 1)
+            ty = ty_ref[pl.ds(j0, tj), :]
+            cth = cx_ref[pl.ds(j0, tj), :]
+            sth = cy_ref[pl.ds(j0, tj), :]
+            mj = m_ref[pl.ds(j0, tj), :] > 0.0
+
+            # rotate + project the 3 sprite verts: (TJ, 1) columns. Padded
+            # targets collapse to a single behind-the-eye point (f = -1,
+            # l = 0): every edge degenerates (den = 0) and never hits.
+            f_v, l_v = [], []
+            for vx, vy in verts:
+                wxr = vx * cth - vy * sth
+                wyr = vx * sth + vy * cth
+                relx = tx + wxr - px
+                rely = ty + wyr - py
+                fv = relx * hx + rely * hy
+                lv = relx * hy - rely * hx
+                f_v.append(jnp.where(mj, fv, -1.0))
+                l_v.append(jnp.where(mj, lv, 0.0))
+
+            alb = alb_ref[pl.ds(j0, tj), :] if has_alb else cfg.sprite_albedo
+            d_m, s_m = _merge_edges(ut, f_v, l_v, alb, cfg)  # (TJ, WB)
+            return _reduce_chunk(d_m, s_m, best_d, best_s, 0, cfg)
+
+        init = (
+            jnp.full((1, wb), cfg.far, jnp.float32),
+            jnp.full((1, wb), cfg.background, jnp.float32),
+        )
+        best_d, best_s = jax.lax.fori_loop(0, num_chunks, body, init)
+        shade, depth = _finish(best_d, best_s, cfg)
+        shade_ref[pl.ds(e, 1), :] = shade
+        depth_ref[pl.ds(e, 1), :] = depth
+        return 0
+
+    cap = _unroll_cap(wb, tj, streaming=True)
+    ue = 1
+    while ue * 2 <= min(te, cap) and te % (ue * 2) == 0:
+        ue *= 2
+
+    def group_body(g, _):
+        base = g * ue
+        for u in range(ue):
+            eye_body(base + u, 0)
+        return 0
+
+    jax.lax.fori_loop(0, te // ue, group_body, 0)
+
+
+def _project_verts_all(pos, dirs, tgt, hdg, cfg: VisionConfig, n_pad_t: int):
+    """Fused XLA projection of every target's 3 sprite verts into every eye:
+    6 tensors (f_v, l_v per vert), each [N_e, N_t_pad]. Padded targets get
+    the degenerate behind-the-eye encoding (f=-1, l=0: no edge crossing)."""
+    r = cfg.sprite_radius
+    verts = jnp.asarray(SPRITE_VERTS, jnp.float32) * r  # [3, 2]
+    cth, sth = hdg[:, 0], hdg[:, 1]
+    vx = verts[None, :, 0] * cth[:, None] - verts[None, :, 1] * sth[:, None]
+    vy = verts[None, :, 0] * sth[:, None] + verts[None, :, 1] * cth[:, None]
+    wx = tgt[:, 0:1] + vx  # [N_t, 3]
+    wy = tgt[:, 1:2] + vy
+    relx = wx[None, :, :] - pos[:, None, 0:1]  # [N_e, N_t, 3]
+    rely = wy[None, :, :] - pos[:, None, 1:2]
+    f = relx * dirs[:, None, 0:1] + rely * dirs[:, None, 1:2]
+    l = relx * dirs[:, None, 1:2] - rely * dirs[:, None, 0:1]
+    pad = n_pad_t - tgt.shape[0]
+    if pad:
+        f = jnp.pad(f, ((0, 0), (0, pad), (0, 0)), constant_values=-1.0)
+        l = jnp.pad(l, ((0, 0), (0, pad), (0, 0)), constant_values=0.0)
+    return [f[:, :, v] for v in range(3)], [l[:, :, v] for v in range(3)]
+
+
+# 6 [N_e, N_t] tensors (vs the disc path's 3) — halve the element gate so the
+# HBM footprint matches raycast._PRECOMPUTE_MAX_ELEMS.
+_PRECOMPUTE_MAX_ELEMS = 1 << 23
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "te", "tj"))
+def render_rows_wireframe_tiled(
+    pos: jax.Array,
+    vel: jax.Array,
+    cfg: VisionConfig,
+    te: int = EYES_PER_PROGRAM,
+    tj: int = TILE_J,
+    targets: jax.Array | None = None,
+    target_vel: jax.Array | None = None,
+    albedo: jax.Array | None = None,
+):
+    """Pallas counterpart of vision.render.render_rows with
+    sprite_mode='wireframe'. pos, vel: [N, 2] -> (shade [N, W], depth [N, W]).
+
+    `targets`/`target_vel` render the eyes against a different position set
+    (partial rows depth-merge with vision.render.merge_rows); `albedo` [M]
+    gives each target its own base brightness.
+    """
+    if cfg.sprite_mode != "wireframe":
+        raise ValueError("render_rows_wireframe_tiled needs sprite_mode='wireframe'")
+    if targets is None:
+        tgt, tvel = pos, vel
+    else:
+        if target_vel is None:
+            raise ValueError("wireframe sprites need target_vel with targets")
+        tgt, tvel = targets, target_vel
+    n = pos.shape[0]
+    m = tgt.shape[0]
+    dirs = camera.unit_heading(vel)
+    hdg = camera.unit_heading(tvel)
+
+    if cfg.width <= 128:
+        wb = cfg.width
+    elif cfg.width % 128 == 0:
+        wb = 128
+    elif cfg.width <= 256:
+        wb = cfg.width
+    else:
+        raise ValueError(
+            f"the Pallas render path needs vision width <= 256 or a multiple "
+            f"of 128, got {cfg.width}; use backend='dense' for odd widths"
+        )
+
+    n_pad_e = round_up(n, te)
+    has_alb = albedo is not None
+
+    # precompute path (same gates as the disc kernel, halved for 6 tensors)
+    te_p = fit_tile(32, n, 8)
+    if (
+        n_pad_e * round_up(m, 128) <= _PRECOMPUTE_MAX_ELEMS
+        and 6 * te_p * round_up(m, 128) * 4 <= (6 << 20)
+    ):
+        if round_up(m, 128) <= 128 and cfg.width % 128 == 0 and cfg.width > 128:
+            wb = next(d for d in (512, 256, 128) if cfg.width % d == 0)
+            te_p = fit_tile(16, n, 8)
+        n_pad_e_p = round_up(n, te_p)
+        tj_p = fit_tile(min(1024, max(128, (1 << 16) // wb)), m, 128)
+        n_pad_t_p = round_up(m, tj_p)
+        f_v, l_v = _project_verts_all(pos, dirs, tgt, hdg, cfg, n_pad_t_p)
+        if n_pad_e_p != n:
+            padw = ((0, n_pad_e_p - n), (0, 0))
+            f_v = [jnp.pad(x, padw, constant_values=-1.0) for x in f_v]
+            l_v = [jnp.pad(x, padw, constant_values=0.0) for x in l_v]
+
+        grid = (n_pad_e_p // te_p, cfg.width // wb)
+        kernel = functools.partial(
+            _wireframe_raster_kernel, cfg=cfg, tj=tj_p, has_alb=has_alb
+        )
+        pspec = lambda: pl.BlockSpec(
+            (te_p, n_pad_t_p), lambda i, p: (i, 0), memory_space=pltpu.VMEM
+        )
+        ospec = lambda: pl.BlockSpec(
+            (te_p, wb), lambda i, p: (i, p), memory_space=pltpu.VMEM
+        )
+        in_specs = [pspec() for _ in range(6)]
+        args = [f_v[0], l_v[0], f_v[1], l_v[1], f_v[2], l_v[2]]
+        if has_alb:
+            in_specs.append(
+                pl.BlockSpec(
+                    (1, n_pad_t_p), lambda i, p: (0, 0), memory_space=pltpu.VMEM
+                )
+            )
+            args.append(row(pad_axis(albedo, n_pad_t_p)))
+        shade, depth = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=[ospec(), ospec()],
+            out_shape=[
+                jax.ShapeDtypeStruct((n_pad_e_p, cfg.width), jnp.float32),
+                jax.ShapeDtypeStruct((n_pad_e_p, cfg.width), jnp.float32),
+            ],
+            cost_estimate=pl.CostEstimate(
+                flops=60 * n_pad_e_p * n_pad_t_p * cfg.width,
+                bytes_accessed=(
+                    6 * n_pad_e_p * n_pad_t_p + 2 * n_pad_e_p * cfg.width
+                )
+                * 4,
+                transcendentals=0,
+            ),
+            interpret=interpret_mode(),
+        )(*args)
+        return shade[:n], depth[:n]
+
+    # streaming path
+    tj = fit_tile(tj, m, 8)
+    n_pad_t = round_up(m, tj)
+    ex = pad_axis(pos[:, 0], n_pad_e)
+    ey = pad_axis(pos[:, 1], n_pad_e)
+    dx = pad_axis(dirs[:, 0], n_pad_e)
+    dy = pad_axis(dirs[:, 1], n_pad_e)
+    tx = pad_axis(tgt[:, 0], n_pad_t)
+    ty = pad_axis(tgt[:, 1], n_pad_t)
+    cx = pad_axis(hdg[:, 0], n_pad_t)
+    cy = pad_axis(hdg[:, 1], n_pad_t)
+    mask = pad_axis(jnp.ones((m,), jnp.float32), n_pad_t)
+
+    grid = (n_pad_e // te, cfg.width // wb)
+    kernel = functools.partial(
+        _wireframe_stream_kernel, cfg=cfg, tj=tj, has_alb=has_alb
+    )
+    espec = lambda: pl.BlockSpec(
+        (te, 1), lambda i, p: (i, 0), memory_space=pltpu.VMEM
+    )
+    tspec = lambda: pl.BlockSpec(
+        (n_pad_t, 1), lambda i, p: (0, 0), memory_space=pltpu.VMEM
+    )
+    ospec = lambda: pl.BlockSpec(
+        (te, wb), lambda i, p: (i, p), memory_space=pltpu.VMEM
+    )
+    in_specs = [espec()] * 4 + [tspec()] * 5
+    args = [
+        col(ex), col(ey), col(dx), col(dy),
+        col(tx), col(ty), col(cx), col(cy), col(mask),
+    ]
+    if has_alb:
+        in_specs.append(tspec())
+        args.append(col(pad_axis(albedo, n_pad_t)))
+    shade, depth = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[ospec(), ospec()],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_pad_e, cfg.width), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad_e, cfg.width), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=70 * n_pad_e * n_pad_t * cfg.width,
+            bytes_accessed=(4 * n_pad_e + 5 * n_pad_t + 2 * n_pad_e * cfg.width)
+            * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret_mode(),
+    )(*args)
+    return shade[:n], depth[:n]
+
+
+def render_lines(state, cfg: VisionConfig) -> jax.Array:
+    """`observe()` through the Pallas wireframe path: [N, W] shade rows."""
+    return render_rows_wireframe_tiled(state.pos, state.vel, cfg)[0]
+
+
+def render_lines_with_depth(state, cfg: VisionConfig):
+    return render_rows_wireframe_tiled(state.pos, state.vel, cfg)

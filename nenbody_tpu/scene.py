@@ -77,10 +77,16 @@ def make_observe_fn(cfg: SimConfig) -> Optional[Callable[[SceneState], jax.Array
         return None
     backend = _resolve_backend(cfg)
     if cfg.vision.sprite_mode == "wireframe":
-        # exact-sprite parity mode lives in the dense renderer only (the
-        # Pallas kernels model the disc splat) — route vision dense and keep
-        # the physics backend as resolved
-        backend = "dense"
+        if backend == "pallas":
+            from .ops import wireframe
+
+            return functools.partial(wireframe.render_lines, cfg=cfg.vision)
+        # ring/gspmd: the vision ring circulates disc fragments only, so
+        # exact-sprite vision routes dense; the physics backend stays as
+        # resolved
+        from .vision import render
+
+        return functools.partial(render.render_lines, cfg=cfg.vision)
     if backend == "pallas":
         from .ops import raycast
 
@@ -173,7 +179,10 @@ class Scene:
             if state.batch_shape:
                 raise ValueError("per-agent colors need an unbatched state")
             backend = _resolve_backend(self.cfg)
-            if self.cfg.vision.sprite_mode == "wireframe":
+            if self.cfg.vision.sprite_mode == "wireframe" and backend not in (
+                "pallas",
+                "dense",
+            ):
                 backend = "dense"
             fn = self._rgb_cache.get("rgb")
             if fn is None:
@@ -201,14 +210,22 @@ class Scene:
         cached = self._depth_cache.get(rank)
         if cached is None:
             backend = _resolve_backend(self.cfg)
-            if self.cfg.vision.sprite_mode == "wireframe":
+            wire = self.cfg.vision.sprite_mode == "wireframe"
+            if wire and backend != "pallas":
                 backend = "dense"  # see make_observe_fn
             if backend == "pallas":
-                from .ops import raycast
+                if wire:
+                    from .ops import wireframe as _wf
 
-                fn = functools.partial(
-                    raycast.render_lines_with_depth, cfg=self.cfg.vision
-                )
+                    fn = functools.partial(
+                        _wf.render_lines_with_depth, cfg=self.cfg.vision
+                    )
+                else:
+                    from .ops import raycast
+
+                    fn = functools.partial(
+                        raycast.render_lines_with_depth, cfg=self.cfg.vision
+                    )
             elif backend == "ring":
                 from .parallel import ring
 

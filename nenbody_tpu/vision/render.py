@@ -321,7 +321,13 @@ def render_rows_rgb(
     for c in range(3):
         ccfg = replace(cfg, background=float(BACKGROUND_RGB[c]))
         alb = colors[:, c]
-        if backend == "pallas":
+        if backend == "pallas" and cfg.sprite_mode == "wireframe":
+            from ..ops import wireframe
+
+            sh, _ = wireframe.render_rows_wireframe_tiled(
+                pos, vel, ccfg, albedo=alb
+            )
+        elif backend == "pallas":
             from ..ops import raycast
 
             sh, _ = raycast.render_rows_tiled(pos, vel, ccfg, albedo=alb)

@@ -1,0 +1,143 @@
+"""Pallas wireframe kernel (ops/wireframe.py) vs the dense wireframe oracle.
+
+The dense path (vision.render, sprite_mode='wireframe') is pinned to the
+reference sprite by tests/test_wireframe.py; these tests pin the Pallas
+kernel to the dense path at fp32 tolerances across both kernel variants
+(precompute raster + streaming), albedo, cross-block targets, and the Scene
+dispatch surface.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nenbody_tpu.config import SimConfig, VisionConfig
+from nenbody_tpu.ops import wireframe
+from nenbody_tpu.vision import render
+
+
+def _spawnish(key, n, spread=40.0):
+    kp, kv = jax.random.split(key)
+    pos = jax.random.uniform(kp, (n, 2), minval=-spread, maxval=spread)
+    vel = jax.random.uniform(kv, (n, 2), minval=-1.0, maxval=1.0)
+    return pos, vel
+
+
+def _assert_rows_close(got, want, atol=2e-4):
+    gs, gd = map(np.asarray, got)
+    ws, wd = map(np.asarray, want)
+    # depth can sit at `far` on one side and a real hit on the other only if
+    # coverage flipped — require exact agreement on what was hit
+    np.testing.assert_array_equal(np.isfinite(gd) & (gd < 1e4), np.isfinite(wd) & (wd < 1e4))
+    np.testing.assert_allclose(gd, wd, rtol=1e-5, atol=atol)
+    np.testing.assert_allclose(gs, ws, rtol=1e-5, atol=atol)
+
+
+@pytest.mark.parametrize(
+    "n,width", [(32, 64), (100, 128), (257, 64), (64, 256)]
+)
+def test_kernel_matches_dense(n, width):
+    cfg = VisionConfig(width=width, sprite_mode="wireframe", far=200.0)
+    pos, vel = _spawnish(jax.random.key(n * width), n)
+    want = render.render_rows(pos, vel, cfg)
+    got = wireframe.render_rows_wireframe_tiled(pos, vel, cfg)
+    _assert_rows_close(got, want)
+
+
+def test_streaming_kernel_matches_dense(monkeypatch):
+    # force the streaming variant by disabling the precompute gate
+    monkeypatch.setattr(wireframe, "_PRECOMPUTE_MAX_ELEMS", 0)
+    cfg = VisionConfig(width=64, sprite_mode="wireframe", far=200.0)
+    pos, vel = _spawnish(jax.random.key(7), 150)
+    want = render.render_rows(pos, vel, cfg)
+    got = wireframe.render_rows_wireframe_tiled(pos, vel, cfg)
+    _assert_rows_close(got, want)
+
+
+@pytest.mark.parametrize("streaming", [False, True])
+def test_albedo_matches_dense(monkeypatch, streaming):
+    if streaming:
+        monkeypatch.setattr(wireframe, "_PRECOMPUTE_MAX_ELEMS", 0)
+    cfg = VisionConfig(width=64, sprite_mode="wireframe", far=200.0)
+    pos, vel = _spawnish(jax.random.key(3), 80)
+    albedo = jax.random.uniform(jax.random.key(9), (80,), minval=0.3, maxval=1.0)
+    want = render.render_rows(pos, vel, cfg, albedo=albedo)
+    got = wireframe.render_rows_wireframe_tiled(pos, vel, cfg, albedo=albedo)
+    _assert_rows_close(got, want)
+
+
+@pytest.mark.parametrize("streaming", [False, True])
+def test_cross_block_targets_merge(monkeypatch, streaming):
+    """Partial renders against disjoint target blocks depth-merge into the
+    full render — the multi-chip vision-ring contract, wireframe edition."""
+    if streaming:
+        monkeypatch.setattr(wireframe, "_PRECOMPUTE_MAX_ELEMS", 0)
+    cfg = VisionConfig(width=64, sprite_mode="wireframe", far=200.0)
+    pos, vel = _spawnish(jax.random.key(11), 96)
+    full = wireframe.render_rows_wireframe_tiled(pos, vel, cfg)
+    a = wireframe.render_rows_wireframe_tiled(
+        pos, vel, cfg, targets=pos[:48], target_vel=vel[:48]
+    )
+    b = wireframe.render_rows_wireframe_tiled(
+        pos, vel, cfg, targets=pos[48:], target_vel=vel[48:]
+    )
+    merged = render.merge_rows(a, b)
+    _assert_rows_close(merged, full)
+
+
+def test_targets_require_target_vel():
+    cfg = VisionConfig(width=64, sprite_mode="wireframe")
+    pos, vel = _spawnish(jax.random.key(0), 16)
+    with pytest.raises(ValueError, match="target_vel"):
+        wireframe.render_rows_wireframe_tiled(pos, vel, cfg, targets=pos[:8])
+
+
+def test_disc_config_rejected():
+    cfg = VisionConfig(width=64)
+    pos, vel = _spawnish(jax.random.key(0), 16)
+    with pytest.raises(ValueError, match="wireframe"):
+        wireframe.render_rows_wireframe_tiled(pos, vel, cfg)
+
+
+def test_scene_dispatch_pallas_wireframe():
+    """Scene(backend='pallas') with wireframe sprites routes observe/
+    observe_with_depth through the kernel and agrees with the dense scene."""
+    from nenbody_tpu.scene import Scene
+
+    vcfg = VisionConfig(width=64, sprite_mode="wireframe", far=200.0)
+    mk = lambda be: Scene(
+        SimConfig(n=48, controller="boids", backend=be, vision=vcfg)
+    )
+    sp, sd = mk("pallas"), mk("dense")
+    state = sp.spawn(seed=5)
+    np.testing.assert_allclose(
+        np.asarray(sp.observe(state)),
+        np.asarray(sd.observe(state)),
+        rtol=1e-5,
+        atol=2e-4,
+    )
+    gs, gd = sp.observe_with_depth(state)
+    ws, wd = sd.observe_with_depth(state)
+    np.testing.assert_allclose(np.asarray(gd), np.asarray(wd), rtol=1e-5, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(gs), np.asarray(ws), rtol=1e-5, atol=2e-4)
+
+
+def test_observe_rgb_pallas_wireframe():
+    from nenbody_tpu.scene import Scene
+
+    vcfg = VisionConfig(width=64, sprite_mode="wireframe", far=200.0)
+    mk = lambda be: Scene(
+        SimConfig(n=32, controller="boids", backend=be, vision=vcfg)
+    )
+    sp, sd = mk("pallas"), mk("dense")
+    state = sp.spawn(seed=2)
+    colors = render.default_agent_colors(32)
+    np.testing.assert_allclose(
+        np.asarray(sp.observe_rgb(state, colors)),
+        np.asarray(sd.observe_rgb(state, colors)),
+        rtol=1e-5,
+        atol=2e-4,
+    )
