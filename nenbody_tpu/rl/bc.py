@@ -120,6 +120,92 @@ def make_bc_step(
     return jax.jit(bc_step)
 
 
+def distill(
+    env: VisionEnv,
+    teacher_fn: Callable[[jax.Array], jax.Array],
+    key: jax.Array,
+    iters: int = 20,
+    num_envs: int = 16,
+    horizon: int = 8,
+    bc_steps_per_iter: int = 16,
+    batch_size: int = 2048,
+    lr: float = 1e-3,
+    policy: Optional[MLPPolicy] = None,
+    episodic: bool = True,
+) -> Tuple[Any, Callable, np.ndarray]:
+    """On-device distillation: generation feeds BC with NO host export.
+
+    The datagen path (`rl/datagen.collect`) generates at device rate but
+    pays the host relay to export shards; here each iteration is ONE jitted
+    program that (a) respawns B envs (episodic, see CLAUDE.md on
+    distribution drift), (b) rolls them `horizon` steps under the teacher —
+    any pure obs -> action function, e.g. the rl.scripted controllers —
+    keeping the (obs, action) shard device-resident, and (c) runs
+    `bc_steps_per_iter` minibatch BC updates on that shard via lax.scan.
+    This is NEXT #8's device-resident shard training: the only host traffic
+    is the scalar loss trace. Returns (params, apply_fn, losses
+    [iters*bc_steps_per_iter])."""
+    policy = policy or MLPPolicy()
+    observe_b = jax.vmap(env.observe)
+    step_b = jax.vmap(env.step)
+    from ..state import spawn_batch
+
+    kp, ke, kr = jax.random.split(key, 3)
+    states0 = spawn_batch(ke, env.cfg, num_envs)
+    obs0 = observe_b(states0)
+    params = policy.init(kp, obs0.reshape(-1, env.obs_width)[:1])
+    opt = optax.adam(lr)
+    ts = BCState(params, opt.init(params), kr, jnp.int32(0))
+    shard = num_envs * horizon * env.cfg.n
+    bs = min(batch_size, shard)
+
+    def bc_update(t: BCState, obs, act):
+        key, sub = jax.random.split(t.key)
+        idx = jax.random.randint(sub, (bs,), 0, obs.shape[0])
+        ob, ac = obs[idx], act[idx]
+
+        def loss_fn(p):
+            mean, log_std = policy.apply(p, ob)
+            return -jnp.mean(gaussian_log_prob(ac, mean, log_std))
+
+        loss, grads = jax.value_and_grad(loss_fn)(t.params)
+        updates, opt_state = opt.update(grads, t.opt_state, t.params)
+        return BCState(
+            optax.apply_updates(t.params, updates), opt_state, key, t.step + 1
+        ), loss
+
+    def iteration(carry, _):
+        t, states = carry
+        key, ks = jax.random.split(t.key)
+        t = t._replace(key=key)
+        if episodic:
+            states = spawn_batch(ks, env.cfg, num_envs)
+
+        def roll(c, _):
+            st, obs = c
+            act = teacher_fn(obs)
+            st, nobs, _ = step_b(st, act)
+            return (st, nobs), (obs, act)
+
+        obs_i = observe_b(states)
+        (states, _), (obs_sh, act_sh) = jax.lax.scan(
+            roll, (states, obs_i), None, length=horizon
+        )
+        obs_flat = obs_sh.reshape(-1, obs_sh.shape[-1])
+        act_flat = act_sh.reshape(-1, act_sh.shape[-1])
+        t, losses = jax.lax.scan(
+            lambda tt, _: bc_update(tt, obs_flat, act_flat),
+            t, None, length=bc_steps_per_iter,
+        )
+        return (t, states), losses
+
+    run = jax.jit(
+        lambda t, s: jax.lax.scan(iteration, (t, s), None, length=iters)
+    )
+    (ts, _), losses = run(ts, states0)
+    return ts.params, policy.apply, np.asarray(losses).reshape(-1)
+
+
 def fit(
     env: VisionEnv,
     data: dict,
