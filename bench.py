@@ -191,6 +191,36 @@ def main():
     # -- vision: single-env shapes --------------------------------------------
     k1 = 100 if on_tpu else 2
     vision_fps_single = vis_shape(1024, 64, k1, "vision-n1024-w64")
+
+    # exact-sprite parity mode through its own Pallas kernel (ops/wireframe)
+    from nenbody_tpu.ops import wireframe as wireframe_ops
+
+    def wf_roll(vcfg, k):
+        @jax.jit
+        def roll(c):
+            p, v = c
+
+            def body(p, _):
+                s = wireframe_ops.render_rows_wireframe_tiled(p, v, vcfg)[0]
+                return p + 1e-7 * s[:, :2], ()
+
+            p, _ = jax.lax.scan(body, p, None, length=k)
+            return p, v
+
+        return roll
+
+    kwf = 50 if on_tpu else 2
+    kp, kv = jax.random.split(jax.random.key(11))
+    wpos = jax.random.uniform(kp, (1024, 2), minval=-100, maxval=100,
+                              dtype=jnp.float32)
+    wvel = jax.random.uniform(kv, (1024, 2), minval=-1, maxval=1,
+                              dtype=jnp.float32)
+    dt_wf, compile_times["vision-wireframe-n1024-w64"] = _slope_timed(
+        wf_roll(VisionConfig(width=64, sprite_mode="wireframe"), kwf),
+        (wpos, wvel), sync_slice=lambda c: c[0][:1], steps=kwf,
+        label="vision-wireframe-n1024-w64",
+    )
+    vision_fps_wireframe = 1024 / dt_wf
     # the reference's ACTUAL eye: W=1024 px (src/main.rs:694); N=100 is its
     # shipping scale (main.rs:654), N=1024 the wide-eye stress shape
     vision_fps_ref100 = vis_shape(100, 1024, k1, "vision-n100-w1024")
@@ -213,6 +243,7 @@ def main():
                     "boids_pair_evals_per_s": boids_pairs_per_s,
                     "vision_agent_frames_per_s_batched_1024x256_w64": vision_fps_batched,
                     "vision_agent_frames_per_s_n1024_w64": vision_fps_single,
+                    "vision_agent_frames_per_s_wireframe_n1024_w64": vision_fps_wireframe,
                     "vision_agent_frames_per_s_n100_w1024": vision_fps_ref100,
                     "vision_agent_frames_per_s_n1024_w1024": vision_fps_wide,
                     "vision_vs_1e6_target": vision_fps_batched / 1e6,

@@ -72,7 +72,8 @@ def _add_sim_flags(p: argparse.ArgumentParser):
         help="default boids",
     )
     p.add_argument(
-        "--backend", choices=["auto", "dense", "pallas", "ring", "gspmd"],
+        "--backend",
+        choices=["auto", "dense", "pallas", "ring", "gspmd", "cells"],
         default=None, help="default: the preset's backend, else auto",
     )
     p.add_argument(

@@ -78,6 +78,10 @@ class BoidsConfig:
     # O(N^2) folds (~1.4x). Exactness requires the speed bound — off by
     # default to keep strict parity for arbitrary user-supplied velocities.
     global_alignment: bool = False
+    # Bucket capacity for backend="cells" (physics/cells.py): exact whenever
+    # it covers the densest scanned hash bucket (size with cells_stats).
+    # Only read by the cell-list backend; the O(N^2) folds ignore it.
+    cells_capacity: int = 64
 
 
 @dataclasses.dataclass(frozen=True)
@@ -167,7 +171,7 @@ class VisionConfig:
 
 
 _CONTROLLERS = ("gravity", "boids", "random")
-_BACKENDS = ("auto", "dense", "pallas", "ring", "gspmd")
+_BACKENDS = ("auto", "dense", "pallas", "ring", "gspmd", "cells")
 
 
 @dataclasses.dataclass(frozen=True)

@@ -66,16 +66,36 @@ def make_step_fn(cfg: SimConfig) -> Callable[[SceneState], SceneState]:
         from .parallel import auto
 
         stepper = auto.STEPPERS[cfg.controller]
+    elif backend == "cells":
+        from .physics import cells
+
+        if cfg.controller not in cells.STEPPERS:
+            raise ValueError(
+                f"backend='cells' is the radius-limited (boids) fast path; "
+                f"controller {cfg.controller!r} is all-pairs — use dense/"
+                f"pallas/ring"
+            )
+        stepper = cells.STEPPERS[cfg.controller]
     else:  # pragma: no cover
         raise ValueError(f"unknown backend {backend!r}")
     return functools.partial(stepper, cfg=cfg)
+
+
+def _vision_backend(cfg: SimConfig) -> str:
+    """Vision path for a resolved backend: the cell-list physics backend has
+    no vision analog (the eye frustum reaches cfg.far, not a small radius),
+    so it borrows the pallas/dense render like any single-chip config."""
+    backend = _resolve_backend(cfg)
+    if backend == "cells":
+        return "pallas" if jax.default_backend() == "tpu" else "dense"
+    return backend
 
 
 def make_observe_fn(cfg: SimConfig) -> Optional[Callable[[SceneState], jax.Array]]:
     """Build the `state -> obs[N, W]` vision function, or None if disabled."""
     if cfg.vision is None:
         return None
-    backend = _resolve_backend(cfg)
+    backend = _vision_backend(cfg)
     if cfg.vision.sprite_mode == "wireframe":
         if backend == "pallas":
             from .ops import wireframe
@@ -178,7 +198,7 @@ class Scene:
         if colors is not None:
             if state.batch_shape:
                 raise ValueError("per-agent colors need an unbatched state")
-            backend = _resolve_backend(self.cfg)
+            backend = _vision_backend(self.cfg)
             if self.cfg.vision.sprite_mode == "wireframe" and backend not in (
                 "pallas",
                 "dense",
@@ -209,7 +229,7 @@ class Scene:
         rank = len(state.batch_shape)
         cached = self._depth_cache.get(rank)
         if cached is None:
-            backend = _resolve_backend(self.cfg)
+            backend = _vision_backend(self.cfg)
             wire = self.cfg.vision.sprite_mode == "wireframe"
             if wire and backend != "pallas":
                 backend = "dense"  # see make_observe_fn

@@ -166,3 +166,55 @@ def test_apg_learns_through_pallas_physics():
         ts, _ = step(ts)
     r1 = float(evaluate(ts.params))
     assert r1 > r0 + 0.005, f"no learning: {r0:.4f} -> {r1:.4f}"
+
+
+@requires_tpu
+def test_wireframe_kernel_gate():
+    """The exact-sprite Pallas kernel (ops/wireframe.py) must hold its
+    measured order of magnitude (~7e5 agent-frames/s at the BASELINE
+    config-2 shape; ~10x the disc kernel's op ratio) AND stay depth-exact
+    against the dense wireframe oracle on silicon."""
+    from nenbody_tpu.config import VisionConfig
+    from nenbody_tpu.ops import wireframe
+    from nenbody_tpu.vision import render
+
+    vcfg = VisionConfig(width=64, sprite_mode="wireframe", far=200.0)
+    kp, kv = jax.random.split(jax.random.key(3))
+    pos = jax.random.uniform(kp, (1024, 2), minval=-40, maxval=40,
+                             dtype=jnp.float32)
+    vel = jax.random.uniform(kv, (1024, 2), minval=-1, maxval=1,
+                             dtype=jnp.float32)
+
+    gs, gd = map(np.asarray, wireframe.render_rows_wireframe_tiled(pos, vel, vcfg))
+    ws, wd = map(np.asarray, render.render_rows(pos, vel, vcfg))
+    np.testing.assert_array_equal(gd < 1e4, wd < 1e4)
+    np.testing.assert_allclose(gd, wd, rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(gs, ws, rtol=1e-5, atol=1e-4)
+
+    def body(c):
+        p, v = c
+        s = wireframe.render_rows_wireframe_tiled(p, v, vcfg)[0]
+        return p + 1e-7 * s[:, :2], v
+
+    dt = _scan_time(body, (pos, vel), steps=50, sync=lambda c: c[0][:1])
+    rate = 1024 / dt
+    assert rate >= 3e5, f"wireframe kernel rate {rate:.3e} < 3e5 (was ~7e5)"
+
+
+@requires_tpu
+def test_rdma_ring_compiles_on_hardware():
+    """The Pallas-RDMA ring prototype (parallel/rdma.py) lowers through
+    Mosaic and matches the dense oracle on silicon (D=1 degenerate ring;
+    multi-chip execution needs pod hardware)."""
+    from nenbody_tpu.config import SimConfig
+    from nenbody_tpu.parallel import rdma
+    from nenbody_tpu.parallel.mesh import make_mesh
+    from nenbody_tpu.physics import dense
+
+    cfg = SimConfig(n=2048, controller="gravity")
+    pos = jax.random.uniform(
+        jax.random.key(0), (2048, 2), minval=-100.0, maxval=100.0
+    )
+    got = np.asarray(rdma.rdma_ring_gravity_forces(pos, cfg, mesh=make_mesh()))
+    want = np.asarray(dense.gravity_forces(pos, cfg.gravity))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-6)
