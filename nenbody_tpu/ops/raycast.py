@@ -56,22 +56,37 @@ def _decode_winner(best_d, best_o2, best_inv, cfg: VisionConfig, best_alb=None):
     return shade, best_d
 
 
+def _unpack_rest(rest, has_alb: bool):
+    """Split a kernel's *rest into (alb_ref | None, output refs tuple)."""
+    if has_alb:
+        return rest[0], rest[1:]
+    return None, rest
+
+
+def _raw_outputs(best_d, best_off, best_inv, best_alb, cfg, has_alb):
+    """Raw winner-mode output tuple: (off, depth[, inv][, alb]) — consumed
+    by the XLA texture epilogue (_decode_textured)."""
+    outs = [best_off, best_d]
+    if cfg.antialias:
+        outs.append(best_inv)
+    if has_alb:
+        outs.append(best_alb)
+    return outs
+
+
 def _raycast_kernel(
     ex_ref, ey_ref, dx_ref, dy_ref,  # [TE, 1] eye position / unit heading
     tx_ref, ty_ref,  # [N_pad, 1] target positions (sublane-major)
     m_ref,  # [N_pad, 1] target padding mask
-    *rest,  # [alb_ref ([N_pad, 1]) when has_alb,] shade_ref, depth_ref
+    *rest,  # [alb_ref ([N_pad, 1]) when has_alb,] output refs (see _unpack)
     cfg: VisionConfig,
     tj: int,
     has_alb: bool = False,
+    raw: bool = False,
 ):
-    if has_alb:
-        alb_ref, shade_ref, depth_ref = rest
-    else:
-        alb_ref = None
-        shade_ref, depth_ref = rest
+    alb_ref, out_refs = _unpack_rest(rest, has_alb)
     te = ex_ref.shape[0]
-    wb = shade_ref.shape[1]  # pixel-block width (grid dim 1 tiles the image)
+    wb = out_refs[0].shape[1]  # pixel-block width (grid dim 1 tiles the image)
     n_pad = tx_ref.shape[0]
     num_chunks = n_pad // tj
     t = math.tan(math.radians(cfg.hfov_deg) * 0.5)
@@ -132,7 +147,16 @@ def _raycast_kernel(
             # (edge pixels within the half-pixel apron), so the filler must
             # be +inf there; without AA every covered o2 < 1
             filler = jnp.inf if cfg.antialias else 1.0
-            o2m = jnp.min(jnp.where(win, o2, filler), axis=0, keepdims=True)
+            if raw:
+                # raw winner mode tracks the SIGNED offset (the texture uv
+                # needs the sign; o2 alone loses it); +inf filler always
+                o2m = jnp.min(
+                    jnp.where(win, off, jnp.inf), axis=0, keepdims=True
+                )
+            else:
+                o2m = jnp.min(
+                    jnp.where(win, o2, filler), axis=0, keepdims=True
+                )
             if cfg.antialias:
                 invm = jnp.min(
                     jnp.where(win, inv_du, jnp.inf), axis=0, keepdims=True
@@ -165,11 +189,16 @@ def _raycast_kernel(
         best_d, best_o2, best_inv, best_alb = jax.lax.fori_loop(
             0, num_chunks, body, init
         )
+        if raw:
+            outs = _raw_outputs(best_d, best_o2, best_inv, best_alb, cfg, has_alb)
+            for ref, val in zip(out_refs, outs):
+                ref[pl.ds(e, 1), :] = val
+            return 0
         shade, depth = _decode_winner(
             best_d, best_o2, best_inv, cfg, best_alb if has_alb else None
         )
-        shade_ref[pl.ds(e, 1), :] = shade
-        depth_ref[pl.ds(e, 1), :] = depth
+        out_refs[0][pl.ds(e, 1), :] = shade
+        out_refs[1][pl.ds(e, 1), :] = depth
         return 0
 
     # Manual partial unroll: a dynamic outer loop over groups of 8
@@ -182,7 +211,7 @@ def _raycast_kernel(
     # stack of the others (observed OOMs at 16.25-17.6 MB), so it caps at
     # 4 unrolled eyes (2 for the largest tiles); everything else is safe
     # (validated on v5e) and faster up to 16.
-    heavy = cfg.antialias and has_alb
+    heavy = (cfg.antialias and has_alb) or raw
     cap = (2 if wb * tj >= (1 << 17) else 4) if heavy else 16
     ue = 1
     while ue * 2 <= min(te, cap) and te % (ue * 2) == 0:
@@ -199,16 +228,13 @@ def _raycast_kernel(
 
 def _raster_kernel(
     uc_ref, inv_ref, f_ref,  # [TE, N_pad] precomputed projections
-    *rest,  # [alb_ref ([1, N_pad]) when has_alb,] shade_ref, depth_ref
+    *rest,  # [alb_ref ([1, N_pad]) when has_alb,] output refs (see _unpack)
     cfg: VisionConfig,
     tj: int,
     has_alb: bool = False,
+    raw: bool = False,
 ):
-    if has_alb:
-        alb_ref, shade_ref, depth_ref = rest
-    else:
-        alb_ref = None
-        shade_ref, depth_ref = rest
+    alb_ref, out_refs = _unpack_rest(rest, has_alb)
     """Rasterize-only kernel over XLA-precomputed projections.
 
     The streaming kernel (_raycast_kernel) computes per-target projections
@@ -220,7 +246,7 @@ def _raster_kernel(
     lane packing. Used when the [N_e, N_t] tensors fit HBM comfortably.
     """
     te = uc_ref.shape[0]
-    wb = shade_ref.shape[1]
+    wb = out_refs[0].shape[1]
     n_pad = uc_ref.shape[1]
     num_chunks = n_pad // tj
 
@@ -263,7 +289,15 @@ def _raster_kernel(
             cmin = jnp.min(dfield, axis=1, keepdims=True)  # (WB, 1)
             win = dfield == cmin
             filler = jnp.inf if cfg.antialias else 1.0
-            o2m = jnp.min(jnp.where(win, o2, filler), axis=1, keepdims=True)
+            if raw:
+                # signed offset for the texture epilogue (see _raycast_kernel)
+                o2m = jnp.min(
+                    jnp.where(win, off, jnp.inf), axis=1, keepdims=True
+                )
+            else:
+                o2m = jnp.min(
+                    jnp.where(win, o2, filler), axis=1, keepdims=True
+                )
             if cfg.antialias:
                 invm = jnp.min(
                     jnp.where(win, inv, jnp.inf), axis=1, keepdims=True
@@ -296,11 +330,16 @@ def _raster_kernel(
         best_d, best_o2, best_inv, best_alb = jax.lax.fori_loop(
             0, num_chunks, body, init
         )
+        if raw:
+            outs = _raw_outputs(best_d, best_o2, best_inv, best_alb, cfg, has_alb)
+            for ref, val in zip(out_refs, outs):
+                ref[pl.ds(e, 1), :] = jnp.transpose(val)
+            return 0
         shade, depth = _decode_winner(
             best_d, best_o2, best_inv, cfg, best_alb if has_alb else None
         )
-        shade_ref[pl.ds(e, 1), :] = jnp.transpose(shade)
-        depth_ref[pl.ds(e, 1), :] = jnp.transpose(depth)
+        out_refs[0][pl.ds(e, 1), :] = jnp.transpose(shade)
+        out_refs[1][pl.ds(e, 1), :] = jnp.transpose(depth)
         return 0
 
     # Manual partial unroll: a dynamic outer loop over groups of 8
@@ -313,7 +352,7 @@ def _raster_kernel(
     # stack of the others (observed OOMs at 16.25-17.6 MB), so it caps at
     # 4 unrolled eyes (2 for the largest tiles); everything else is safe
     # (validated on v5e) and faster up to 16.
-    heavy = cfg.antialias and has_alb
+    heavy = (cfg.antialias and has_alb) or raw
     cap = (2 if wb * tj >= (1 << 17) else 4) if heavy else 16
     ue = 1
     while ue * 2 <= min(te, cap) and te % (ue * 2) == 0:
@@ -356,8 +395,42 @@ def _project_all(pos, dirs, tgt, cfg: VisionConfig, n_pad_t: int):
 _PRECOMPUTE_MAX_ELEMS = 1 << 24
 
 
+def _num_outputs(cfg: VisionConfig, has_alb: bool, raw: bool) -> int:
+    if not raw:
+        return 2
+    return 2 + (1 if cfg.antialias else 0) + (1 if has_alb else 0)
+
+
+def _decode_textured(outs, cfg: VisionConfig, texture, has_alb: bool):
+    """XLA epilogue for raw winner mode: bilinear texture sample at the
+    winner's scanline uv, then the dense path's exact shade composition
+    (vision.render._agent_row with texture; scene.frag:11-16 structure).
+    Runs on O(N*W) elements OUTSIDE the kernel — Mosaic never gathers."""
+    from ..vision.render import sample_texture_auto as sample_texture
+
+    off, d = outs[0], outs[1]
+    i = 2
+    inv = None
+    if cfg.antialias:
+        inv = outs[i]
+        i += 1
+    albw = outs[i] if has_alb else None
+    hit = d < cfg.far
+    oc = jnp.clip(off, -1.0, 1.0)
+    alb = cfg.sprite_albedo if albw is None else albw
+    uv = jnp.stack([0.5 + 0.5 * oc, jnp.full_like(oc, 0.5)], axis=-1)
+    alb = alb * sample_texture(texture, uv)
+    val = alb * (1.0 - 0.25 * oc * oc)
+    if cfg.antialias:
+        s_cov = (0.5 * cfg.width) / inv
+        covf = jnp.clip((1.0 - jnp.abs(off)) * s_cov + 0.5, 0.0, 1.0)
+        val = cfg.background + covf * (val - cfg.background)
+    shade = jnp.where(hit, val, cfg.background)
+    return shade, d
+
+
 def _render_precomputed(
-    pos, dirs, tgt, cfg, te, tj, wb, n_pad_e, n_pad_t, albedo=None
+    pos, dirs, tgt, cfg, te, tj, wb, n_pad_e, n_pad_t, albedo=None, raw=False
 ):
     uc, inv_du, f = _project_all(pos, dirs, tgt, cfg, n_pad_t)
     if n_pad_e != pos.shape[0]:
@@ -368,7 +441,9 @@ def _render_precomputed(
 
     grid = (n_pad_e // te, cfg.width // wb)
     has_alb = albedo is not None
-    kernel = functools.partial(_raster_kernel, cfg=cfg, tj=tj, has_alb=has_alb)
+    kernel = functools.partial(
+        _raster_kernel, cfg=cfg, tj=tj, has_alb=has_alb, raw=raw
+    )
     pspec = lambda: pl.BlockSpec(
         (te, n_pad_t), lambda i, p: (i, 0), memory_space=pltpu.VMEM
     )
@@ -382,14 +457,15 @@ def _render_precomputed(
             pl.BlockSpec((1, n_pad_t), lambda i, p: (0, 0), memory_space=pltpu.VMEM)
         )
         args.append(row(pad_axis(albedo, n_pad_t)))
+    n_out = _num_outputs(cfg, has_alb, raw)
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
-        out_specs=[ospec(), ospec()],
+        out_specs=[ospec() for _ in range(n_out)],
         out_shape=[
-            jax.ShapeDtypeStruct((n_pad_e, cfg.width), jnp.float32),
-            jax.ShapeDtypeStruct((n_pad_e, cfg.width), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad_e, cfg.width), jnp.float32)
+            for _ in range(n_out)
         ],
         cost_estimate=pl.CostEstimate(
             flops=10 * n_pad_e * n_pad_t * cfg.width,
@@ -409,6 +485,7 @@ def render_rows_tiled(
     tj: int = TILE_J,
     targets: jax.Array | None = None,
     albedo: jax.Array | None = None,
+    texture: jax.Array | None = None,
 ):
     """Pallas counterpart of vision.render.render_rows.
 
@@ -417,8 +494,13 @@ def render_rows_tiled(
     vision ring's per-hop primitive); partial rows depth-merge with
     vision.render.merge_rows. `albedo` [M] gives each target its own base
     brightness in place of cfg.sprite_albedo (per-agent appearance,
-    src/main.rs:322-356's skin texture analog).
+    src/main.rs:322-356's skin texture analog). `texture` [Ht, Wt] turns
+    the constant-albedo splat into a texture-sampled one (the skin.png
+    mechanism, scene.frag:11-16): the kernels run in raw winner mode
+    (signed offset out) and the bilinear lookup happens in a fused XLA
+    epilogue — gathers never enter Mosaic.
     """
+    raw = texture is not None
     if cfg.sprite_mode != "disc":
         raise NotImplementedError(
             "the Pallas raycast models the disc splat; sprite_mode="
@@ -470,11 +552,14 @@ def render_rows_tiled(
         n_pad_e_p = round_up(n, te_p)
         tj_p = fit_tile(min(2048, max(128, (1 << 17) // wb)), m, 128)
         n_pad_t_p = round_up(m, tj_p)
-        shade, depth = _render_precomputed(
+        outs = _render_precomputed(
             pos, dirs, tgt, cfg, te_p, tj_p, wb, n_pad_e_p, n_pad_t_p,
-            albedo=albedo,
+            albedo=albedo, raw=raw,
         )
-        return shade[:n], depth[:n]
+        outs = [o[:n] for o in outs]
+        if raw:
+            return _decode_textured(outs, cfg, texture, albedo is not None)
+        return outs[0], outs[1]
 
     ex = pad_axis(pos[:, 0], n_pad_e)
     ey = pad_axis(pos[:, 1], n_pad_e)
@@ -486,7 +571,9 @@ def render_rows_tiled(
 
     grid = (n_pad_e // te, cfg.width // wb)
     has_alb = albedo is not None
-    kernel = functools.partial(_raycast_kernel, cfg=cfg, tj=tj, has_alb=has_alb)
+    kernel = functools.partial(
+        _raycast_kernel, cfg=cfg, tj=tj, has_alb=has_alb, raw=raw
+    )
     espec = lambda: pl.BlockSpec(
         (te, 1), lambda i, p: (i, 0), memory_space=pltpu.VMEM
     )
@@ -501,14 +588,15 @@ def render_rows_tiled(
     if has_alb:
         in_specs.append(tspec())
         args.append(col(pad_axis(albedo, n_pad_t)))
-    shade, depth = pl.pallas_call(
+    n_out = _num_outputs(cfg, has_alb, raw)
+    outs = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
-        out_specs=[ospec(), ospec()],
+        out_specs=[ospec() for _ in range(n_out)],
         out_shape=[
-            jax.ShapeDtypeStruct((n_pad_e, cfg.width), jnp.float32),
-            jax.ShapeDtypeStruct((n_pad_e, cfg.width), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad_e, cfg.width), jnp.float32)
+            for _ in range(n_out)
         ],
         cost_estimate=pl.CostEstimate(
             flops=12 * n_pad_e * n_pad_t * cfg.width // tj * tj,
@@ -518,7 +606,10 @@ def render_rows_tiled(
         interpret=interpret_mode(),
     )(*args)
 
-    return shade[:n], depth[:n]
+    outs = [o[:n] for o in outs]
+    if raw:
+        return _decode_textured(outs, cfg, texture, has_alb)
+    return outs[0], outs[1]
 
 
 # ---------------------------------------------------------------------------

@@ -73,14 +73,24 @@ _EDGE_QUAD = tuple(
 )
 
 
-def _edge_fragments(ut, fa, la, fb, lb, quad, alb, cfg: VisionConfig):
-    """One edge's (depth, shade) fragment fields over a (pixel, target) tile.
+# uv(tau) = uv_a + tau * (uv_b - uv_a): static per-edge line in uv space,
+# tracked by the raw (texture) winner mode.
+_EDGE_UV = tuple(
+    (
+        (SPRITE_UVS[a][0], SPRITE_UVS[a][1]),
+        (SPRITE_UVS[b][0] - SPRITE_UVS[a][0], SPRITE_UVS[b][1] - SPRITE_UVS[a][1]),
+    )
+    for a, b in SPRITE_EDGES
+)
+
+
+def _edge_depth_tau(ut, fa, la, fb, lb, cfg: VisionConfig):
+    """One edge's (depth, tau) fragment fields over a (pixel, target) tile.
 
     ut: pixel ray slopes u*tan(hfov/2), broadcast against the per-vert view
     coords fa/la/fb/lb (projected edge endpoints). Closed-form segment
-    intersection: tau = (ut*fa - la) / (dl - ut*df); depth f(tau) linear,
-    vignette mag2(tau) the static quadratic `quad`. Misses get depth=far.
-    """
+    intersection: tau = (ut*fa - la) / (dl - ut*df); depth f(tau) linear.
+    Misses get depth=far."""
     df = fb - fa
     dl = lb - la
     num = ut * fa - la
@@ -89,45 +99,60 @@ def _edge_fragments(ut, fa, la, fb, lb, quad, alb, cfg: VisionConfig):
     tau = num / jnp.where(ok, den, 1.0)
     fk = fa + tau * df
     hit = ok & (tau >= 0.0) & (tau <= 1.0) & (fk > cfg.near) & (fk < cfg.far)
-    c0, c1, c2 = quad
-    mag2 = c0 + tau * (c1 + c2 * tau)
-    shade = alb * (1.0 - mag2)
-    return jnp.where(hit, fk, cfg.far), shade
+    return jnp.where(hit, fk, cfg.far), tau
 
 
-def _merge_edges(ut, f_v, l_v, alb, cfg: VisionConfig):
-    """Elementwise depth-min across the 3 sprite edges -> (depth, shade)
-    fragment fields with one value per (pixel, target) element. The dense
-    oracle's argmin over the flattened [3M] axis factors into this
-    elementwise merge + the caller's cross-target reduce because depth-min
-    is associative (ties broken toward the lower edge index, as argmin)."""
+def _merge_edges(ut, f_v, l_v, alb, cfg: VisionConfig, track_uv: bool = False):
+    """Elementwise depth-min across the 3 sprite edges -> (depth, payloads)
+    with one value per (pixel, target) element. The dense oracle's argmin
+    over the flattened [3M] axis factors into this elementwise merge + the
+    caller's cross-target reduce because depth-min is associative (ties
+    broken toward the lower edge index, as argmin).
+
+    Payloads: (shade,) normally — the static uv-quadratic vignette times
+    alb — or (uvx, uvy[, alb]) in raw/texture mode, where uv is linear in
+    tau with static per-edge constants and alb rides along as its own
+    stream when per-target."""
     d_m = None
-    s_m = None
-    for (a, b), quad in zip(SPRITE_EDGES, _EDGE_QUAD):
-        d_e, s_e = _edge_fragments(
-            ut, f_v[a], l_v[a], f_v[b], l_v[b], quad, alb, cfg
-        )
+    pays = None
+    for (a, b), quad, (uva, duv) in zip(SPRITE_EDGES, _EDGE_QUAD, _EDGE_UV):
+        d_e, tau = _edge_depth_tau(ut, f_v[a], l_v[a], f_v[b], l_v[b], cfg)
+        if track_uv:
+            p_e = [uva[0] + tau * duv[0], uva[1] + tau * duv[1]]
+            if not isinstance(alb, float):
+                p_e.append(jnp.broadcast_to(alb, tau.shape))
+            p_e = tuple(p_e)
+        else:
+            c0, c1, c2 = quad
+            p_e = (alb * (1.0 - (c0 + tau * (c1 + c2 * tau))),)
         if d_m is None:
-            d_m, s_m = d_e, s_e
+            d_m, pays = d_e, p_e
         else:
             take = d_e < d_m
-            s_m = jnp.where(take, s_e, s_m)
+            pays = tuple(
+                jnp.where(take, pe, pm) for pe, pm in zip(p_e, pays)
+            )
             d_m = jnp.minimum(d_m, d_e)
-    return d_m, s_m
+    return d_m, pays
 
 
-def _reduce_chunk(d_m, s_m, best_d, best_s, axis: int, cfg: VisionConfig):
+def _reduce_chunk(d_m, pays, best_d, best_pays, axis: int, cfg: VisionConfig):
     """Cross-target winner reduction for one chunk: depth min + the winning
-    fragment's shade (min-tie-break, same structure as the disc kernel),
+    fragment's payloads (min-tie-break, same structure as the disc kernel),
     folded into the running per-pixel best."""
     cmin = jnp.min(d_m, axis=axis, keepdims=True)
     covered = cmin < cfg.far
     win = (d_m == cmin) & covered
-    s_win = jnp.min(jnp.where(win, s_m, jnp.inf), axis=axis, keepdims=True)
+    pays_win = tuple(
+        jnp.min(jnp.where(win, p, jnp.inf), axis=axis, keepdims=True)
+        for p in pays
+    )
     better = cmin < best_d
-    best_s = jnp.where(better, s_win, best_s)
+    best_pays = tuple(
+        jnp.where(better, pw, bp) for pw, bp in zip(pays_win, best_pays)
+    )
     best_d = jnp.minimum(best_d, cmin)
-    return best_d, best_s
+    return best_d, best_pays
 
 
 def _finish(best_d, best_s, cfg: VisionConfig):
@@ -136,26 +161,53 @@ def _finish(best_d, best_s, cfg: VisionConfig):
     return shade, best_d
 
 
+def _pay_init(shape, cfg: VisionConfig, raw: bool, has_alb: bool):
+    """Initial per-pixel payload carry: (shade,) or (uvx, uvy[, alb])."""
+    if not raw:
+        return (jnp.full(shape, cfg.background, jnp.float32),)
+    init = [jnp.full(shape, 0.5, jnp.float32), jnp.full(shape, 0.5, jnp.float32)]
+    if has_alb:
+        init.append(jnp.full(shape, cfg.sprite_albedo, jnp.float32))
+    return tuple(init)
+
+
+def _decode_textured_wf(outs, cfg: VisionConfig, texture, has_alb: bool):
+    """XLA epilogue for the wireframe raw mode: sample the texture at the
+    winner's interpolated edge uv (scene.frag:11-14), then the uv vignette
+    (frag:15-16) — matches vision.render._agent_row_wireframe with texture.
+    O(N*W), outside the kernel."""
+    from ..vision.render import sample_texture_auto as sample_texture
+
+    uvx, uvy = outs[0], outs[1]
+    albw = outs[2] if has_alb else None
+    d = outs[-1]
+    hit = d < cfg.far
+    mag2 = (uvx - 0.5) ** 2 + (uvy - 0.5) ** 2
+    alb = cfg.sprite_albedo if albw is None else albw
+    alb = alb * sample_texture(texture, jnp.stack([uvx, uvy], axis=-1))
+    shade = jnp.where(hit, alb * (1.0 - mag2), cfg.background)
+    return shade, d
+
+
 def _wireframe_raster_kernel(
     # [TE, N_pad] per-vert view coords (f0, l0, f1, l1, f2, l2)
     f0_ref, l0_ref, f1_ref, l1_ref, f2_ref, l2_ref,
-    *rest,  # [alb_ref ([1, N_pad]) when has_alb,] shade_ref, depth_ref
+    *rest,  # [alb_ref ([1, N_pad]) when has_alb,] output refs
     cfg: VisionConfig,
     tj: int,
     has_alb: bool = False,
+    raw: bool = False,
 ):
     """Rasterize-only wireframe kernel over XLA-precomputed projections —
     the wireframe mirror of raycast._raster_kernel (pixels on sublanes,
     targets on lanes, full lane packing)."""
-    if has_alb:
-        alb_ref, shade_ref, depth_ref = rest
-    else:
-        alb_ref = None
-        shade_ref, depth_ref = rest
+    from .raycast import _unpack_rest
+
+    alb_ref, out_refs = _unpack_rest(rest, has_alb)
     f_refs = (f0_ref, f1_ref, f2_ref)
     l_refs = (l0_ref, l1_ref, l2_ref)
     te = f0_ref.shape[0]
-    wb = shade_ref.shape[1]
+    wb = out_refs[0].shape[1]
     n_pad = f0_ref.shape[1]
     num_chunks = n_pad // tj
     t = math.tan(math.radians(cfg.hfov_deg) * 0.5)
@@ -177,24 +229,28 @@ def _wireframe_raster_kernel(
         # dynamic eye loop — see raycast._raycast_kernel for the scoped-vmem
         # rationale (Mosaic allocates the body's stack once per loop)
         def body(k, carry, e=e):
-            best_d, best_s = carry
+            best_d, best_p = carry
             j0 = pl.multiple_of(k * tj, tj)
             f_v = [r[pl.ds(e, 1), pl.ds(j0, tj)] for r in f_refs]  # (1, TJ)
             l_v = [r[pl.ds(e, 1), pl.ds(j0, tj)] for r in l_refs]
             alb = (
                 alb_ref[0:1, pl.ds(j0, tj)] if has_alb else cfg.sprite_albedo
             )
-            d_m, s_m = _merge_edges(ut, f_v, l_v, alb, cfg)  # (WB, TJ)
-            return _reduce_chunk(d_m, s_m, best_d, best_s, 1, cfg)
+            d_m, p_m = _merge_edges(ut, f_v, l_v, alb, cfg, track_uv=raw)
+            return _reduce_chunk(d_m, p_m, best_d, best_p, 1, cfg)
 
         init = (
             jnp.full((wb, 1), cfg.far, jnp.float32),
-            jnp.full((wb, 1), cfg.background, jnp.float32),
+            _pay_init((wb, 1), cfg, raw, has_alb),
         )
-        best_d, best_s = jax.lax.fori_loop(0, num_chunks, body, init)
-        shade, depth = _finish(best_d, best_s, cfg)
-        shade_ref[pl.ds(e, 1), :] = jnp.transpose(shade)
-        depth_ref[pl.ds(e, 1), :] = jnp.transpose(depth)
+        best_d, best_p = jax.lax.fori_loop(0, num_chunks, body, init)
+        if raw:
+            for ref, val in zip(out_refs, (*best_p, best_d)):
+                ref[pl.ds(e, 1), :] = jnp.transpose(val)
+            return 0
+        shade, depth = _finish(best_d, best_p[0], cfg)
+        out_refs[0][pl.ds(e, 1), :] = jnp.transpose(shade)
+        out_refs[1][pl.ds(e, 1), :] = jnp.transpose(depth)
         return 0
 
     cap = _unroll_cap(wb, tj)
@@ -216,23 +272,22 @@ def _wireframe_stream_kernel(
     tx_ref, ty_ref,  # [N_pad, 1] target positions (sublane-major)
     cx_ref, cy_ref,  # [N_pad, 1] target heading cos/sin (sprite orientation)
     m_ref,  # [N_pad, 1] target padding mask
-    *rest,  # [alb_ref ([N_pad, 1]) when has_alb,] shade_ref, depth_ref
+    *rest,  # [alb_ref ([N_pad, 1]) when has_alb,] output refs
     cfg: VisionConfig,
     tj: int,
     has_alb: bool = False,
+    raw: bool = False,
 ):
     """Streaming wireframe kernel: per target chunk the 3 sprite verts are
     rotated to the target heading and projected into the eye frame as
     (TJ, 1) columns (amortized over the pixel block), then the per-edge
     pixel core runs on (TJ, WB) tiles — the wireframe mirror of
     raycast._raycast_kernel, for N too large for the precompute tensors."""
-    if has_alb:
-        alb_ref, shade_ref, depth_ref = rest
-    else:
-        alb_ref = None
-        shade_ref, depth_ref = rest
+    from .raycast import _unpack_rest
+
+    alb_ref, out_refs = _unpack_rest(rest, has_alb)
     te = ex_ref.shape[0]
-    wb = shade_ref.shape[1]
+    wb = out_refs[0].shape[1]
     n_pad = tx_ref.shape[0]
     num_chunks = n_pad // tj
     t = math.tan(math.radians(cfg.hfov_deg) * 0.5)
@@ -257,7 +312,7 @@ def _wireframe_stream_kernel(
         hx, hy = dx_ref[e, 0], dy_ref[e, 0]
 
         def body(k, carry, px=px, py=py, hx=hx, hy=hy):
-            best_d, best_s = carry
+            best_d, best_p = carry
             j0 = pl.multiple_of(k * tj, tj)
             tx = tx_ref[pl.ds(j0, tj), :]  # (TJ, 1)
             ty = ty_ref[pl.ds(j0, tj), :]
@@ -280,17 +335,21 @@ def _wireframe_stream_kernel(
                 l_v.append(jnp.where(mj, lv, 0.0))
 
             alb = alb_ref[pl.ds(j0, tj), :] if has_alb else cfg.sprite_albedo
-            d_m, s_m = _merge_edges(ut, f_v, l_v, alb, cfg)  # (TJ, WB)
-            return _reduce_chunk(d_m, s_m, best_d, best_s, 0, cfg)
+            d_m, p_m = _merge_edges(ut, f_v, l_v, alb, cfg, track_uv=raw)
+            return _reduce_chunk(d_m, p_m, best_d, best_p, 0, cfg)
 
         init = (
             jnp.full((1, wb), cfg.far, jnp.float32),
-            jnp.full((1, wb), cfg.background, jnp.float32),
+            _pay_init((1, wb), cfg, raw, has_alb),
         )
-        best_d, best_s = jax.lax.fori_loop(0, num_chunks, body, init)
-        shade, depth = _finish(best_d, best_s, cfg)
-        shade_ref[pl.ds(e, 1), :] = shade
-        depth_ref[pl.ds(e, 1), :] = depth
+        best_d, best_p = jax.lax.fori_loop(0, num_chunks, body, init)
+        if raw:
+            for ref, val in zip(out_refs, (*best_p, best_d)):
+                ref[pl.ds(e, 1), :] = val
+            return 0
+        shade, depth = _finish(best_d, best_p[0], cfg)
+        out_refs[0][pl.ds(e, 1), :] = shade
+        out_refs[1][pl.ds(e, 1), :] = depth
         return 0
 
     cap = _unroll_cap(wb, tj, streaming=True)
@@ -334,6 +393,13 @@ def _project_verts_all(pos, dirs, tgt, hdg, cfg: VisionConfig, n_pad_t: int):
 _PRECOMPUTE_MAX_ELEMS = 1 << 23
 
 
+def _wf_num_outputs(raw: bool, has_alb: bool) -> int:
+    """(shade, depth) normally; (uvx, uvy[, alb], depth) in raw mode."""
+    if not raw:
+        return 2
+    return 3 + (1 if has_alb else 0)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "te", "tj"))
 def render_rows_wireframe_tiled(
     pos: jax.Array,
@@ -344,16 +410,21 @@ def render_rows_wireframe_tiled(
     targets: jax.Array | None = None,
     target_vel: jax.Array | None = None,
     albedo: jax.Array | None = None,
+    texture: jax.Array | None = None,
 ):
     """Pallas counterpart of vision.render.render_rows with
     sprite_mode='wireframe'. pos, vel: [N, 2] -> (shade [N, W], depth [N, W]).
 
     `targets`/`target_vel` render the eyes against a different position set
     (partial rows depth-merge with vision.render.merge_rows); `albedo` [M]
-    gives each target its own base brightness.
+    gives each target its own base brightness. `texture` [Ht, Wt] samples
+    the skin at the winner's interpolated edge uv (scene.frag:11-14): the
+    kernels track (uvx, uvy) winner streams and the bilinear lookup runs in
+    an XLA epilogue outside Mosaic.
     """
     if cfg.sprite_mode != "wireframe":
         raise ValueError("render_rows_wireframe_tiled needs sprite_mode='wireframe'")
+    raw = texture is not None
     if targets is None:
         tgt, tvel = pos, vel
     else:
@@ -400,7 +471,8 @@ def render_rows_wireframe_tiled(
 
         grid = (n_pad_e_p // te_p, cfg.width // wb)
         kernel = functools.partial(
-            _wireframe_raster_kernel, cfg=cfg, tj=tj_p, has_alb=has_alb
+            _wireframe_raster_kernel, cfg=cfg, tj=tj_p, has_alb=has_alb,
+            raw=raw,
         )
         pspec = lambda: pl.BlockSpec(
             (te_p, n_pad_t_p), lambda i, p: (i, 0), memory_space=pltpu.VMEM
@@ -417,14 +489,15 @@ def render_rows_wireframe_tiled(
                 )
             )
             args.append(row(pad_axis(albedo, n_pad_t_p)))
-        shade, depth = pl.pallas_call(
+        n_out = _wf_num_outputs(raw, has_alb)
+        outs = pl.pallas_call(
             kernel,
             grid=grid,
             in_specs=in_specs,
-            out_specs=[ospec(), ospec()],
+            out_specs=[ospec() for _ in range(n_out)],
             out_shape=[
-                jax.ShapeDtypeStruct((n_pad_e_p, cfg.width), jnp.float32),
-                jax.ShapeDtypeStruct((n_pad_e_p, cfg.width), jnp.float32),
+                jax.ShapeDtypeStruct((n_pad_e_p, cfg.width), jnp.float32)
+                for _ in range(n_out)
             ],
             cost_estimate=pl.CostEstimate(
                 flops=60 * n_pad_e_p * n_pad_t_p * cfg.width,
@@ -436,7 +509,10 @@ def render_rows_wireframe_tiled(
             ),
             interpret=interpret_mode(),
         )(*args)
-        return shade[:n], depth[:n]
+        outs = [o[:n] for o in outs]
+        if raw:
+            return _decode_textured_wf(outs, cfg, texture, has_alb)
+        return outs[0], outs[1]
 
     # streaming path
     tj = fit_tile(tj, m, 8)
@@ -453,7 +529,7 @@ def render_rows_wireframe_tiled(
 
     grid = (n_pad_e // te, cfg.width // wb)
     kernel = functools.partial(
-        _wireframe_stream_kernel, cfg=cfg, tj=tj, has_alb=has_alb
+        _wireframe_stream_kernel, cfg=cfg, tj=tj, has_alb=has_alb, raw=raw
     )
     espec = lambda: pl.BlockSpec(
         (te, 1), lambda i, p: (i, 0), memory_space=pltpu.VMEM
@@ -472,14 +548,15 @@ def render_rows_wireframe_tiled(
     if has_alb:
         in_specs.append(tspec())
         args.append(col(pad_axis(albedo, n_pad_t)))
-    shade, depth = pl.pallas_call(
+    n_out = _wf_num_outputs(raw, has_alb)
+    outs = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
-        out_specs=[ospec(), ospec()],
+        out_specs=[ospec() for _ in range(n_out)],
         out_shape=[
-            jax.ShapeDtypeStruct((n_pad_e, cfg.width), jnp.float32),
-            jax.ShapeDtypeStruct((n_pad_e, cfg.width), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad_e, cfg.width), jnp.float32)
+            for _ in range(n_out)
         ],
         cost_estimate=pl.CostEstimate(
             flops=70 * n_pad_e * n_pad_t * cfg.width,
@@ -489,7 +566,10 @@ def render_rows_wireframe_tiled(
         ),
         interpret=interpret_mode(),
     )(*args)
-    return shade[:n], depth[:n]
+    outs = [o[:n] for o in outs]
+    if raw:
+        return _decode_textured_wf(outs, cfg, texture, has_alb)
+    return outs[0], outs[1]
 
 
 def render_lines(state, cfg: VisionConfig) -> jax.Array:

@@ -196,12 +196,17 @@ def ring_render_rows(
     axis: str = AGENT_AXIS,
     data_axis: Optional[str] = None,
     partials: str = "auto",
+    texture: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """(shade, depth) [(B,) N, W] with both eyes and targets sharded: each
     hop renders the local eyes against the circulating target block and
     depth-merges (min-depth is associative across disjoint blocks). Non-
     divisible N handled by far-sentinel padding (sentinel targets cull at
-    the far plane; padded eye rows are sliced off)."""
+    the far plane; padded eye rows are sliced off). `texture` [Ht, Wt] is
+    REPLICATED (the reference binds one skin.png for the whole scene), so
+    each hop's partial render samples it directly; the depth-merge stays
+    correct because every pixel's final shade comes from exactly one hop's
+    composed partial."""
     mesh = mesh or default_mesh()
     _check_divisible(pos, mesh, axis, data_axis)
     d = mesh.shape[axis]
@@ -213,11 +218,15 @@ def ring_render_rows(
             from ..ops import raycast
 
             return _maybe_vmap(
-                lambda a, b, t: raycast.render_rows_tiled(a, b, vcfg, targets=t),
+                lambda a, b, t: raycast.render_rows_tiled(
+                    a, b, vcfg, targets=t, texture=texture
+                ),
                 pi, vi, tgt,
             )
         return _maybe_vmap(
-            lambda a, b, t: dense_render.render_rows(a, b, vcfg, targets=t),
+            lambda a, b, t: dense_render.render_rows(
+                a, b, vcfg, targets=t, texture=texture
+            ),
             pi, vi, tgt,
         )
 

@@ -279,6 +279,48 @@ def sample_texture(texture: jax.Array, uv: jax.Array) -> jax.Array:
     )
 
 
+def sample_texture_mm(texture: jax.Array, uv: jax.Array) -> jax.Array:
+    """Gather-free bilinear sample for SMALL textures: the clamped linear
+    interpolation weight of texel k at coordinate x is exactly
+    relu(1 - |x - k|) (two nonzero terms, the usual (1-fx, fx) pair), so a
+    bilinear lookup is the tensor-product contraction
+        sample = sum_ij relu(1-|y-i|) relu(1-|x-j|) T[i, j].
+    Identical values to sample_texture up to fp reassociation, but runs as
+    dense VPU math — on TPU, XLA gathers cost ~2,700x a lane-op per element
+    (measured, DESIGN.md §4c), which made the texture epilogue dominate the
+    whole render. Cost O(P * Ht * Wt): use for Ht*Wt up to a few thousand
+    (skin sprites), sample_texture for big atlases."""
+    ht, wt = texture.shape
+    x = jnp.clip(uv[..., 0], 0.0, 1.0) * (wt - 1)
+    y = jnp.clip(uv[..., 1], 0.0, 1.0) * (ht - 1)
+    wx = jnp.maximum(
+        0.0, 1.0 - jnp.abs(x[..., None] - jnp.arange(wt, dtype=x.dtype))
+    )  # [..., Wt]
+    wy = jnp.maximum(
+        0.0, 1.0 - jnp.abs(y[..., None] - jnp.arange(ht, dtype=y.dtype))
+    )  # [..., Ht]
+    # HIGHEST precision: the TPU MXU's default f32 matmul truncates inputs
+    # to bf16 (observed 2e-4 shade error vs the gather path); full-precision
+    # passes keep the two samplers equal at fp32 epsilon
+    rows = jnp.einsum(
+        "...i,ij->...j", wy, texture, precision=jax.lax.Precision.HIGHEST
+    )  # [..., Wt]
+    return jnp.sum(rows * wx, axis=-1)
+
+
+# above this texel count the O(P*Ht*Wt) dense contraction loses to gathers
+_MM_SAMPLE_MAX_TEXELS = 1 << 12
+
+
+def sample_texture_auto(texture: jax.Array, uv: jax.Array) -> jax.Array:
+    """Pick the gather-free contraction for small textures (the common
+    sprite-skin case) and the gather path for big ones."""
+    ht, wt = texture.shape
+    if ht * wt <= _MM_SAMPLE_MAX_TEXELS:
+        return sample_texture_mm(texture, uv)
+    return sample_texture(texture, uv)
+
+
 def checker_texture(size: int = 32, cells: int = 4,
                     lo: float = 0.35, hi: float = 1.0) -> jax.Array:
     """Procedural [size, size] checkerboard — a stand-in asset for the
