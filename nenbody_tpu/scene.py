@@ -22,6 +22,7 @@ import functools
 from typing import Any, Callable, Optional, Tuple
 
 import jax
+import jax.numpy as jnp
 
 from .config import SimConfig
 from .physics import dense
@@ -302,15 +303,21 @@ class Scene:
         state: SceneState,
         eye: int = 0,
         size=(270, 480),
-        thickness: int = 2,
+        thickness="perspective",
+        colors: Optional[jax.Array] = None,
+        texture: Optional[jax.Array] = None,
     ):
         """First-person viewport: the scene re-rendered from agent `eye`'s
         perspective camera as an RGB uint8 [H, W, 3] frame — the third
         render the reference's UI shows (selected-eye re-render into the
         imgui viewport texture, src/main.rs:979-998). Width follows the
         viewport (horizontal FOV is preserved on resize, gfx.rs:411-418);
-        the planar scene draws on the horizon row (see
-        viz.frame.first_person_view). Unbatched states only."""
+        the planar scene draws on the horizon (see
+        viz.frame.first_person_view — thickness="perspective" extends each
+        hit column by the sprite's apparent size at its depth, an int draws
+        the raw thin-line look). `colors` [N, 3] gives per-agent appearance
+        (three channel renders, as observe_rgb); `texture` samples the skin
+        along the viewport row. Unbatched states only."""
         import dataclasses as _dc
 
         import numpy as np
@@ -326,18 +333,41 @@ class Scene:
         h, w = size
         base = self.cfg.vision or VisionConfig()
         vcfg = _dc.replace(base, width=w)
-        fn = self._eye_view_cache.get(w)
+        key = (w, colors is not None, texture is not None)
+        fn = self._eye_view_cache.get(key)
         if fn is None:
-            fn = jax.jit(
-                lambda pos, vel, eye: render_lib.render_single_row(
-                    pos, vel, eye, vcfg
-                )
-            )
-            self._eye_view_cache[w] = fn
-        shade, depth = jax.device_get(fn(state.pos, state.vel, eye))
+            if colors is None:
+
+                def fn(pos, vel, eye, colors, texture):
+                    return render_lib.render_single_row(
+                        pos, vel, eye, vcfg, texture=texture
+                    )
+
+            else:
+
+                def fn(pos, vel, eye, colors, texture):
+                    chans = []
+                    depth = None
+                    for c in range(3):
+                        ccfg = _dc.replace(
+                            vcfg, background=float(render_lib.BACKGROUND_RGB[c])
+                        )
+                        sh, depth = render_lib.render_single_row(
+                            pos, vel, eye, ccfg, albedo=colors[:, c],
+                            texture=texture,
+                        )
+                        chans.append(sh)
+                    return jnp.stack(chans, axis=-1), depth
+
+            fn = jax.jit(fn, static_argnames=())
+            self._eye_view_cache[key] = fn
+        shade, depth = jax.device_get(
+            fn(state.pos, state.vel, eye, colors, texture)
+        )
         img = frame_lib.first_person_view(
             shade, depth, size=size, far=vcfg.far,
             sprite_albedo=vcfg.sprite_albedo, thickness=thickness,
+            sprite_radius=vcfg.sprite_radius, hfov_deg=vcfg.hfov_deg,
         )
         return frame_lib.to_uint8(img)
 

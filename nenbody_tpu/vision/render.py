@@ -226,15 +226,23 @@ def render_single_row(
     vel: jax.Array,
     eye: int,
     cfg: VisionConfig,
+    albedo: jax.Array | None = None,
+    texture: jax.Array | None = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """One agent's eye line at an arbitrary width — the first-person
     viewport's pixel source (the reference re-renders the scene from the
     selected eye camera into the imgui viewport texture, a THIRD render
-    pass, src/main.rs:979-998). Returns (shade [W], depth [W])."""
+    pass, src/main.rs:979-998). Returns (shade [W], depth [W]).
+    `albedo`/`texture` as in render_rows (per-agent appearance in the
+    viewport)."""
     dirs = camera.unit_heading(vel)
     if cfg.sprite_mode == "wireframe":
-        return _agent_row_wireframe(pos[eye], dirs[eye], pos, dirs, cfg)
-    return _agent_row(pos[eye], dirs[eye], pos, cfg)
+        return _agent_row_wireframe(
+            pos[eye], dirs[eye], pos, dirs, cfg, albedo=albedo,
+            texture=texture,
+        )
+    return _agent_row(pos[eye], dirs[eye], pos, cfg, albedo=albedo,
+                      texture=texture)
 
 
 BACKGROUND_RGB = (0.1, 0.2, 0.3)  # clear color, src/main.rs:543

@@ -89,19 +89,29 @@ def first_person_view(
     size: Tuple[int, int] = (270, 480),
     far: float = 10000.0,
     sprite_albedo: float = 1.0,
-    thickness: int = 2,
+    thickness="perspective",
+    sprite_radius: float = 1.0,
+    hfov_deg: float = 90.0,
 ) -> np.ndarray:
     """The first-person viewport: the 2D scene re-rendered from an agent's
     perspective camera (the reference's third render pass into the imgui
     viewport texture, src/main.rs:979-998, target main.rs:707-717).
 
     The scene is planar and the eye camera lies IN the plane with up=+z
-    (main.rs:770), so every sprite projects exactly onto the horizon row:
-    the faithful 2D frame is the clear color with the 1D render drawn as a
-    thin line across the vertical center — which is also what the
-    reference's viewport visibly shows (LineStrip fragments rasterize at
-    ~1px screen thickness). shade/depth rows must be rendered at width
-    size[1] (vision.render.render_single_row)."""
+    (main.rs:770), so every sprite projects exactly onto the horizon row;
+    the faithful 2D frame is the clear color with the 1D render across the
+    vertical center. thickness:
+      - an int: fixed line thickness in pixels (the raw LineStrip look —
+        the reference's fragments rasterize at ~1px);
+      - "perspective" (default): each hit column extends vertically by the
+        sprite's apparent pixel size at its depth, half_px = R*w/(2*f*t) —
+        the same perspective law as the horizontal splat — so near agents
+        read tall and far agents collapse to the horizon line (depth cue).
+    shade_row may be [W] (monochrome; tinted with AGENT_COLOR) or [W, 3]
+    (per-agent color rows from a 3-channel render); depth/shade rows must
+    be rendered at width size[1] (vision.render.render_single_row)."""
+    import math
+
     h, w = size
     shade_row = np.asarray(shade_row, np.float32)
     depth_row = np.asarray(depth_row, np.float32)
@@ -113,14 +123,34 @@ def first_person_view(
     img = np.empty((h, w, 3), np.float32)
     img[:] = CLEAR_COLOR
     hit = depth_row < far
-    norm = shade_row / max(sprite_albedo, 1e-6)
-    rgb = np.where(
-        hit[:, None],
-        np.asarray(AGENT_COLOR, np.float32)[None] * norm[:, None],
-        np.asarray(CLEAR_COLOR, np.float32)[None],
-    )
-    r0 = max(0, h // 2 - thickness // 2)
-    img[r0 : min(h, r0 + max(1, thickness))] = rgb[None]
+    if shade_row.ndim == 2:
+        rgb = np.where(
+            hit[:, None], shade_row, np.asarray(CLEAR_COLOR, np.float32)[None]
+        )
+    else:
+        norm = shade_row / max(sprite_albedo, 1e-6)
+        rgb = np.where(
+            hit[:, None],
+            np.asarray(AGENT_COLOR, np.float32)[None] * norm[:, None],
+            np.asarray(CLEAR_COLOR, np.float32)[None],
+        )
+    if thickness == "perspective":
+        t = math.tan(math.radians(hfov_deg) * 0.5)
+        safe_d = np.maximum(depth_row, 1e-6)
+        half = (sprite_radius * w) / (2.0 * safe_d * t)
+        half_px = np.where(hit, np.clip(half, 1.0, h / 2.0), 0.0)  # [w]
+        rows = np.abs(np.arange(h, dtype=np.float32) - (h - 1) / 2.0)
+        mask = rows[:, None] < half_px[None, :]  # [h, w]
+        img = np.where(mask[..., None], rgb[None, :, :], img)
+        # misses still draw the thin horizon line (the clear-colored strip)
+        r0 = max(0, h // 2 - 1)
+        img[r0 : min(h, r0 + 2)] = np.where(
+            mask[r0 : min(h, r0 + 2), :, None], img[r0 : min(h, r0 + 2)],
+            rgb[None, :, :],
+        )
+        return img
+    r0 = max(0, h // 2 - int(thickness) // 2)
+    img[r0 : min(h, r0 + max(1, int(thickness)))] = rgb[None]
     return img
 
 

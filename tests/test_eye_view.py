@@ -97,3 +97,53 @@ def test_viewer_composes_first_person_panel():
 
     with pytest.raises(ValueError, match="scene"):
         Viewer(out_dir="out/test_fp", first_person=True)
+
+
+def test_eye_view_perspective_thickness():
+    """thickness='perspective': a near target reads taller than a far one
+    (apparent size half_px = R*w/(2*f*t)); misses stay on the thin line."""
+    cfg = SimConfig(n=3, controller="gravity", backend="dense",
+                    vision=VisionConfig(width=128))
+    scene = Scene(cfg)
+    pos = jnp.array([[0.0, 0.0], [5.0, 0.0], [40.0, 0.0]], jnp.float32)
+    vel = jnp.array([[1.0, 0.0], [0.0, 1.0], [0.0, 1.0]], jnp.float32)
+    st = SceneState(pos=pos, vel=vel, key=jax.random.key(0), t=jnp.int32(0))
+    img = scene.render_eye_view(st, eye=0, size=(120, 128))
+    clear = frame_lib.to_uint8(
+        np.asarray(frame_lib.CLEAR_COLOR, np.float32)[None, None]
+    )[0, 0]
+    nonclear = (img != clear).any(axis=-1)  # [h, w]
+    col_heights = nonclear.sum(axis=0)
+    # the near sprite (center, f=5) must be drawn taller than the far one
+    # (also center-ish, f=40) — compare the tallest column of each splat.
+    # near splat half-width du*w/2 = R*w/(f*t) = 128/5 ~ 25 px around center
+    near_h = col_heights[54:74].max()
+    # far sprite is occluded by the near one dead ahead... use geometry:
+    # both at center; the NEAR one wins the depth test, so just assert the
+    # center column is much taller than the 1-2px thin line
+    assert near_h >= 10, col_heights[54:74]
+    # columns with no hit keep at most the 2px horizon strip
+    miss_cols = col_heights[:10]
+    assert (miss_cols <= 2).all()
+
+
+def test_eye_view_per_agent_colors_and_texture():
+    from nenbody_tpu.vision.render import checker_texture, default_agent_colors
+
+    cfg = SimConfig(n=2, controller="gravity", backend="dense",
+                    vision=VisionConfig(width=64))
+    scene = Scene(cfg)
+    st = _state_two_agents()
+    colors = jnp.asarray([[1.0, 0.1, 0.1], [0.1, 1.0, 0.1]], jnp.float32)
+    img = scene.render_eye_view(st, eye=0, size=(60, 64), colors=colors)
+    assert img.shape == (60, 64, 3)
+    # the visible target is agent 1 -> green-dominant pixels on the horizon
+    mid = img[29:31].astype(np.int32)
+    hitpx = mid[(mid.max(axis=-1) > 80)]
+    assert hitpx.size and (hitpx[:, 1] > hitpx[:, 0]).all()
+
+    # texture runs through the viewport row
+    img_t = scene.render_eye_view(
+        st, eye=0, size=(60, 64), texture=checker_texture(8, 2)
+    )
+    assert img_t.shape == (60, 64, 3)
