@@ -40,6 +40,32 @@ def pad_axis(x: jax.Array, n_pad: int, axis: int = 0, value: float = 0.0) -> jax
     return jnp.pad(x, widths, constant_values=value)
 
 
+def run_eyes_unrolled(eye_body, te: int, cap: int) -> None:
+    """Drive `eye_body(e, 0)` over `te` eyes: a dynamic fori_loop over
+    groups of `ue` statically-unrolled calls, with ue the largest power of
+    two <= min(te, cap) that divides te (so no eye is dropped for any te).
+
+    Why groups — the ONE unroll rule for every per-eye kernel loop: Mosaic
+    allocates the loop body's scoped-vmem stack once per loop, so a full
+    static unroll multiplies the live (WB, TJ) temporaries past the 16 MB
+    scoped-vmem limit on the heavy kernel variants, while a fully dynamic
+    eye loop costs ~2.5x in throughput; unroll groups give both. `cap` is
+    variant-specific and swept on hardware at each call site (CLAUDE.md:
+    re-check caps on REAL hardware whenever a kernel variant adds select
+    streams — interpret mode will not catch the scoped-vmem OOM)."""
+    ue = 1
+    while ue * 2 <= min(te, cap) and te % (ue * 2) == 0:
+        ue *= 2
+
+    def group_body(g, _):
+        base = g * ue
+        for u in range(ue):
+            eye_body(base + u, 0)
+        return 0
+
+    jax.lax.fori_loop(0, te // ue, group_body, 0)
+
+
 def col(x: jax.Array) -> jax.Array:
     """[N] -> [N, 1] (sublane-major layout for i-resident tiles)."""
     return x[:, None]

@@ -27,7 +27,9 @@ from jax.experimental.pallas import tpu as pltpu
 from ..config import VisionConfig
 from ..state import SceneState
 from ..vision import camera
-from .common import col, fit_tile, interpret_mode, pad_axis, round_up, row
+from .common import (
+    col, fit_tile, interpret_mode, pad_axis, round_up, row, run_eyes_unrolled,
+)
 
 EYES_PER_PROGRAM = 8
 TILE_J = 512
@@ -201,29 +203,15 @@ def _raycast_kernel(
         out_refs[1][pl.ds(e, 1), :] = depth
         return 0
 
-    # Manual partial unroll: a dynamic outer loop over groups of 8
-    # statically-unrolled eyes. Full unroll multiplies Mosaic's scoped-vmem
-    # stack past 16 MB on the antialias+albedo variants; a fully dynamic
-    # loop costs ~2.5x in throughput; groups give both.
-    # Unroll factor vs Mosaic's 16 MB scoped-vmem stack: each unrolled eye
-    # holds ~bufs live (WB, TJ) temporaries. The antialias+albedo variant
-    # carries three select streams (o2/inv/albedo) and measured ~2x the
-    # stack of the others (observed OOMs at 16.25-17.6 MB), so it caps at
-    # 4 unrolled eyes (2 for the largest tiles); everything else is safe
-    # (validated on v5e) and faster up to 16.
+    # Unroll cap (see common.run_eyes_unrolled for the scoped-vmem
+    # rationale): the antialias+albedo/raw variants carry three select
+    # streams (o2/inv/albedo) and measured ~2x the stack of the others
+    # (observed OOMs at 16.25-17.6 MB), so they cap at 4 unrolled eyes
+    # (2 for the largest tiles); everything else is safe (validated on
+    # v5e) and faster up to 16.
     heavy = (cfg.antialias and has_alb) or raw
     cap = (2 if wb * tj >= (1 << 17) else 4) if heavy else 16
-    ue = 1
-    while ue * 2 <= min(te, cap) and te % (ue * 2) == 0:
-        ue *= 2
-
-    def group_body(g, _):
-        base = g * ue
-        for u in range(ue):
-            eye_body(base + u, 0)
-        return 0
-
-    jax.lax.fori_loop(0, te // ue, group_body, 0)
+    run_eyes_unrolled(eye_body, te, cap)
 
 
 def _raster_kernel(
@@ -342,29 +330,15 @@ def _raster_kernel(
         out_refs[1][pl.ds(e, 1), :] = jnp.transpose(depth)
         return 0
 
-    # Manual partial unroll: a dynamic outer loop over groups of 8
-    # statically-unrolled eyes. Full unroll multiplies Mosaic's scoped-vmem
-    # stack past 16 MB on the antialias+albedo variants; a fully dynamic
-    # loop costs ~2.5x in throughput; groups give both.
-    # Unroll factor vs Mosaic's 16 MB scoped-vmem stack: each unrolled eye
-    # holds ~bufs live (WB, TJ) temporaries. The antialias+albedo variant
-    # carries three select streams (o2/inv/albedo) and measured ~2x the
-    # stack of the others (observed OOMs at 16.25-17.6 MB), so it caps at
-    # 4 unrolled eyes (2 for the largest tiles); everything else is safe
-    # (validated on v5e) and faster up to 16.
+    # Unroll cap (see common.run_eyes_unrolled for the scoped-vmem
+    # rationale): the antialias+albedo/raw variants carry three select
+    # streams (o2/inv/albedo) and measured ~2x the stack of the others
+    # (observed OOMs at 16.25-17.6 MB), so they cap at 4 unrolled eyes
+    # (2 for the largest tiles); everything else is safe (validated on
+    # v5e) and faster up to 16.
     heavy = (cfg.antialias and has_alb) or raw
     cap = (2 if wb * tj >= (1 << 17) else 4) if heavy else 16
-    ue = 1
-    while ue * 2 <= min(te, cap) and te % (ue * 2) == 0:
-        ue *= 2
-
-    def group_body(g, _):
-        base = g * ue
-        for u in range(ue):
-            eye_body(base + u, 0)
-        return 0
-
-    jax.lax.fori_loop(0, te // ue, group_body, 0)
+    run_eyes_unrolled(eye_body, te, cap)
 
 
 def _project_all(pos, dirs, tgt, cfg: VisionConfig, n_pad_t: int):
@@ -759,19 +733,9 @@ def _raycast_bwd_kernel(
         gdy_ref[pl.ds(e, 1), :] = jnp.full((1, 1), ady, jnp.float32)
         return 0
 
-    # Manual partial unroll: a dynamic outer loop over groups of 8
-    # statically-unrolled eyes. Full unroll multiplies Mosaic's scoped-vmem
-    # stack past 16 MB on the antialias+albedo variants; a fully dynamic
-    # loop costs ~2.5x in throughput; groups give both.
-    ue = min(8, te)
-
-    def group_body(g, _):
-        base = g * ue
-        for u in range(ue):
-            eye_body(base + u, 0)
-        return 0
-
-    jax.lax.fori_loop(0, te // ue, group_body, 0)
+    # backward kernel: scalar accumulators only, light stack — cap 8
+    # (see common.run_eyes_unrolled for the scoped-vmem rationale)
+    run_eyes_unrolled(eye_body, te, 8)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "te"))

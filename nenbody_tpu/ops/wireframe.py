@@ -41,15 +41,17 @@ from jax.experimental.pallas import tpu as pltpu
 from ..config import VisionConfig
 from ..vision import camera
 from ..vision.render import SPRITE_EDGES, SPRITE_UVS, SPRITE_VERTS
-from .common import col, fit_tile, interpret_mode, pad_axis, round_up, row
+from .common import (
+    col, fit_tile, interpret_mode, pad_axis, round_up, row, run_eyes_unrolled,
+)
 
 EYES_PER_PROGRAM = 8
 TILE_J = 256
 
 
-def _unroll_cap(wb: int, tj: int, streaming: bool = False) -> int:
-    """Manual-unroll cap for the per-edge kernels (see raycast for the
-    Mosaic scoped-vmem rationale). Swept on v5e: the raster kernel gains
+def _unroll_cap(streaming: bool = False) -> int:
+    """Unroll cap for the per-edge kernels (see common.run_eyes_unrolled
+    for the scoped-vmem rationale). Swept on v5e: the raster kernel gains
     ~11% up to 16 unrolled eyes with no scoped-vmem OOM at any shape
     (Mosaic reuses the per-edge temporaries across the static edge loop);
     the STREAMING kernel regresses ~3x past 4 — its per-eye (TJ, 1)
@@ -253,18 +255,7 @@ def _wireframe_raster_kernel(
         out_refs[1][pl.ds(e, 1), :] = jnp.transpose(depth)
         return 0
 
-    cap = _unroll_cap(wb, tj)
-    ue = 1
-    while ue * 2 <= min(te, cap) and te % (ue * 2) == 0:
-        ue *= 2
-
-    def group_body(g, _):
-        base = g * ue
-        for u in range(ue):
-            eye_body(base + u, 0)
-        return 0
-
-    jax.lax.fori_loop(0, te // ue, group_body, 0)
+    run_eyes_unrolled(eye_body, te, _unroll_cap())
 
 
 def _wireframe_stream_kernel(
@@ -318,7 +309,11 @@ def _wireframe_stream_kernel(
             ty = ty_ref[pl.ds(j0, tj), :]
             cth = cx_ref[pl.ds(j0, tj), :]
             sth = cy_ref[pl.ds(j0, tj), :]
-            mj = m_ref[pl.ds(j0, tj), :] > 0.0
+            # padded targets out; coincident targets out (the dense
+            # oracle's explicit self-sprite cull)
+            mj = (m_ref[pl.ds(j0, tj), :] > 0.0) & (
+                (tx != px) | (ty != py)
+            )
 
             # rotate + project the 3 sprite verts: (TJ, 1) columns. Padded
             # targets collapse to a single behind-the-eye point (f = -1,
@@ -352,24 +347,15 @@ def _wireframe_stream_kernel(
         out_refs[1][pl.ds(e, 1), :] = depth
         return 0
 
-    cap = _unroll_cap(wb, tj, streaming=True)
-    ue = 1
-    while ue * 2 <= min(te, cap) and te % (ue * 2) == 0:
-        ue *= 2
-
-    def group_body(g, _):
-        base = g * ue
-        for u in range(ue):
-            eye_body(base + u, 0)
-        return 0
-
-    jax.lax.fori_loop(0, te // ue, group_body, 0)
+    run_eyes_unrolled(eye_body, te, _unroll_cap(streaming=True))
 
 
 def _project_verts_all(pos, dirs, tgt, hdg, cfg: VisionConfig, n_pad_t: int):
     """Fused XLA projection of every target's 3 sprite verts into every eye:
-    6 tensors (f_v, l_v per vert), each [N_e, N_t_pad]. Padded targets get
-    the degenerate behind-the-eye encoding (f=-1, l=0: no edge crossing)."""
+    6 tensors (f_v, l_v per vert), each [N_e, N_t_pad]. Padded targets AND
+    targets coincident with the eye (the explicit self-sprite cull of the
+    dense oracle, vision.render._agent_row_wireframe) get the degenerate
+    behind-the-eye encoding (f=-1, l=0: no edge crossing)."""
     r = cfg.sprite_radius
     verts = jnp.asarray(SPRITE_VERTS, jnp.float32) * r  # [3, 2]
     cth, sth = hdg[:, 0], hdg[:, 1]
@@ -381,6 +367,12 @@ def _project_verts_all(pos, dirs, tgt, hdg, cfg: VisionConfig, n_pad_t: int):
     rely = wy[None, :, :] - pos[:, None, 1:2]
     f = relx * dirs[:, None, 0:1] + rely * dirs[:, None, 1:2]
     l = relx * dirs[:, None, 1:2] - rely * dirs[:, None, 0:1]
+    coincident = (
+        (tgt[None, :, 0:1] == pos[:, None, 0:1])
+        & (tgt[None, :, 1:2] == pos[:, None, 1:2])
+    )  # [N_e, N_t, 1]
+    f = jnp.where(coincident, -1.0, f)
+    l = jnp.where(coincident, 0.0, l)
     pad = n_pad_t - tgt.shape[0]
     if pad:
         f = jnp.pad(f, ((0, 0), (0, pad), (0, 0)), constant_values=-1.0)

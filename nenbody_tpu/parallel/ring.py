@@ -206,15 +206,28 @@ def ring_render_rows(
     REPLICATED (the reference binds one skin.png for the whole scene), so
     each hop's partial render samples it directly; the depth-merge stays
     correct because every pixel's final shade comes from exactly one hop's
-    composed partial."""
+    composed partial. With sprite_mode='wireframe' the target VELOCITIES
+    circulate alongside the positions (sprites orient to their targets'
+    headings, src/main.rs:398-400); the partial renderers' coincident-
+    target cull keeps the no-self-sprite semantics on hop 0."""
     mesh = mesh or default_mesh()
     _check_divisible(pos, mesh, axis, data_axis)
     d = mesh.shape[axis]
     n = pos.shape[-2]
     (pos, vel), _ = _pad_agents([pos, vel], n, d)
+    wf = vcfg.sprite_mode == "wireframe"
 
-    def partial_render(pi, vi, tgt):
+    def partial_render(pi, vi, tgt, tvel):
         if _use_pallas(partials):
+            if wf:
+                from ..ops import wireframe
+
+                return _maybe_vmap(
+                    lambda a, b, t, tv: wireframe.render_rows_wireframe_tiled(
+                        a, b, vcfg, targets=t, target_vel=tv, texture=texture
+                    ),
+                    pi, vi, tgt, tvel,
+                )
             from ..ops import raycast
 
             return _maybe_vmap(
@@ -222,6 +235,13 @@ def ring_render_rows(
                     a, b, vcfg, targets=t, texture=texture
                 ),
                 pi, vi, tgt,
+            )
+        if wf:
+            return _maybe_vmap(
+                lambda a, b, t, tv: dense_render.render_rows(
+                    a, b, vcfg, targets=t, target_vel=tv, texture=texture
+                ),
+                pi, vi, tgt, tvel,
             )
         return _maybe_vmap(
             lambda a, b, t: dense_render.render_rows(
@@ -232,9 +252,11 @@ def ring_render_rows(
 
     def local(pos_l, vel_l):
         acc = None
-        blk = pos_l
+        # disc sprites need only positions per hop; wireframe sprites also
+        # need the block's velocities (heading-oriented geometry)
+        blk = (pos_l, vel_l) if wf else (pos_l,)
         for k in range(d):
-            part = partial_render(pos_l, vel_l, blk)
+            part = partial_render(pos_l, vel_l, blk[0], blk[1] if wf else None)
             acc = part if acc is None else dense_render.merge_rows(acc, part)
             if k < d - 1:
                 blk = jax.lax.ppermute(blk, axis, _perm(d))
@@ -313,6 +335,13 @@ def ring_render_rows_diff(
     N divisible by the mesh axis (sentinel padding would need masked
     cotangent plumbing; use divisible N for differentiable vision)."""
     mesh = mesh or default_mesh()
+    if vcfg.sprite_mode == "wireframe":
+        raise NotImplementedError(
+            "ring_render_rows_diff differentiates the disc raycast VJP "
+            "(ops.raycast.render_rows_vjp_cross); sprite_mode='wireframe' "
+            "has no backward kernel — use the disc model for "
+            "differentiable vision"
+        )
     n = pos.shape[-2]
     d = mesh.shape[axis]
     if n % d:

@@ -97,29 +97,41 @@ def make_apg_step(
 
     from_obs = getattr(env, "reward_mode", "cohesion") == "visibility"
 
-    def loss(params, env_states):
-        def body(carry, _):
-            states, obs = carry
-            action, _ = apply_fn(params, obs)
-            states = dyn_b(states, action)
-            # diff_vision routes gradients through the raycast custom VJP;
-            # otherwise perception sits OUTSIDE the gradient ("semi-APG":
-            # grads reach the policy through its actions only — note an
-            # observation-defined reward is then gradient-dead).
-            if diff_vision:
-                obs = observe_b(states)
-            else:
-                obs = observe_b(jax.lax.stop_gradient(states))
-            r = jax.vmap(env.reward_obs)(obs) if from_obs else reward_b(states)
-            return (states, obs), jnp.mean(r)
+    # diff_vision routes gradients through the raycast custom VJP;
+    # otherwise perception sits OUTSIDE the gradient ("semi-APG": grads
+    # reach the policy through its actions only — note an
+    # observation-defined reward is then gradient-dead).
+    def see(states):
+        return observe_b(states if diff_vision else jax.lax.stop_gradient(states))
 
-        obs0 = observe_b(
-            env_states if diff_vision else jax.lax.stop_gradient(env_states)
-        )
-        _, rewards = jax.lax.scan(
-            body, (env_states, obs0), None, length=horizon
-        )
-        return -jnp.mean(rewards)
+    if from_obs:
+        # the reward reads the POST-step observation, so each iteration
+        # renders after stepping; the final render feeds the final reward
+        def loss(params, env_states):
+            def body(carry, _):
+                states, obs = carry
+                action, _ = apply_fn(params, obs)
+                states = dyn_b(states, action)
+                obs = see(states)
+                return (states, obs), jnp.mean(jax.vmap(env.reward_obs)(obs))
+
+            _, rewards = jax.lax.scan(
+                body, (env_states, see(env_states)), None, length=horizon
+            )
+            return -jnp.mean(rewards)
+    else:
+        # state-defined reward: render at iteration START (the obs the
+        # action needs), so the loop does exactly `horizon` renders — the
+        # post-step render would be dead work XLA cannot hoist out of the
+        # scan (~an extra render per step at APG's short horizons)
+        def loss(params, env_states):
+            def body(states, _):
+                action, _ = apply_fn(params, see(states))
+                states = dyn_b(states, action)
+                return states, jnp.mean(reward_b(states))
+
+            _, rewards = jax.lax.scan(body, env_states, None, length=horizon)
+            return -jnp.mean(rewards)
 
     def apg_step(ts: APGState) -> Tuple[APGState, dict]:
         key, k_envs = jax.random.split(ts.key)

@@ -34,7 +34,10 @@ def _forces(pos: jax.Array, cfg: SimConfig, backend: str) -> jax.Array:
 
 def _render(pos: jax.Array, vel: jax.Array, cfg: SimConfig, backend: str):
     if cfg.vision.sprite_mode == "wireframe":
-        backend = "dense"  # exact-sprite mode lives in the dense renderer
+        # exact-sprite observations stay on the dense renderer: the Pallas
+        # wireframe kernel (ops/wireframe.py) has no VJP, and observe() must
+        # stay differentiable for APG diff_vision; dense is jnp autodiff
+        backend = "dense"
     if backend == "pallas":
         from ..ops import raycast
 
@@ -65,6 +68,12 @@ class VisionEnv:
             raise ValueError(
                 f"reward_mode must be one of cohesion/team/difference/"
                 f"visibility, got {reward_mode!r}"
+            )
+        if reward_mode == "difference" and cfg.n < 2:
+            raise ValueError(
+                "reward_mode='difference' needs n >= 2: the counterfactual "
+                "G(z_{-i}) removes agent i from a cohesion objective over "
+                "the OTHER agents, which is 0/0 for a single agent"
             )
         self.cfg = cfg
         self.reward_mode = reward_mode

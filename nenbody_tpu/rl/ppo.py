@@ -42,6 +42,11 @@ class PPOState(NamedTuple):
     opt_state: Any
     key: jax.Array
     iteration: jax.Array
+    # persistent env states, carried only when make_ppo_step(episodic=False):
+    # None under the episodic default (fresh spawns each iteration). The
+    # first non-episodic step spawns and installs them, changing the pytree
+    # structure once (one extra jit trace on the second call).
+    env_states: Any = None
 
 
 def gae(rewards: jax.Array, values: jax.Array, last_value: jax.Array,
@@ -82,7 +87,9 @@ def make_ppo_step(
 ):
     """Build the jitted PPO step: rollout -> GAE -> epochs x minibatches of
     clipped surrogate + value regression. episodic=True respawns envs each
-    iteration (see rl/train.py for why persistent envs mislead)."""
+    iteration (see rl/train.py for why persistent envs mislead);
+    episodic=False carries the env states across iterations in
+    PPOState.env_states (spawned on the first step if absent)."""
     observe_b = jax.vmap(env.observe)
     step_b = jax.vmap(env.step)
 
@@ -122,7 +129,10 @@ def make_ppo_step(
     def ppo_step(ts: PPOState) -> Tuple[PPOState, dict]:
         key, k_envs, k_roll, k_perm = jax.random.split(ts.key, 4)
         num = num_envs
-        start_states = spawn_batch(k_envs, env.cfg, num) if episodic else None
+        if episodic or ts.env_states is None:
+            start_states = spawn_batch(k_envs, env.cfg, num)
+        else:
+            start_states = ts.env_states
         env_states, traj, last_value = rollout(ts.params, start_states, k_roll)
         obs, action, logp_old, value, reward = traj
         adv, ret = gae(reward, value, last_value, gamma, lam)
@@ -169,7 +179,8 @@ def make_ppo_step(
             "return_mean": jnp.mean(ret),
             "value_mean": jnp.mean(value),
         }
-        return PPOState(params, opt_state, key, ts.iteration + 1), metrics
+        carried = None if episodic else env_states
+        return PPOState(params, opt_state, key, ts.iteration + 1, carried), metrics
 
     return ppo_step
 

@@ -120,7 +120,17 @@ def _agent_row_wireframe(
         tau = (u*t*f_a - l_a) / (dl - u*t*df),   dl = l_b-l_a, df = f_b-f_a,
 
     with depth f(tau) and uv(tau) linear in tau. Nearest fragment wins the
-    depth test; shade = albedo * (1 - |uv - 0.5|^2)."""
+    depth test; shade = albedo * (1 - |uv - 0.5|^2).
+
+    Targets COINCIDENT with the eye (rel == 0 — the eye's own sprite) are
+    culled explicitly. The disc model culls them for free (center depth
+    0 < near); here the sprite's nose vertex sits at forward depth exactly
+    sprite_radius, which at the reference's radius == near == 1
+    (src/main.rs:131-135, gfx.rs:365) lands exactly ON the near plane —
+    clipped by the reference too, but one fp32 rounding away from a
+    dead-ahead self-hit. The explicit cull pins the no-self-sprite behavior
+    for ANY radius (deviation from a rasterizer only when
+    sprite_radius > near, where the reference would show your own nose)."""
     t = camera.tan_half_fov(cfg)
     r = cfg.sprite_radius
     verts = jnp.asarray(SPRITE_VERTS, jnp.float32) * r  # [3, 2] sprite frame
@@ -142,6 +152,10 @@ def _agent_row_wireframe(
     f = relx * dx + rely * dy  # [M, 3] forward
     l = relx * dy - rely * dx  # [M, 3] lateral (right = (dy, -dx))
 
+    # coincident-target cull (docstring): exact-equality is robust because
+    # the self target is the same fp32 values as the eye position
+    not_self = (pos[:, 0] != p_i[0]) | (pos[:, 1] != p_i[1])  # [M]
+
     u_p = camera.pixel_centers(cfg)  # [W]
     ut = u_p * t  # [W]
 
@@ -155,7 +169,10 @@ def _agent_row_wireframe(
         ok = jnp.abs(den) > 1e-12  # edge parallel to the ray: no crossing
         tau = num / jnp.where(ok, den, 1.0)
         fk = fa[:, None] + tau * df_[:, None]
-        hit = ok & (tau >= 0.0) & (tau <= 1.0) & (fk > cfg.near) & (fk < cfg.far)
+        hit = (
+            ok & not_self[:, None] & (tau >= 0.0) & (tau <= 1.0)
+            & (fk > cfg.near) & (fk < cfg.far)
+        )
         uv = uvs[a][None, None, :] + tau[..., None] * (uvs[b] - uvs[a])[
             None, None, :
         ]  # [M, W, 2]

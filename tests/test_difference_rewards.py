@@ -92,3 +92,11 @@ def test_difference_rewards_beat_shared_reward_reinforce():
         f"difference rewards did not beat shared reward: "
         f"diff={r_diff:.4f} vs team={r_team:.4f}"
     )
+
+
+def test_difference_reward_rejects_single_agent():
+    with pytest.raises(ValueError, match="n >= 2"):
+        VisionEnv(
+            SimConfig(n=1, controller="gravity", vision=VisionConfig(width=8)),
+            reward_mode="difference",
+        )

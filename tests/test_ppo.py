@@ -102,3 +102,32 @@ def test_ppo_learns_multiagent_cohesion_n64():
         f"PPO failed the multi-agent credit-assignment pin: {r0:.4f} -> "
         f"{r1:.4f} (needs > {r0 + 0.008:.4f})"
     )
+
+
+def test_ppo_non_episodic_carries_env_states():
+    """episodic=False: env states persist across iterations in
+    PPOState.env_states (the first step spawns them, later steps continue
+    the same worlds — t keeps advancing by `horizon`)."""
+    env = VisionEnv(
+        SimConfig(n=8, controller="gravity", vision=VisionConfig(width=8))
+    )
+    opt = optax.adam(1e-3)
+    ts, pol_apply, val_apply = ppo_lib.init_ppo_state(
+        env, jax.random.key(0), opt,
+        policy=MLPPolicy(use_bf16=False), value=ValueMLP(use_bf16=False),
+    )
+    step = jax.jit(ppo_lib.make_ppo_step(
+        env, pol_apply, val_apply, opt, horizon=3, num_envs=2,
+        epochs=1, num_minibatches=1, episodic=False,
+    ))
+    assert ts.env_states is None
+    ts, m1 = step(ts)
+    assert ts.env_states is not None
+    t1 = np.asarray(ts.env_states.t)
+    np.testing.assert_array_equal(t1, 3)
+    pos1 = np.asarray(ts.env_states.pos)
+    ts, m2 = step(ts)  # second trace: env_states now in the input pytree
+    np.testing.assert_array_equal(np.asarray(ts.env_states.t), 6)
+    # the second rollout started from the carried states, not a respawn
+    assert not np.allclose(np.asarray(ts.env_states.pos), pos1)
+    assert np.isfinite(float(m2["reward_mean"]))

@@ -235,3 +235,41 @@ def test_ring_indivisible_env_batch_clear_error(mesh2x4):
         ring.ring_gravity_forces(
             sts.pos, cfg, mesh=mesh2x4, data_axis="data"
         )
+
+
+def test_ring_vision_wireframe_matches_dense(mesh8):
+    """sprite_mode='wireframe' through the vision ring: target VELOCITIES
+    circulate with the positions (sprites orient to target headings) and
+    the hops depth-merge to the dense single-device render."""
+    st = _state(64, seed=3)
+    key = jax.random.key(9)
+    st = st.replace(
+        vel=jax.random.uniform(key, (64, 2), minval=-1, maxval=1, dtype=jnp.float32)
+    )
+    vcfg = VisionConfig(width=64, sprite_mode="wireframe", far=200.0)
+    got_s, got_d = ring.ring_render_rows(st.pos, st.vel, vcfg, mesh=mesh8)
+    want_s, want_d = render.render_rows(st.pos, st.vel, vcfg)
+    np.testing.assert_allclose(np.asarray(got_d), np.asarray(want_d), rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_s), np.asarray(want_s), rtol=1e-5, atol=1e-5)
+
+
+def test_ring_vision_wireframe_nondivisible_n(mesh8):
+    """Arbitrary N through the wireframe vision ring: far-sentinel padding
+    stays inert for heading-oriented sprites too."""
+    st = _state(52, seed=4)
+    key = jax.random.key(10)
+    st = st.replace(
+        vel=jax.random.uniform(key, (52, 2), minval=-1, maxval=1, dtype=jnp.float32)
+    )
+    vcfg = VisionConfig(width=64, sprite_mode="wireframe", far=200.0)
+    got_s, got_d = ring.ring_render_rows(st.pos, st.vel, vcfg, mesh=mesh8)
+    want_s, want_d = render.render_rows(st.pos, st.vel, vcfg)
+    np.testing.assert_allclose(np.asarray(got_d), np.asarray(want_d), rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_s), np.asarray(want_s), rtol=1e-5, atol=1e-5)
+
+
+def test_ring_diff_rejects_wireframe(mesh8):
+    vcfg = VisionConfig(width=16, sprite_mode="wireframe")
+    st = _state(16, seed=5)
+    with pytest.raises(NotImplementedError, match="wireframe"):
+        ring.ring_render_rows_diff(st.pos, st.vel, vcfg, mesh=mesh8)

@@ -141,3 +141,31 @@ def test_observe_rgb_pallas_wireframe():
         rtol=1e-5,
         atol=2e-4,
     )
+
+
+@pytest.mark.parametrize("streaming", [False, True])
+def test_self_sprite_culled_when_radius_exceeds_near(monkeypatch, streaming):
+    """The eye's own sprite never occludes the scene, even when
+    sprite_radius > near would put its nose vertex in front of the near
+    plane (the explicit coincident-target cull; at the reference's
+    radius == near == 1 the nose sits exactly ON the near plane,
+    src/main.rs:131-135 + gfx.rs:365). Dense oracle and both kernel
+    variants agree."""
+    if streaming:
+        monkeypatch.setattr(wireframe, "_PRECOMPUTE_MAX_ELEMS", 0)
+    cfg = VisionConfig(
+        width=64, sprite_mode="wireframe", far=200.0, sprite_radius=2.5
+    )
+    # one distant target dead ahead: if the self sprite survived it would
+    # win the depth test at depth ~< 2.5 across the center pixels
+    pos = jnp.asarray([[0.0, 0.0], [30.0, 0.0]], jnp.float32)
+    vel = jnp.asarray([[1.0, 0.0], [0.0, 1.0]], jnp.float32)
+    ws, wd = map(np.asarray, render.render_rows(pos, vel, cfg))
+    gs, gd = map(
+        np.asarray, wireframe.render_rows_wireframe_tiled(pos, vel, cfg)
+    )
+    # no fragment closer than the real target anywhere on eye 0's line
+    assert wd[0][wd[0] < cfg.far].min() > 25.0
+    assert gd[0][gd[0] < cfg.far].min() > 25.0
+    np.testing.assert_allclose(gd, wd, rtol=1e-5, atol=2e-4)
+    np.testing.assert_allclose(gs, ws, rtol=1e-5, atol=2e-4)
