@@ -1,7 +1,8 @@
 """Agent-axis ring exchange: O(N^2) interactions across a device mesh.
 
 Each device keeps its block of agents resident and circulates position
-(and, for boids, velocity) blocks around the ring with `jax.lax.ppermute`;
+(and, for boids and wireframe-sprite vision, velocity) blocks around the
+ring with `jax.lax.ppermute`;
 per hop it accumulates the cross-block partial (forces, rule sums, or
 depth-merged vision rows) computed by the single-chip primitives. After
 D hops every agent has interacted with every block — the ring-attention

@@ -102,9 +102,13 @@ def make_observe_fn(cfg: SimConfig) -> Optional[Callable[[SceneState], jax.Array
             from .ops import wireframe
 
             return functools.partial(wireframe.render_lines, cfg=cfg.vision)
-        # ring/gspmd: the vision ring circulates disc fragments only, so
-        # exact-sprite vision routes dense; the physics backend stays as
-        # resolved
+        if backend == "ring":
+            # the vision ring circulates (pos, vel) blocks for wireframe
+            # sprites and dispatches each hop to the wireframe kernel/oracle
+            from .parallel import ring
+
+            return functools.partial(ring.render_lines, cfg=cfg.vision)
+        # gspmd: exact-sprite vision routes dense; physics stays as resolved
         from .vision import render
 
         return functools.partial(render.render_lines, cfg=cfg.vision)
@@ -232,7 +236,7 @@ class Scene:
         if cached is None:
             backend = _vision_backend(self.cfg)
             wire = self.cfg.vision.sprite_mode == "wireframe"
-            if wire and backend != "pallas":
+            if wire and backend not in ("pallas", "ring"):
                 backend = "dense"  # see make_observe_fn
             if backend == "pallas":
                 if wire:

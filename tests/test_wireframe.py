@@ -242,3 +242,25 @@ def test_wireframe_routes_to_dense_in_scene():
     assert obs.shape == (32, 32)
     shade, depth = scene.observe_with_depth(st)
     assert shade.shape == depth.shape == (32, 32)
+
+
+def test_wireframe_scene_ring_backend():
+    """Scene(backend='ring'): wireframe observations route through the
+    vision ring (velocities circulate with positions) and match dense."""
+    from nenbody_tpu.config import SimConfig
+    from nenbody_tpu.scene import Scene
+
+    vcfg = VisionConfig(width=32, sprite_mode="wireframe", far=200.0)
+    mk = lambda be: Scene(
+        SimConfig(n=64, controller="boids", backend=be, vision=vcfg)
+    )
+    sr, sd = mk("ring"), mk("dense")
+    st = sr.spawn(seed=3)
+    np.testing.assert_allclose(
+        np.asarray(sr.observe(st)), np.asarray(sd.observe(st)),
+        rtol=1e-5, atol=1e-4,
+    )
+    gs, gd = sr.observe_with_depth(st)
+    ws, wd = sd.observe_with_depth(st)
+    np.testing.assert_allclose(np.asarray(gd), np.asarray(wd), rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gs), np.asarray(ws), rtol=1e-5, atol=1e-4)
