@@ -150,7 +150,12 @@ def main():
 
         return roll
 
-    def vis_shape(n_v, w, k, label):
+    def vis_shape(n_v, w, k, label, m=4):
+        # small shapes run ~100 us/step: stretch the chain (k) and the
+        # dispatch count (m) until the slope's compute interval dwarfs the
+        # tunnel's several-ms dispatch jitter, or the recorded number
+        # fluctuates ~2x between runs (observed at N=100, W=1024 with
+        # k=100, m=4)
         kp, kv = jax.random.split(jax.random.key(7))
         p = jax.random.uniform(kp, (n_v, 2), minval=-100, maxval=100,
                                dtype=jnp.float32)
@@ -158,7 +163,7 @@ def main():
                                dtype=jnp.float32)
         dt_v, compile_times[label] = _slope_timed(
             vis_roll_single(VisionConfig(width=w), k), (p, v),
-            sync_slice=lambda c: c[0][:1], steps=k, label=label,
+            sync_slice=lambda c: c[0][:1], steps=k, label=label, m=m,
         )
         return n_v / dt_v
 
@@ -223,7 +228,9 @@ def main():
     vision_fps_wireframe = 1024 / dt_wf
     # the reference's ACTUAL eye: W=1024 px (src/main.rs:694); N=100 is its
     # shipping scale (main.rs:654), N=1024 the wide-eye stress shape
-    vision_fps_ref100 = vis_shape(100, 1024, k1, "vision-n100-w1024")
+    vision_fps_ref100 = vis_shape(
+        100, 1024, 400 if on_tpu else 2, "vision-n100-w1024", m=8
+    )
     vision_fps_wide = vis_shape(
         1024, 1024, 20 if on_tpu else 2, "vision-n1024-w1024"
     )
