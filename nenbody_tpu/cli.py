@@ -25,6 +25,14 @@ import time
 def _build_cfg(args) -> "SimConfig":
     from .config import PRESETS, SimConfig, VisionConfig
 
+    sprite = getattr(args, "sprite_mode", None)
+
+    def mk_vision(width):
+        return VisionConfig(
+            width=width, antialias=args.antialias,
+            sprite_mode=sprite or "disc",
+        ) if width else None
+
     if args.preset:
         cfg = PRESETS[args.preset]()
         # explicit flags override preset fields (None = not provided)
@@ -33,27 +41,23 @@ def _build_cfg(args) -> "SimConfig":
         if args.controller is not None:
             cfg = dataclasses.replace(cfg, controller=args.controller)
         if args.vision_width is not None:
-            vision = (
-                VisionConfig(width=args.vision_width, antialias=args.antialias)
-                if args.vision_width
-                else None
-            )
-            cfg = dataclasses.replace(cfg, vision=vision)
-        elif args.antialias and cfg.vision is not None:
-            cfg = dataclasses.replace(
-                cfg, vision=dataclasses.replace(cfg.vision, antialias=True)
-            )
+            cfg = dataclasses.replace(cfg, vision=mk_vision(args.vision_width))
+        else:
+            if args.antialias and cfg.vision is not None:
+                cfg = dataclasses.replace(
+                    cfg, vision=dataclasses.replace(cfg.vision, antialias=True)
+                )
+            if sprite is not None and cfg.vision is not None:
+                cfg = dataclasses.replace(
+                    cfg,
+                    vision=dataclasses.replace(cfg.vision, sprite_mode=sprite),
+                )
     else:
-        vision = (
-            VisionConfig(width=args.vision_width, antialias=args.antialias)
-            if args.vision_width
-            else None
-        )
         cfg = SimConfig(
             n=args.n if args.n is not None else 1024,
             controller=args.controller or "boids",
             backend=args.backend or "auto",
-            vision=vision,
+            vision=mk_vision(args.vision_width),
         )
     # None = flag not provided; an explicit --backend (including "auto")
     # always overrides the preset's pinned backend
@@ -82,6 +86,11 @@ def _add_sim_flags(p: argparse.ArgumentParser):
     p.add_argument(
         "--antialias", action="store_true",
         help="MSAA-analog soft sprite edges in the eye lines",
+    )
+    p.add_argument(
+        "--sprite-mode", choices=["disc", "wireframe"], default=None,
+        help="eye-line sprite model: disc (fast, default) or wireframe "
+        "(the reference's exact LineStrip triangle)",
     )
     p.add_argument("--seed", type=int, default=0)
 

@@ -125,3 +125,25 @@ def test_preset_flag_overrides(capsys):
     assert rc == 0
     lines = [json.loads(l) for l in capsys.readouterr().out.splitlines() if l.startswith("{")]
     assert lines[-1]["n"] == 64  # not the preset's 4096
+
+
+def test_build_cfg_sprite_mode():
+    from nenbody_tpu.cli import _build_cfg, _add_sim_flags
+    import argparse
+
+    p = argparse.ArgumentParser()
+    _add_sim_flags(p)
+    # plain flags
+    cfg = _build_cfg(p.parse_args(
+        ["--n", "16", "--vision-width", "32", "--sprite-mode", "wireframe"]
+    ))
+    assert cfg.vision.sprite_mode == "wireframe"
+    # overrides a preset's vision without touching its width
+    cfg = _build_cfg(p.parse_args(
+        ["--preset", "gravity-vision-1024", "--sprite-mode", "wireframe"]
+    ))
+    assert cfg.vision.sprite_mode == "wireframe"
+    assert cfg.vision.width == 64
+    # default stays disc
+    cfg = _build_cfg(p.parse_args(["--n", "16", "--vision-width", "32"]))
+    assert cfg.vision.sprite_mode == "disc"
