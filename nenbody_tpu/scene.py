@@ -223,6 +223,60 @@ class Scene:
         shade, depth = self.observe_with_depth(state)
         return render_lib.to_rgb(shade, depth, self.cfg.vision)
 
+    def observe_textured(
+        self, state: SceneState, texture: jax.Array
+    ) -> jax.Array:
+        """[..., N, W] shade rows with the skin sampled at each winner's
+        splat/edge uv — the skin.png mechanism (bound at src/main.rs:322-356,
+        sampled in shaders/scene.frag:11-16) at observation level. Any
+        [Ht, Wt] array in [0, 1] works (vision.render.checker_texture for a
+        stand-in asset). Dispatches like observe(): Pallas kernels track the
+        winner's raw uv and sample in an XLA epilogue; the ring samples the
+        replicated texture per hop. Compiled per batch rank; the texture is
+        a runtime argument (swap skins without recompiling at equal
+        shapes)."""
+        if self.cfg.vision is None:
+            raise ValueError("vision is disabled for this config (vision=None)")
+        rank = len(state.batch_shape)
+        cached = self._rgb_cache.get(("textured", rank))
+        if cached is None:
+            backend = _vision_backend(self.cfg)
+            vcfg = self.cfg.vision
+            wire = vcfg.sprite_mode == "wireframe"
+            if wire and backend not in ("pallas", "ring"):
+                backend = "dense"  # see make_observe_fn
+            if backend == "ring":
+                from .parallel import ring as ring_mod
+
+                fn = lambda s, t: ring_mod.ring_render_rows(
+                    s.pos, s.vel, vcfg, texture=t
+                )[0]
+            else:
+                if backend == "pallas" and wire:
+                    from .ops import wireframe as _wf
+
+                    render1 = lambda s, t: _wf.render_rows_wireframe_tiled(
+                        s.pos, s.vel, vcfg, texture=t
+                    )[0]
+                elif backend == "pallas":
+                    from .ops import raycast
+
+                    render1 = lambda s, t: raycast.render_rows_tiled(
+                        s.pos, s.vel, vcfg, texture=t
+                    )[0]
+                else:
+                    from .vision import render as render_lib
+
+                    render1 = lambda s, t: render_lib.render_rows(
+                        s.pos, s.vel, vcfg, texture=t
+                    )[0]
+                fn = render1
+                for _ in range(rank):  # ring handles batch dims itself
+                    fn = jax.vmap(fn, in_axes=(0, None))
+            cached = jax.jit(fn)
+            self._rgb_cache[("textured", rank)] = cached
+        return cached(state, texture)
+
     def observe_with_depth(self, state: SceneState):
         """(shade [..., N, W], depth [..., N, W]) — the depth buffer the
         reference's eye pipeline has but never exposes (SURVEY.md §3.4).

@@ -76,7 +76,11 @@ def _agent_row(
         alb = jnp.take(albedo, winner)  # winner's own base brightness
     if texture is not None:
         uv = jnp.stack([0.5 + 0.5 * oc, jnp.full_like(oc, 0.5)], axis=-1)
-        alb = alb * sample_texture(texture, uv)
+        # auto sampler: the gather path scalarizes pathologically in the
+        # TPU compiler at row scale (a [N, W] lookup tensor hung compiles
+        # for >15 min); the contraction path is gather-free and equal at
+        # fp32 epsilon (sample_texture_mm docstring)
+        alb = alb * sample_texture_auto(texture, uv)
     shade = alb * (1.0 - 0.25 * oc * oc)
     if cfg.antialias:
         # exact 1D box-filter coverage of the splat edge over the pixel
@@ -180,8 +184,9 @@ def _agent_row_wireframe(
         alb = cfg.sprite_albedo if albedo is None else albedo[:, None]
         if texture is not None:
             # the reference samples skin.png at the interpolated vertex uv
-            # (scene.frag:11-14) before the vignette darkening
-            alb = alb * sample_texture(texture, uv)
+            # (scene.frag:11-14) before the vignette darkening; auto
+            # sampler for the same reason as _agent_row
+            alb = alb * sample_texture_auto(texture, uv)
         shades.append(alb * (1.0 - mag2))
         depths.append(jnp.where(hit, fk, jnp.inf))
 

@@ -82,3 +82,38 @@ def test_checker_texture_shape_and_range():
     t = np.asarray(render.checker_texture(32, cells=8))
     assert t.shape == (32, 32)
     np.testing.assert_allclose(np.unique(t), [0.35, 1.0], rtol=1e-6)
+
+
+def test_scene_observe_textured_backends():
+    """Scene.observe_textured agrees across dense/pallas/ring and both
+    sprite modes; batched states vmap (texture broadcast)."""
+    from nenbody_tpu.scene import Scene
+    from nenbody_tpu.config import SimConfig, VisionConfig
+
+    tex = render.checker_texture(16, 4)
+    for mode in ("disc", "wireframe"):
+        vcfg = VisionConfig(width=32, sprite_mode=mode, far=200.0)
+        mk = lambda be: Scene(
+            SimConfig(n=64, controller="boids", backend=be, vision=vcfg)
+        )
+        sd = mk("dense")
+        st = sd.spawn(seed=1)
+        want = np.asarray(sd.observe_textured(st, tex))
+        assert want.shape == (64, 32)
+        for be in ("pallas", "ring"):
+            got = np.asarray(mk(be).observe_textured(st, tex))
+            np.testing.assert_allclose(
+                got, want, rtol=1e-4, atol=1e-4, err_msg=(mode, be)
+            )
+    # batched
+    vcfg = VisionConfig(width=32)
+    sd = Scene(SimConfig(n=16, controller="gravity", backend="dense", vision=vcfg))
+    sts = sd.spawn_envs(3, seed=2)
+    obs_b = np.asarray(sd.observe_textured(sts, tex))
+    assert obs_b.shape == (3, 16, 32)
+    one = np.asarray(
+        sd.observe_textured(
+            jax.tree.map(lambda x: x[1] if getattr(x, "ndim", 0) else x, sts), tex
+        )
+    )
+    np.testing.assert_allclose(obs_b[1], one, rtol=1e-5, atol=1e-5)
