@@ -138,8 +138,11 @@ class VisionConfig:
     #               FILLED sprite too. Orientation-dependent: the projected
     #               extent varies with the target's heading (nose radius 1,
     #               rear corners sqrt(2)), which the disc approximates at
-    #               constant radius. Dense + Pallas (ops/wireframe.py);
-    #               no analytic AA.
+    #               constant radius. Dense + Pallas (ops/wireframe.py).
+    #               antialias composes: the in-plane camera projects every
+    #               edge onto the row center, so coverage is the box filter
+    #               of the sprite's clipped u-interval against the pixel
+    #               footprint (vision.render._agent_row_wireframe).
     sprite_mode: str = "disc"
 
     def __post_init__(self):
@@ -147,11 +150,6 @@ class VisionConfig:
             raise ValueError(
                 f"sprite_mode must be 'disc' or 'wireframe', got "
                 f"{self.sprite_mode!r}"
-            )
-        if self.sprite_mode == "wireframe" and self.antialias:
-            raise ValueError(
-                "antialias (the disc splat's analytic-coverage model) is not "
-                "implemented for sprite_mode='wireframe'"
             )
         if self.width < 1:
             raise ValueError(f"vision width must be positive, got {self.width}")

@@ -49,14 +49,19 @@ EYES_PER_PROGRAM = 8
 TILE_J = 256
 
 
-def _unroll_cap(streaming: bool = False) -> int:
+def _unroll_cap(streaming: bool = False, aa: bool = False) -> int:
     """Unroll cap for the per-edge kernels (see common.run_eyes_unrolled
     for the scoped-vmem rationale). Swept on v5e: the raster kernel gains
     ~11% up to 16 unrolled eyes with no scoped-vmem OOM at any shape
     (Mosaic reuses the per-edge temporaries across the static edge loop);
     the STREAMING kernel regresses ~3x past 4 — its per-eye (TJ, 1)
-    projection columns multiply with the unroll and crowd the stack."""
-    return 4 if streaming else 16
+    projection columns multiply with the unroll and crowd the stack. The
+    AA variants carry the coverage stream plus the per-edge interval
+    temporaries (~2x the live set), so their caps halve (verified
+    no-scoped-vmem-OOM on v5e at W=1024/TJ=1024)."""
+    if streaming:
+        return 2 if aa else 4
+    return 8 if aa else 16
 
 # Per-edge vignette quadratic mag2(tau) = C0 + C1*tau + C2*tau^2 (see module
 # docstring). Computed once from the static sprite uvs.
@@ -104,7 +109,56 @@ def _edge_depth_tau(ut, fa, la, fb, lb, cfg: VisionConfig):
     return jnp.where(hit, fk, cfg.far), tau
 
 
-def _merge_edges(ut, f_v, l_v, alb, cfg: VisionConfig, track_uv: bool = False):
+def _edge_depth_tau_aa(u_p, t, hp, fa, la, fb, lb, cfg: VisionConfig):
+    """AA variant (must mirror vision.render._agent_row_wireframe's aa
+    branch bit-for-bit-ish): the edge's tau range is clipped to the
+    [near, far] depth slab, its covered u-interval read off the clipped
+    endpoints (u is monotone in tau there), the fragment evaluated at the
+    pixel center CLAMPED into that interval, and the per-edge interval
+    returned for the caller's per-sprite union coverage.
+
+    Returns (depth_field, tau, e_lo, e_hi) — depth far on miss; e_lo/e_hi
+    carry off-screen sentinels (+-4) when the edge is invalid."""
+    df = fb - fa
+    dl = lb - la
+    safe_df = jnp.where(jnp.abs(df) > 1e-30, df, 1e-30)
+    t_near = (cfg.near - fa) / safe_df
+    t_far = (cfg.far - fa) / safe_df
+    t_in = jnp.minimum(t_near, t_far)
+    t_out = jnp.maximum(t_near, t_far)
+    flat_edge = jnp.abs(df) <= 1e-30
+    tau_lo = jnp.where(flat_edge, 0.0, jnp.maximum(0.0, t_in))
+    tau_hi = jnp.where(flat_edge, 1.0, jnp.minimum(1.0, t_out))
+    in_slab = (fa > cfg.near) & (fa < cfg.far)
+    # boolean select as logic ops: Mosaic cannot lower select_n on i1
+    # vectors ("Unsupported target bitwidth for truncation")
+    valid = (flat_edge & in_slab) | (~flat_edge & (tau_lo < tau_hi))
+    f_lo = jnp.where(valid, fa + tau_lo * df, 1.0)
+    f_hi = jnp.where(valid, fa + tau_hi * df, 1.0)
+    u_a = (la + tau_lo * dl) / (t * jnp.maximum(f_lo, 1e-30))
+    u_b = (la + tau_hi * dl) / (t * jnp.maximum(f_hi, 1e-30))
+    e_lo_v = jnp.minimum(u_a, u_b)
+    e_hi_v = jnp.maximum(u_a, u_b)
+    big = jnp.float32(4.0)
+    e_lo = jnp.where(valid, e_lo_v, big)
+    e_hi = jnp.where(valid, e_hi_v, -big)
+    u_c = jnp.clip(u_p, e_lo_v, e_hi_v)
+    utc = u_c * t
+    num = utc * fa - la
+    den = dl - utc * df
+    ok = jnp.abs(den) > 1e-12
+    tau = num / jnp.where(ok, den, 1.0)
+    tau = jnp.clip(tau, tau_lo, tau_hi)
+    fk = fa + tau * df
+    cov_e = (e_hi_v > u_p - hp) & (e_lo_v < u_p + hp)
+    hit = ok & valid & cov_e
+    return jnp.where(hit, fk, cfg.far), tau, e_lo, e_hi
+
+
+def _merge_edges(
+    ut, f_v, l_v, alb, cfg: VisionConfig, track_uv: bool = False,
+    aa_ctx=None,
+):
     """Elementwise depth-min across the 3 sprite edges -> (depth, payloads)
     with one value per (pixel, target) element. The dense oracle's argmin
     over the flattened [3M] axis factors into this elementwise merge + the
@@ -114,11 +168,25 @@ def _merge_edges(ut, f_v, l_v, alb, cfg: VisionConfig, track_uv: bool = False):
     Payloads: (shade,) normally — the static uv-quadratic vignette times
     alb — or (uvx, uvy[, alb]) in raw/texture mode, where uv is linear in
     tau with static per-edge constants and alb rides along as its own
-    stream when per-target."""
+    stream when per-target.
+
+    aa_ctx = (u_p, t, hp) switches the per-edge core to the clamped AA
+    evaluation and appends the sprite's pixel-coverage fraction (box filter
+    of the union of the 3 edge intervals — contiguous by convexity) as the
+    LAST payload stream; the caller blends the winner's shade with it."""
     d_m = None
     pays = None
+    sp_lo = sp_hi = None
     for (a, b), quad, (uva, duv) in zip(SPRITE_EDGES, _EDGE_QUAD, _EDGE_UV):
-        d_e, tau = _edge_depth_tau(ut, f_v[a], l_v[a], f_v[b], l_v[b], cfg)
+        if aa_ctx is not None:
+            u_p, t, hp = aa_ctx
+            d_e, tau, e_lo, e_hi = _edge_depth_tau_aa(
+                u_p, t, hp, f_v[a], l_v[a], f_v[b], l_v[b], cfg
+            )
+            sp_lo = e_lo if sp_lo is None else jnp.minimum(sp_lo, e_lo)
+            sp_hi = e_hi if sp_hi is None else jnp.maximum(sp_hi, e_hi)
+        else:
+            d_e, tau = _edge_depth_tau(ut, f_v[a], l_v[a], f_v[b], l_v[b], cfg)
         if track_uv:
             p_e = [uva[0] + tau * duv[0], uva[1] + tau * duv[1]]
             if not isinstance(alb, float):
@@ -135,6 +203,15 @@ def _merge_edges(ut, f_v, l_v, alb, cfg: VisionConfig, track_uv: bool = False):
                 jnp.where(take, pe, pm) for pe, pm in zip(p_e, pays)
             )
             d_m = jnp.minimum(d_m, d_e)
+    if aa_ctx is not None:
+        u_p, t, hp = aa_ctx
+        cov = jnp.clip(
+            (jnp.minimum(sp_hi, u_p + hp) - jnp.maximum(sp_lo, u_p - hp))
+            / (2.0 * hp),
+            0.0,
+            1.0,
+        )
+        pays = pays + (jnp.broadcast_to(cov, d_m.shape),)
     return d_m, pays
 
 
@@ -157,37 +234,56 @@ def _reduce_chunk(d_m, pays, best_d, best_pays, axis: int, cfg: VisionConfig):
     return best_d, best_pays
 
 
-def _finish(best_d, best_s, cfg: VisionConfig):
+def _finish(best_d, best_s, cfg: VisionConfig, cov=None):
     hit = best_d < cfg.far
+    if cov is not None:
+        best_s = cfg.background + cov * (best_s - cfg.background)
     shade = jnp.where(hit, best_s, cfg.background)
     return shade, best_d
 
 
-def _pay_init(shape, cfg: VisionConfig, raw: bool, has_alb: bool):
-    """Initial per-pixel payload carry: (shade,) or (uvx, uvy[, alb])."""
+def _pay_init(shape, cfg: VisionConfig, raw: bool, has_alb: bool, aa: bool):
+    """Initial per-pixel payload carry: (shade,) or (uvx, uvy[, alb]),
+    plus the coverage stream (last) in AA mode."""
     if not raw:
-        return (jnp.full(shape, cfg.background, jnp.float32),)
-    init = [jnp.full(shape, 0.5, jnp.float32), jnp.full(shape, 0.5, jnp.float32)]
-    if has_alb:
-        init.append(jnp.full(shape, cfg.sprite_albedo, jnp.float32))
+        init = [jnp.full(shape, cfg.background, jnp.float32)]
+    else:
+        init = [
+            jnp.full(shape, 0.5, jnp.float32),
+            jnp.full(shape, 0.5, jnp.float32),
+        ]
+        if has_alb:
+            init.append(jnp.full(shape, cfg.sprite_albedo, jnp.float32))
+    if aa:
+        init.append(jnp.zeros(shape, jnp.float32))
     return tuple(init)
 
 
-def _decode_textured_wf(outs, cfg: VisionConfig, texture, has_alb: bool):
+def _decode_textured_wf(outs, cfg: VisionConfig, texture, has_alb: bool,
+                        aa: bool = False):
     """XLA epilogue for the wireframe raw mode: sample the texture at the
     winner's interpolated edge uv (scene.frag:11-14), then the uv vignette
     (frag:15-16) — matches vision.render._agent_row_wireframe with texture.
-    O(N*W), outside the kernel."""
+    O(N*W), outside the kernel. In AA mode the winner's coverage stream
+    box-filters the textured shade against the background."""
     from ..vision.render import sample_texture_auto as sample_texture
 
     uvx, uvy = outs[0], outs[1]
-    albw = outs[2] if has_alb else None
+    i = 2
+    albw = None
+    if has_alb:
+        albw = outs[i]
+        i += 1
+    cov = outs[i] if aa else None
     d = outs[-1]
     hit = d < cfg.far
     mag2 = (uvx - 0.5) ** 2 + (uvy - 0.5) ** 2
     alb = cfg.sprite_albedo if albw is None else albw
     alb = alb * sample_texture(texture, jnp.stack([uvx, uvy], axis=-1))
-    shade = jnp.where(hit, alb * (1.0 - mag2), cfg.background)
+    val = alb * (1.0 - mag2)
+    if cov is not None:
+        val = cfg.background + cov * (val - cfg.background)
+    shade = jnp.where(hit, val, cfg.background)
     return shade, d
 
 
@@ -205,6 +301,7 @@ def _wireframe_raster_kernel(
     targets on lanes, full lane packing)."""
     from .raycast import _unpack_rest
 
+    aa = cfg.antialias
     alb_ref, out_refs = _unpack_rest(rest, has_alb)
     f_refs = (f0_ref, f1_ref, f2_ref)
     l_refs = (l0_ref, l1_ref, l2_ref)
@@ -213,6 +310,7 @@ def _wireframe_raster_kernel(
     n_pad = f0_ref.shape[1]
     num_chunks = n_pad // tj
     t = math.tan(math.radians(cfg.hfov_deg) * 0.5)
+    hp = 1.0 / cfg.width
 
     p0 = pl.program_id(1) * wb
     u_p = (
@@ -226,6 +324,7 @@ def _wireframe_raster_kernel(
         - 1.0
     )  # (WB, 1): pixels on sublanes
     ut = u_p * t
+    aa_ctx = (u_p, t, hp) if aa else None
 
     def eye_body(e, _):
         # dynamic eye loop — see raycast._raycast_kernel for the scoped-vmem
@@ -238,24 +337,28 @@ def _wireframe_raster_kernel(
             alb = (
                 alb_ref[0:1, pl.ds(j0, tj)] if has_alb else cfg.sprite_albedo
             )
-            d_m, p_m = _merge_edges(ut, f_v, l_v, alb, cfg, track_uv=raw)
+            d_m, p_m = _merge_edges(
+                ut, f_v, l_v, alb, cfg, track_uv=raw, aa_ctx=aa_ctx
+            )
             return _reduce_chunk(d_m, p_m, best_d, best_p, 1, cfg)
 
         init = (
             jnp.full((wb, 1), cfg.far, jnp.float32),
-            _pay_init((wb, 1), cfg, raw, has_alb),
+            _pay_init((wb, 1), cfg, raw, has_alb, aa),
         )
         best_d, best_p = jax.lax.fori_loop(0, num_chunks, body, init)
         if raw:
             for ref, val in zip(out_refs, (*best_p, best_d)):
                 ref[pl.ds(e, 1), :] = jnp.transpose(val)
             return 0
-        shade, depth = _finish(best_d, best_p[0], cfg)
+        shade, depth = _finish(
+            best_d, best_p[0], cfg, cov=best_p[-1] if aa else None
+        )
         out_refs[0][pl.ds(e, 1), :] = jnp.transpose(shade)
         out_refs[1][pl.ds(e, 1), :] = jnp.transpose(depth)
         return 0
 
-    run_eyes_unrolled(eye_body, te, _unroll_cap())
+    run_eyes_unrolled(eye_body, te, _unroll_cap(aa=aa))
 
 
 def _wireframe_stream_kernel(
@@ -276,12 +379,14 @@ def _wireframe_stream_kernel(
     raycast._raycast_kernel, for N too large for the precompute tensors."""
     from .raycast import _unpack_rest
 
+    aa = cfg.antialias
     alb_ref, out_refs = _unpack_rest(rest, has_alb)
     te = ex_ref.shape[0]
     wb = out_refs[0].shape[1]
     n_pad = tx_ref.shape[0]
     num_chunks = n_pad // tj
     t = math.tan(math.radians(cfg.hfov_deg) * 0.5)
+    hp = 1.0 / cfg.width
     r = cfg.sprite_radius
     verts = [(vx * r, vy * r) for vx, vy in SPRITE_VERTS]
 
@@ -297,6 +402,7 @@ def _wireframe_stream_kernel(
         - 1.0
     )  # (1, WB): pixels on lanes
     ut = u_p * t
+    aa_ctx = (u_p, t, hp) if aa else None
 
     def eye_body(e, _):
         px, py = ex_ref[e, 0], ey_ref[e, 0]
@@ -330,24 +436,28 @@ def _wireframe_stream_kernel(
                 l_v.append(jnp.where(mj, lv, 0.0))
 
             alb = alb_ref[pl.ds(j0, tj), :] if has_alb else cfg.sprite_albedo
-            d_m, p_m = _merge_edges(ut, f_v, l_v, alb, cfg, track_uv=raw)
+            d_m, p_m = _merge_edges(
+                ut, f_v, l_v, alb, cfg, track_uv=raw, aa_ctx=aa_ctx
+            )
             return _reduce_chunk(d_m, p_m, best_d, best_p, 0, cfg)
 
         init = (
             jnp.full((1, wb), cfg.far, jnp.float32),
-            _pay_init((1, wb), cfg, raw, has_alb),
+            _pay_init((1, wb), cfg, raw, has_alb, aa),
         )
         best_d, best_p = jax.lax.fori_loop(0, num_chunks, body, init)
         if raw:
             for ref, val in zip(out_refs, (*best_p, best_d)):
                 ref[pl.ds(e, 1), :] = val
             return 0
-        shade, depth = _finish(best_d, best_p[0], cfg)
+        shade, depth = _finish(
+            best_d, best_p[0], cfg, cov=best_p[-1] if aa else None
+        )
         out_refs[0][pl.ds(e, 1), :] = shade
         out_refs[1][pl.ds(e, 1), :] = depth
         return 0
 
-    run_eyes_unrolled(eye_body, te, _unroll_cap(streaming=True))
+    run_eyes_unrolled(eye_body, te, _unroll_cap(streaming=True, aa=aa))
 
 
 def _project_verts_all(pos, dirs, tgt, hdg, cfg: VisionConfig, n_pad_t: int):
@@ -385,11 +495,12 @@ def _project_verts_all(pos, dirs, tgt, hdg, cfg: VisionConfig, n_pad_t: int):
 _PRECOMPUTE_MAX_ELEMS = 1 << 23
 
 
-def _wf_num_outputs(raw: bool, has_alb: bool) -> int:
-    """(shade, depth) normally; (uvx, uvy[, alb], depth) in raw mode."""
+def _wf_num_outputs(raw: bool, has_alb: bool, aa: bool) -> int:
+    """(shade, depth) normally — AA coverage is blended in-kernel; raw mode
+    emits (uvx, uvy[, alb][, cov], depth) for the XLA texture epilogue."""
     if not raw:
         return 2
-    return 3 + (1 if has_alb else 0)
+    return 3 + (1 if has_alb else 0) + (1 if aa else 0)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "te", "tj"))
@@ -481,7 +592,7 @@ def render_rows_wireframe_tiled(
                 )
             )
             args.append(row(pad_axis(albedo, n_pad_t_p)))
-        n_out = _wf_num_outputs(raw, has_alb)
+        n_out = _wf_num_outputs(raw, has_alb, cfg.antialias)
         outs = pl.pallas_call(
             kernel,
             grid=grid,
@@ -503,7 +614,7 @@ def render_rows_wireframe_tiled(
         )(*args)
         outs = [o[:n] for o in outs]
         if raw:
-            return _decode_textured_wf(outs, cfg, texture, has_alb)
+            return _decode_textured_wf(outs, cfg, texture, has_alb, aa=cfg.antialias)
         return outs[0], outs[1]
 
     # streaming path
@@ -540,7 +651,7 @@ def render_rows_wireframe_tiled(
     if has_alb:
         in_specs.append(tspec())
         args.append(col(pad_axis(albedo, n_pad_t)))
-    n_out = _wf_num_outputs(raw, has_alb)
+    n_out = _wf_num_outputs(raw, has_alb, cfg.antialias)
     outs = pl.pallas_call(
         kernel,
         grid=grid,
@@ -560,7 +671,7 @@ def render_rows_wireframe_tiled(
     )(*args)
     outs = [o[:n] for o in outs]
     if raw:
-        return _decode_textured_wf(outs, cfg, texture, has_alb)
+        return _decode_textured_wf(outs, cfg, texture, has_alb, aa=cfg.antialias)
     return outs[0], outs[1]
 
 

@@ -126,6 +126,18 @@ def _agent_row_wireframe(
     with depth f(tau) and uv(tau) linear in tau. Nearest fragment wins the
     depth test; shade = albedo * (1 - |uv - 0.5|^2).
 
+    cfg.antialias adds the MSAA analog (the reference resolves 8x MSAA,
+    src/main.rs:693-697): the eye camera lies IN the scene plane, so every
+    sprite edge projects exactly onto the row's vertical center and the
+    only partially-covered pixels are the two ENDS of each sprite's
+    projected u-interval. u(tau) is monotone on a near-clipped edge
+    (du/dtau's numerator dl*f_a - l_a*df is constant in tau), so each
+    edge's covered interval is just its clipped-endpoint u values, and the
+    sprite's interval is their union (contiguous, by convexity). Boundary
+    fragments evaluate at the pixel center clamped into the edge interval;
+    the winner's shade box-filters against the background by the sprite's
+    pixel-overlap fraction — the same structure as the disc model's AA.
+
     Targets COINCIDENT with the eye (rel == 0 — the eye's own sprite) are
     culled explicitly. The disc model culls them for free (center depth
     0 < near); here the sprite's nose vertex sits at forward depth exactly
@@ -162,26 +174,74 @@ def _agent_row_wireframe(
 
     u_p = camera.pixel_centers(cfg)  # [W]
     ut = u_p * t  # [W]
+    aa = cfg.antialias
+    hp = 1.0 / cfg.width  # NDC pixel half-width (pixel spans 2/W)
 
     shades, depths = [], []
+    sp_lo = sp_hi = None  # sprite u-interval: union of edge intervals
     for a, b in SPRITE_EDGES:
         fa, la = f[:, a], l[:, a]  # [M]
         df_ = f[:, b] - fa
         dl_ = l[:, b] - la
-        num = ut[None, :] * fa[:, None] - la[:, None]  # [M, W]
-        den = dl_[:, None] - ut[None, :] * df_[:, None]
-        ok = jnp.abs(den) > 1e-12  # edge parallel to the ray: no crossing
-        tau = num / jnp.where(ok, den, 1.0)
-        fk = fa[:, None] + tau * df_[:, None]
-        hit = (
-            ok & not_self[:, None] & (tau >= 0.0) & (tau <= 1.0)
-            & (fk > cfg.near) & (fk < cfg.far)
-        )
+        alb = cfg.sprite_albedo if albedo is None else albedo[:, None]
+        if aa:
+            # clip the edge's tau range to the frustum depth slab
+            # [near, far]: f(tau) = fa + tau*df is linear
+            safe_df = jnp.where(jnp.abs(df_) > 1e-30, df_, 1e-30)
+            t_near = (cfg.near - fa) / safe_df
+            t_far = (cfg.far - fa) / safe_df
+            t_in = jnp.minimum(t_near, t_far)
+            t_out = jnp.maximum(t_near, t_far)
+            flat_edge = jnp.abs(df_) <= 1e-30
+            tau_lo = jnp.where(flat_edge, 0.0, jnp.maximum(0.0, t_in))
+            tau_hi = jnp.where(flat_edge, 1.0, jnp.minimum(1.0, t_out))
+            in_slab = (fa > cfg.near) & (fa < cfg.far)
+            valid = not_self & jnp.where(
+                flat_edge, in_slab, tau_lo < tau_hi
+            )  # [M]
+            # u at the clipped endpoints (monotone in between — docstring).
+            # Invalid edges are masked below, but their operands must be
+            # sanitized HERE: a where() after an inf/0-division still
+            # poisons reverse-mode gradients (inf * 0 = nan in the VJP)
+            f_lo = jnp.where(valid, fa + tau_lo * df_, 1.0)
+            f_hi = jnp.where(valid, fa + tau_hi * df_, 1.0)
+            u_a = (la + tau_lo * dl_) / (t * jnp.maximum(f_lo, 1e-30))
+            u_b = (la + tau_hi * dl_) / (t * jnp.maximum(f_hi, 1e-30))
+            e_lo = jnp.minimum(u_a, u_b)  # [M]
+            e_hi = jnp.maximum(u_a, u_b)
+            big = jnp.float32(4.0)  # off-screen sentinel outside [-1, 1]
+            lo_v = jnp.where(valid, e_lo, big)
+            hi_v = jnp.where(valid, e_hi, -big)
+            sp_lo = lo_v if sp_lo is None else jnp.minimum(sp_lo, lo_v)
+            sp_hi = hi_v if sp_hi is None else jnp.maximum(sp_hi, hi_v)
+            # fragment at the pixel center clamped into the edge interval
+            u_c = jnp.clip(u_p[None, :], e_lo[:, None], e_hi[:, None])
+            utc = u_c * t
+            num = utc * fa[:, None] - la[:, None]  # [M, W]
+            den = dl_[:, None] - utc * df_[:, None]
+            ok = jnp.abs(den) > 1e-12
+            tau = num / jnp.where(ok, den, 1.0)
+            tau = jnp.clip(tau, tau_lo[:, None], tau_hi[:, None])
+            fk = fa[:, None] + tau * df_[:, None]
+            # covered iff the pixel footprint overlaps the edge interval
+            cov_e = (e_hi[:, None] > u_p[None, :] - hp) & (
+                e_lo[:, None] < u_p[None, :] + hp
+            )
+            hit = ok & valid[:, None] & cov_e
+        else:
+            num = ut[None, :] * fa[:, None] - la[:, None]  # [M, W]
+            den = dl_[:, None] - ut[None, :] * df_[:, None]
+            ok = jnp.abs(den) > 1e-12  # edge parallel to the ray
+            tau = num / jnp.where(ok, den, 1.0)
+            fk = fa[:, None] + tau * df_[:, None]
+            hit = (
+                ok & not_self[:, None] & (tau >= 0.0) & (tau <= 1.0)
+                & (fk > cfg.near) & (fk < cfg.far)
+            )
         uv = uvs[a][None, None, :] + tau[..., None] * (uvs[b] - uvs[a])[
             None, None, :
         ]  # [M, W, 2]
         mag2 = jnp.sum((uv - 0.5) ** 2, axis=-1)
-        alb = cfg.sprite_albedo if albedo is None else albedo[:, None]
         if texture is not None:
             # the reference samples skin.png at the interpolated vertex uv
             # (scene.frag:11-14) before the vignette darkening; auto
@@ -198,6 +258,22 @@ def _agent_row_wireframe(
     winner = jnp.argmin(flat_d, axis=0)
     hit = jnp.isfinite(best)
     sh = jnp.take_along_axis(flat_s, winner[None, :], axis=0)[0]
+    if aa:
+        # the winning SPRITE's pixel-overlap fraction box-filters its shade
+        # against the background (per-sprite union interval, so the nose
+        # pixel where two edges meet gets their combined coverage)
+        covf = jnp.clip(
+            (
+                jnp.minimum(sp_hi[:, None], u_p[None, :] + hp)
+                - jnp.maximum(sp_lo[:, None], u_p[None, :] - hp)
+            )
+            / (2.0 * hp),
+            0.0,
+            1.0,
+        )  # [M, W]
+        win_sprite = winner % pos.shape[0]
+        cov_w = jnp.take_along_axis(covf, win_sprite[None, :], axis=0)[0]
+        sh = cfg.background + cov_w * (sh - cfg.background)
     shade = jnp.where(hit, sh, cfg.background)
     depth = jnp.where(hit, best, cfg.far)
     return shade.astype(jnp.float32), depth.astype(jnp.float32)

@@ -19,13 +19,13 @@ def _random_cfg(i):
     n = int(rng.choice([3, 17, 33, 65, 127, 200, 333]))
     controller = str(rng.choice(["gravity", "boids"]))
     width = int(rng.choice([8, 16, 24, 48, 64, 96, 160]))
-    # wireframe joins the fuzz space (1/4 of draws); AA is disc-only
+    # wireframe joins the fuzz space (1/4 of draws); AA composes with both
     sprite_mode = str(rng.choice(["disc", "disc", "disc", "wireframe"]))
     vision = VisionConfig(
         width=width,
         hfov_deg=float(rng.uniform(30, 150)),
         sprite_radius=float(rng.uniform(0.3, 3.0)),
-        antialias=bool(rng.randint(2)) and sprite_mode == "disc",
+        antialias=bool(rng.randint(2)),
         sprite_mode=sprite_mode,
     )
     gravity = GravityConfig(dt_on_position=bool(rng.randint(2)))

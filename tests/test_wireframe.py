@@ -222,10 +222,11 @@ def test_disc_vs_wireframe_hit_pattern_stats():
 
 
 def test_wireframe_config_validation():
-    with pytest.raises(ValueError, match="antialias"):
-        VisionConfig(width=32, sprite_mode="wireframe", antialias=True)
     with pytest.raises(ValueError, match="sprite_mode"):
         VisionConfig(width=32, sprite_mode="textured")
+    # antialias + wireframe composes (box-filter of the sprite's projected
+    # u-interval — see _agent_row_wireframe's docstring)
+    VisionConfig(width=32, sprite_mode="wireframe", antialias=True)
 
 
 def test_wireframe_routes_to_dense_in_scene():
@@ -264,3 +265,61 @@ def test_wireframe_scene_ring_backend():
     ws, wd = sd.observe_with_depth(st)
     np.testing.assert_allclose(np.asarray(gd), np.asarray(wd), rtol=1e-5, atol=1e-4)
     np.testing.assert_allclose(np.asarray(gs), np.asarray(ws), rtol=1e-5, atol=1e-4)
+
+
+def test_wireframe_antialias_vs_supersample():
+    """AA'd wireframe against a 32x supersampled binary oracle: the in-plane
+    camera puts every edge on the row center, so AA is exactly the box
+    filter of the sprite's u-interval; residual error is the second-order
+    shade-at-center-vs-averaged-shade term plus the documented
+    occluder-as-background blend (config.py antialias note)."""
+    cfg_aa = VisionConfig(width=64, sprite_mode="wireframe", antialias=True,
+                          far=200.0)
+    pos, vel = _scene(jax.random.key(3), 10)
+    s_aa, d_aa = map(np.asarray, render.render_rows(pos, vel, cfg_aa))
+    assert np.isfinite(s_aa).all() and np.isfinite(d_aa).all()
+
+    SS = 32
+    cfg_ss = VisionConfig(width=64 * SS, sprite_mode="wireframe", far=200.0)
+    s_ss, _ = render.render_rows(pos, vel, cfg_ss)
+    s_ref = np.asarray(s_ss).reshape(10, 64, SS).mean(axis=-1)
+    cfg_bin = VisionConfig(width=64, sprite_mode="wireframe", far=200.0)
+    s_bin, _ = map(np.asarray, render.render_rows(pos, vel, cfg_bin))
+
+    err_aa = np.abs(s_aa - s_ref).mean()
+    err_bin = np.abs(s_bin - s_ref).mean()
+    # AA must reduce the mean deviation from the supersampled ground truth
+    assert err_aa < err_bin, (err_aa, err_bin)
+
+    # interior pixels (full coverage) keep the binary shade exactly
+    interior = np.zeros_like(s_bin, bool)
+    hit = d_aa < 200.0
+    interior[:, 1:-1] = hit[:, :-2] & hit[:, 1:-1] & hit[:, 2:]
+    inner = interior & (np.abs(s_aa - s_bin) < 1e-6)
+    assert inner.sum() > 0  # non-vacuous
+
+
+def test_wireframe_antialias_differentiable():
+    """The AA'd wireframe observation is piecewise-linear in positions —
+    dense autodiff gradients are finite, nonzero, and match finite
+    differences (the wireframe analog of the disc's diff-vision pin)."""
+    cfg = VisionConfig(width=64, sprite_mode="wireframe", antialias=True,
+                       far=200.0)
+    # targets placed away from each other's occlusion boundaries: the AA
+    # model (like the disc's) is piecewise-linear WITHIN a depth-winner
+    # assignment but jumps when the winner switches, where central
+    # differences measure jump/eps instead of the one-sided gradient
+    pos = jnp.array([[0.0, 0.0], [7.3, 1.2], [15.0, 6.0]], jnp.float32)
+    vel = jnp.array([[1.0, 0.0], [0.3, 0.8], [-0.5, 0.5]], jnp.float32)
+
+    def loss(p):
+        return jnp.sum(render.render_rows(p, vel, cfg)[0] ** 2)
+
+    g = np.asarray(jax.grad(loss)(pos))
+    assert np.isfinite(g).all() and (np.abs(g) > 0).any()
+    eps = 1e-3
+    for idx in ((1, 0), (1, 1), (2, 0), (2, 1)):
+        hi = float(loss(pos.at[idx].set(pos[idx] + eps)))
+        lo = float(loss(pos.at[idx].set(pos[idx] - eps)))
+        fd = (hi - lo) / (2 * eps)
+        np.testing.assert_allclose(g[idx], fd, rtol=2e-2, atol=1e-3)

@@ -169,3 +169,29 @@ def test_self_sprite_culled_when_radius_exceeds_near(monkeypatch, streaming):
     assert gd[0][gd[0] < cfg.far].min() > 25.0
     np.testing.assert_allclose(gd, wd, rtol=1e-5, atol=2e-4)
     np.testing.assert_allclose(gs, ws, rtol=1e-5, atol=2e-4)
+
+
+@pytest.mark.parametrize("streaming", [False, True])
+@pytest.mark.parametrize("texture", [False, True])
+def test_antialias_matches_dense(monkeypatch, streaming, texture):
+    """AA'd wireframe through both kernel variants (and the raw/texture
+    winner mode with its coverage stream) pins to the dense AA oracle."""
+    if streaming:
+        monkeypatch.setattr(wireframe, "_PRECOMPUTE_MAX_ELEMS", 0)
+    cfg = VisionConfig(width=64, sprite_mode="wireframe", antialias=True,
+                       far=200.0)
+    pos, vel = _spawnish(jax.random.key(21), 90)
+    tex = render.checker_texture(8, 2) if texture else None
+    want = render.render_rows(pos, vel, cfg, texture=tex)
+    got = wireframe.render_rows_wireframe_tiled(pos, vel, cfg, texture=tex)
+    _assert_rows_close(got, want)
+
+
+def test_antialias_albedo_matches_dense():
+    cfg = VisionConfig(width=64, sprite_mode="wireframe", antialias=True,
+                       far=200.0)
+    pos, vel = _spawnish(jax.random.key(23), 70)
+    albedo = jax.random.uniform(jax.random.key(2), (70,), minval=0.3, maxval=1.0)
+    want = render.render_rows(pos, vel, cfg, albedo=albedo)
+    got = wireframe.render_rows_wireframe_tiled(pos, vel, cfg, albedo=albedo)
+    _assert_rows_close(got, want)
