@@ -190,3 +190,42 @@ def test_apg_diff_vision_gradient_is_load_bearing():
 
 # (diff_vision on a mesh is exercised in tests/test_ring_diff_vision.py —
 # the backward vision ring makes it multi-chip.)
+
+
+def test_apg_through_wireframe_perception():
+    """The AA'd wireframe observation is differentiable on the dense path,
+    so APG diff_vision works with the reference's EXACT sprite: with an
+    observation-defined reward the gradient is zero under stop-gradient and
+    finite-nonzero with diff_vision=True (the wireframe edition of the
+    load-bearing test above)."""
+    import optax
+
+    from nenbody_tpu.rl import apg as apg_lib
+    from nenbody_tpu.rl.env import VisionEnv
+    from nenbody_tpu.rl.policy import MLPPolicy
+
+    norms = {}
+    for diff in (False, True):
+        env = VisionEnv(
+            SimConfig(
+                n=16, controller="gravity",
+                vision=VisionConfig(
+                    width=16, antialias=True, sprite_mode="wireframe"
+                ),
+            ),
+            max_accel=1.0, smooth_clip=True, reward_mode="visibility",
+        )
+        opt = optax.adam(1e-3)
+        ts, apply_fn, _ = apg_lib.init_apg_state(
+            env, jax.random.key(0), opt, policy=MLPPolicy(use_bf16=False)
+        )
+        step = jax.jit(
+            apg_lib.make_apg_step(
+                env, apply_fn, opt, horizon=4, num_envs=8, diff_vision=diff
+            )
+        )
+        ts, metrics = step(ts)
+        norms[diff] = float(metrics["grad_norm"])
+
+    assert norms[False] == 0.0, f"stop-gradient APG leaked: {norms[False]}"
+    assert np.isfinite(norms[True]) and norms[True] > 0.0, norms[True]
