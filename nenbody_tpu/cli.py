@@ -314,7 +314,8 @@ def cmd_gif(args) -> int:
     scene = Scene(cfg)
     state = scene.spawn(seed=args.seed)
     path = record_rollout_gif(
-        scene, state, num_steps=args.steps, path=args.out, stride=args.stride
+        scene, state, num_steps=args.steps, path=args.out, stride=args.stride,
+        first_person=args.first_person,
     )
     print(f"wrote {path}")
     return 0
@@ -429,6 +430,10 @@ def main(argv=None) -> int:
     p.add_argument("--steps", type=int, default=400)
     p.add_argument("--stride", type=int, default=4)
     p.add_argument("--out", default="out/rollout.gif")
+    p.add_argument(
+        "--first-person", action="store_true",
+        help="add the selected eye's first-person viewport panel",
+    )
     p.set_defaults(fn=cmd_gif)
 
     p = sub.add_parser("live", help="interactive viewer (needs a display)")

@@ -134,16 +134,20 @@ def record_rollout_gif(
     size=(270, 480),
     fps: int = 25,
     follow: str = "centroid",
+    first_person: bool = False,
 ) -> str:
     """Run a rollout, tap positions every `stride` steps, write an animated
     GIF — the headless equivalent of the reference's demo videos
     (README.md:14-21). Follows the swarm centroid by default (demos read
-    better); pass follow="agent0" for the reference's camera."""
+    better); pass follow="agent0" for the reference's camera.
+    first_person adds the selected eye's perspective viewport panel (the
+    reference's third render)."""
     import imageio.v2 as imageio
 
     viewer = Viewer(
         size=size, half_extent=half_extent, selected_eye=selected_eye,
         use_native=False, follow=follow,
+        first_person=first_person, scene=scene if first_person else None,
     )
     frames = []
     for _ in range(num_steps // stride):
