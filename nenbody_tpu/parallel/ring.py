@@ -324,6 +324,53 @@ def _ring_render_bwd_local(pos_l, vel_l, depth_l, us_l, ud_l, vcfg, d, axis):
     return acc_eye + gblk, dvel
 
 
+def _ring_render_bwd_local_wf(pos_l, vel_l, depth_l, us_l, ud_l, vcfg, d, axis):
+    """Wireframe backward ring: the per-hop pullback is plain JAX autodiff
+    of the DENSE cross-block wireframe render (vision.render.render_rows
+    with targets/target_vel — the same autodiff that powers single-chip
+    wireframe diff-vision), masked to the pixels this hop's block WON. The
+    residual-matching argument is the disc kernel's: merge_rows keeps
+    exactly one block's fragment per pixel, and at winner pixels the final
+    (shade, depth) EQUALS the partial's, so pulling the masked cotangents
+    through the partial recovers that block's exact gradient share (fp32
+    cross-block depth ties would double-count; coincident-cull plus
+    distinct positions make those measure-zero). Eye-side gradients
+    accumulate locally; target-side gradients travel WITH the circulating
+    (pos, vel) block — velocities matter here because the sprite orients
+    to the target's heading."""
+
+    def partial_fn(p, v, t, tv):
+        return dense_render.render_rows(
+            p, v, vcfg, targets=t, target_vel=tv
+        )
+
+    def hop(p, v, dep, us, ud, t, tv):
+        (sh_p, dep_p), pull = jax.vjp(partial_fn, p, v, t, tv)
+        win = dep_p == dep  # this block produced the surviving fragment
+        zero = jnp.zeros_like(us)
+        return pull((jnp.where(win, us, zero), jnp.where(win, ud, zero)))
+
+    acc_eye = jnp.zeros_like(pos_l)
+    acc_vel = jnp.zeros_like(vel_l)
+    blk = (pos_l, vel_l)
+    gblk = (jnp.zeros_like(pos_l), jnp.zeros_like(vel_l))
+    for _ in range(d):
+        if pos_l.ndim == 3:
+            deye, dvel, dtgt, dtgtv = jax.vmap(hop)(
+                pos_l, vel_l, depth_l, us_l, ud_l, blk[0], blk[1]
+            )
+        else:
+            deye, dvel, dtgt, dtgtv = hop(
+                pos_l, vel_l, depth_l, us_l, ud_l, blk[0], blk[1]
+            )
+        acc_eye = acc_eye + deye
+        acc_vel = acc_vel + dvel
+        gblk = (gblk[0] + dtgt, gblk[1] + dtgtv)
+        # permute on EVERY hop (d total) so blk/gblk return home
+        blk, gblk = jax.lax.ppermute((blk, gblk), axis, _perm(d))
+    return acc_eye + gblk[0], acc_vel + gblk[1]
+
+
 def ring_render_rows_diff(
     pos: jax.Array,
     vel: jax.Array,
@@ -334,15 +381,17 @@ def ring_render_rows_diff(
 ) -> Tuple[jax.Array, jax.Array]:
     """ring_render_rows with gradients (see block comment above). Requires
     N divisible by the mesh axis (sentinel padding would need masked
-    cotangent plumbing; use divisible N for differentiable vision)."""
+    cotangent plumbing; use divisible N for differentiable vision).
+
+    sprite_mode='wireframe' works too: the backward is the dense autodiff
+    pullback per hop (_ring_render_bwd_local_wf), and the FORWARD runs
+    dense partials so the backward's winner-residual matching is exactly
+    self-consistent — differentiable wireframe vision is dense-speed on a
+    single chip as well (the Pallas wireframe kernels have no VJP), so the
+    mesh path matches its cost model while still scaling the O(N^2) work
+    across devices."""
     mesh = mesh or default_mesh()
-    if vcfg.sprite_mode == "wireframe":
-        raise NotImplementedError(
-            "ring_render_rows_diff differentiates the disc raycast VJP "
-            "(ops.raycast.render_rows_vjp_cross); sprite_mode='wireframe' "
-            "has no backward kernel — use the disc model for "
-            "differentiable vision"
-        )
+    wf = vcfg.sprite_mode == "wireframe"
     n = pos.shape[-2]
     d = mesh.shape[axis]
     if n % d:
@@ -354,7 +403,8 @@ def ring_render_rows_diff(
     @functools.partial(jax.custom_vjp, nondiff_argnums=())
     def _render(p, v):
         return ring_render_rows(p, v, vcfg, mesh=mesh, axis=axis,
-                                data_axis=data_axis)
+                                data_axis=data_axis,
+                                partials="dense" if wf else "auto")
 
     def _fwd(p, v):
         shade, depth = _render(p, v)
@@ -363,10 +413,10 @@ def ring_render_rows_diff(
     def _bwd(res, cot):
         p, v, depth = res
         us, ud = cot
+        bwd_local = _ring_render_bwd_local_wf if wf else _ring_render_bwd_local
 
         def local(p_l, v_l, dep_l, us_l, ud_l):
-            return _ring_render_bwd_local(p_l, v_l, dep_l, us_l, ud_l,
-                                          vcfg, d, axis)
+            return bwd_local(p_l, v_l, dep_l, us_l, ud_l, vcfg, d, axis)
 
         lead = (data_axis,) if p.ndim == 3 else ()
         spec = P(*lead, axis, None)

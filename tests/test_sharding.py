@@ -268,8 +268,37 @@ def test_ring_vision_wireframe_nondivisible_n(mesh8):
     np.testing.assert_allclose(np.asarray(got_s), np.asarray(want_s), rtol=1e-5, atol=1e-5)
 
 
-def test_ring_diff_rejects_wireframe(mesh8):
-    vcfg = VisionConfig(width=16, sprite_mode="wireframe")
-    st = _state(16, seed=5)
-    with pytest.raises(NotImplementedError, match="wireframe"):
-        ring.ring_render_rows_diff(st.pos, st.vel, vcfg, mesh=mesh8)
+@pytest.mark.parametrize("antialias", [False, True])
+def test_ring_diff_wireframe_matches_dense_autodiff(mesh8, antialias):
+    """Differentiable EXACT-sprite vision on a mesh: the wireframe backward
+    ring (per-hop dense autodiff pullbacks masked to winner pixels, target
+    gradients circulating with the (pos, vel) blocks) must equal plain
+    autodiff of the full dense render — for shade AND depth cotangents,
+    position AND velocity gradients (sprites orient to target headings)."""
+    st = _state(32, seed=6)
+    key = jax.random.key(11)
+    st = st.replace(
+        vel=jax.random.uniform(key, (32, 2), minval=-1, maxval=1,
+                               dtype=jnp.float32)
+    )
+    vcfg = VisionConfig(width=32, sprite_mode="wireframe",
+                        antialias=antialias, far=200.0)
+    ku, kd = jax.random.split(jax.random.key(7))
+    cu = jax.random.normal(ku, (32, 32), jnp.float32)
+    cd = 0.01 * jax.random.normal(kd, (32, 32), jnp.float32)
+
+    def loss_ring(p, v):
+        sh, dep = ring.ring_render_rows_diff(p, v, vcfg, mesh=mesh8)
+        return jnp.sum(sh * cu) + jnp.sum(dep * cd)
+
+    def loss_dense(p, v):
+        sh, dep = render.render_rows(p, v, vcfg)
+        return jnp.sum(sh * cu) + jnp.sum(dep * cd)
+
+    gp_r, gv_r = jax.grad(loss_ring, argnums=(0, 1))(st.pos, st.vel)
+    gp_d, gv_d = jax.grad(loss_dense, argnums=(0, 1))(st.pos, st.vel)
+    np.testing.assert_allclose(np.asarray(gp_r), np.asarray(gp_d),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gv_r), np.asarray(gv_d),
+                               rtol=1e-4, atol=1e-5)
+    assert (np.abs(np.asarray(gv_r)) > 0).any()  # heading gradients live
