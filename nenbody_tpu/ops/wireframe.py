@@ -150,8 +150,10 @@ def _edge_depth_tau_aa(u_p, t, hp, fa, la, fb, lb, cfg: VisionConfig):
     tau = num / jnp.where(ok, den, 1.0)
     tau = jnp.clip(tau, tau_lo, tau_hi)
     fk = fa + tau * df
+    # fk < far mirrors the dense oracle: a slab-clipped fragment can land
+    # at exactly far in fp32 and must stay a miss on every path
     cov_e = (e_hi_v > u_p - hp) & (e_lo_v < u_p + hp)
-    hit = ok & valid & cov_e
+    hit = ok & valid & cov_e & (fk < cfg.far)
     return jnp.where(hit, fk, cfg.far), tau, e_lo, e_hi
 
 

@@ -92,37 +92,58 @@ def _vision_backend(cfg: SimConfig) -> str:
     return backend
 
 
+def _vision_route(cfg: SimConfig) -> str:
+    """The ONE place the vision routing rules live: resolve a config to
+    'pallas-wf' (exact-sprite kernel), 'pallas', 'ring' (circulates (pos,
+    vel) blocks for wireframe, pos-only for disc), or 'dense'. Wireframe on
+    gspmd/dense routes dense (exact sprite lives there and stays
+    differentiable — the Pallas wireframe kernels have no VJP)."""
+    backend = _vision_backend(cfg)
+    if cfg.vision.sprite_mode == "wireframe":
+        if backend == "pallas":
+            return "pallas-wf"
+        return "ring" if backend == "ring" else "dense"
+    if backend in ("pallas", "ring"):
+        return backend
+    return "dense"
+
+
+def _vision_render_core(cfg: SimConfig) -> Callable:
+    """`(state, texture=None) -> (shade, depth)` on the route _vision_route
+    picks — the shared dispatch behind observe / observe_with_depth /
+    observe_textured (keep routing out of the callers: a missed copy
+    silently falls back to dense)."""
+    vcfg = cfg.vision
+    route = _vision_route(cfg)
+    if route == "ring":
+        from .parallel import ring
+
+        return lambda s, t=None: ring.ring_render_rows(
+            s.pos, s.vel, vcfg, texture=t
+        )
+    if route == "pallas-wf":
+        from .ops import wireframe
+
+        return lambda s, t=None: wireframe.render_rows_wireframe_tiled(
+            s.pos, s.vel, vcfg, texture=t
+        )
+    if route == "pallas":
+        from .ops import raycast
+
+        return lambda s, t=None: raycast.render_rows_tiled(
+            s.pos, s.vel, vcfg, texture=t
+        )
+    from .vision import render
+
+    return lambda s, t=None: render.render_rows(s.pos, s.vel, vcfg, texture=t)
+
+
 def make_observe_fn(cfg: SimConfig) -> Optional[Callable[[SceneState], jax.Array]]:
     """Build the `state -> obs[N, W]` vision function, or None if disabled."""
     if cfg.vision is None:
         return None
-    backend = _vision_backend(cfg)
-    if cfg.vision.sprite_mode == "wireframe":
-        if backend == "pallas":
-            from .ops import wireframe
-
-            return functools.partial(wireframe.render_lines, cfg=cfg.vision)
-        if backend == "ring":
-            # the vision ring circulates (pos, vel) blocks for wireframe
-            # sprites and dispatches each hop to the wireframe kernel/oracle
-            from .parallel import ring
-
-            return functools.partial(ring.render_lines, cfg=cfg.vision)
-        # gspmd: exact-sprite vision routes dense; physics stays as resolved
-        from .vision import render
-
-        return functools.partial(render.render_lines, cfg=cfg.vision)
-    if backend == "pallas":
-        from .ops import raycast
-
-        return functools.partial(raycast.render_lines, cfg=cfg.vision)
-    if backend == "ring":
-        from .parallel import ring
-
-        return functools.partial(ring.render_lines, cfg=cfg.vision)
-    from .vision import render
-
-    return functools.partial(render.render_lines, cfg=cfg.vision)
+    core = _vision_render_core(cfg)
+    return lambda s: core(s)[0]
 
 
 class Scene:
@@ -203,16 +224,16 @@ class Scene:
         if colors is not None:
             if state.batch_shape:
                 raise ValueError("per-agent colors need an unbatched state")
-            backend = _vision_backend(self.cfg)
-            if self.cfg.vision.sprite_mode == "wireframe" and backend not in (
-                "pallas",
-                "dense",
-            ):
-                backend = "dense"
             fn = self._rgb_cache.get("rgb")
             if fn is None:
                 vcfg = self.cfg.vision
-                be = "pallas" if backend == "pallas" else "dense"
+                # render_rows_rgb dispatches pallas (incl. the wireframe
+                # kernel) or dense itself; collapse the route accordingly
+                be = (
+                    "pallas"
+                    if _vision_route(self.cfg) in ("pallas", "pallas-wf")
+                    else "dense"
+                )
                 fn = jax.jit(
                     lambda p, v, c: render_lib.render_rows_rgb(
                         p, v, vcfg, c, backend=be
@@ -240,38 +261,10 @@ class Scene:
         rank = len(state.batch_shape)
         cached = self._rgb_cache.get(("textured", rank))
         if cached is None:
-            backend = _vision_backend(self.cfg)
-            vcfg = self.cfg.vision
-            wire = vcfg.sprite_mode == "wireframe"
-            if wire and backend not in ("pallas", "ring"):
-                backend = "dense"  # see make_observe_fn
-            if backend == "ring":
-                from .parallel import ring as ring_mod
-
-                fn = lambda s, t: ring_mod.ring_render_rows(
-                    s.pos, s.vel, vcfg, texture=t
-                )[0]
-            else:
-                if backend == "pallas" and wire:
-                    from .ops import wireframe as _wf
-
-                    render1 = lambda s, t: _wf.render_rows_wireframe_tiled(
-                        s.pos, s.vel, vcfg, texture=t
-                    )[0]
-                elif backend == "pallas":
-                    from .ops import raycast
-
-                    render1 = lambda s, t: raycast.render_rows_tiled(
-                        s.pos, s.vel, vcfg, texture=t
-                    )[0]
-                else:
-                    from .vision import render as render_lib
-
-                    render1 = lambda s, t: render_lib.render_rows(
-                        s.pos, s.vel, vcfg, texture=t
-                    )[0]
-                fn = render1
-                for _ in range(rank):  # ring handles batch dims itself
+            core = _vision_render_core(self.cfg)
+            fn = lambda s, t: core(s, t)[0]
+            if _vision_route(self.cfg) != "ring":  # ring handles batch dims
+                for _ in range(rank):
                     fn = jax.vmap(fn, in_axes=(0, None))
             cached = jax.jit(fn)
             self._rgb_cache[("textured", rank)] = cached
@@ -288,35 +281,8 @@ class Scene:
         rank = len(state.batch_shape)
         cached = self._depth_cache.get(rank)
         if cached is None:
-            backend = _vision_backend(self.cfg)
-            wire = self.cfg.vision.sprite_mode == "wireframe"
-            if wire and backend not in ("pallas", "ring"):
-                backend = "dense"  # see make_observe_fn
-            if backend == "pallas":
-                if wire:
-                    from .ops import wireframe as _wf
-
-                    fn = functools.partial(
-                        _wf.render_lines_with_depth, cfg=self.cfg.vision
-                    )
-                else:
-                    from .ops import raycast
-
-                    fn = functools.partial(
-                        raycast.render_lines_with_depth, cfg=self.cfg.vision
-                    )
-            elif backend == "ring":
-                from .parallel import ring
-
-                vcfg = self.cfg.vision
-                fn = lambda s: ring.ring_render_rows(s.pos, s.vel, vcfg)
-            else:
-                from .vision import render
-
-                fn = functools.partial(
-                    render.render_lines_with_depth, cfg=self.cfg.vision
-                )
-            if backend != "ring":  # ring handles leading batch dims itself
+            fn = _vision_render_core(self.cfg)
+            if _vision_route(self.cfg) != "ring":  # ring handles batch dims
                 for _ in range(rank):
                     fn = jax.vmap(fn)
             cached = jax.jit(fn)

@@ -223,11 +223,14 @@ def _agent_row_wireframe(
             tau = num / jnp.where(ok, den, 1.0)
             tau = jnp.clip(tau, tau_lo[:, None], tau_hi[:, None])
             fk = fa[:, None] + tau * df_[:, None]
-            # covered iff the pixel footprint overlaps the edge interval
+            # covered iff the pixel footprint overlaps the edge interval;
+            # fk < far keeps the strict far-plane test of the binary path —
+            # the slab clip can land a fragment at EXACTLY far (fp32), which
+            # must stay a miss (the kernels' d < far reduce treats it so)
             cov_e = (e_hi[:, None] > u_p[None, :] - hp) & (
                 e_lo[:, None] < u_p[None, :] + hp
             )
-            hit = ok & valid[:, None] & cov_e
+            hit = ok & valid[:, None] & cov_e & (fk < cfg.far)
         else:
             num = ut[None, :] * fa[:, None] - la[:, None]  # [M, W]
             den = dl_[:, None] - ut[None, :] * df_[:, None]

@@ -195,3 +195,21 @@ def test_antialias_albedo_matches_dense():
     want = render.render_rows(pos, vel, cfg, albedo=albedo)
     got = wireframe.render_rows_wireframe_tiled(pos, vel, cfg, albedo=albedo)
     _assert_rows_close(got, want)
+
+
+def test_antialias_far_plane_straddle_parity():
+    """A sprite straddling the far plane: the AA slab clip can land a
+    fragment at EXACTLY far in fp32; it must be a miss on every path
+    (dense counted it as a hit with shade != background while the kernels'
+    d < far reduce did not — found by review, pinned here)."""
+    cfg = VisionConfig(width=64, sprite_mode="wireframe", antialias=True,
+                       far=200.0)
+    for x in np.arange(199.5, 200.8, 0.05):
+        pos = jnp.array([[0.0, 0.0], [float(x), 0.0]], jnp.float32)
+        vel = jnp.array([[1.0, 0.0], [0.0, 1.0]], jnp.float32)
+        ws, wd = map(np.asarray, render.render_rows(pos, vel, cfg))
+        gs, gd = map(np.asarray,
+                     wireframe.render_rows_wireframe_tiled(pos, vel, cfg))
+        np.testing.assert_array_equal(wd, gd)
+        np.testing.assert_allclose(ws, gs, atol=2e-4)
+        assert not ((wd == 200.0) & (np.abs(ws - cfg.background) > 1e-6)).any()
