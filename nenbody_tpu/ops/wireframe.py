@@ -505,7 +505,9 @@ def _wf_num_outputs(raw: bool, has_alb: bool, aa: bool) -> int:
     return 3 + (1 if has_alb else 0) + (1 if aa else 0)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "te", "tj"))
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "te", "tj", "force_streaming")
+)
 def render_rows_wireframe_tiled(
     pos: jax.Array,
     vel: jax.Array,
@@ -516,6 +518,7 @@ def render_rows_wireframe_tiled(
     target_vel: jax.Array | None = None,
     albedo: jax.Array | None = None,
     texture: jax.Array | None = None,
+    force_streaming: bool = False,
 ):
     """Pallas counterpart of vision.render.render_rows with
     sprite_mode='wireframe'. pos, vel: [N, 2] -> (shade [N, W], depth [N, W]).
@@ -556,10 +559,14 @@ def render_rows_wireframe_tiled(
     n_pad_e = round_up(n, te)
     has_alb = albedo is not None
 
-    # precompute path (same gates as the disc kernel, halved for 6 tensors)
+    # precompute path (same gates as the disc kernel, halved for 6 tensors).
+    # force_streaming skips it: the diff path's backward kernel recomputes
+    # projections with the streaming op order, and the forward must follow
+    # the SAME fp route so winner/coverage decisions agree bit-for-bit
     te_p = fit_tile(32, n, 8)
     if (
-        n_pad_e * round_up(m, 128) <= _PRECOMPUTE_MAX_ELEMS
+        not force_streaming
+        and n_pad_e * round_up(m, 128) <= _PRECOMPUTE_MAX_ELEMS
         and 6 * te_p * round_up(m, 128) * 4 <= (6 << 20)
     ):
         if round_up(m, 128) <= 128 and cfg.width % 128 == 0 and cfg.width > 128:
@@ -675,6 +682,316 @@ def render_rows_wireframe_tiled(
     if raw:
         return _decode_textured_wf(outs, cfg, texture, has_alb, aa=cfg.antialias)
     return outs[0], outs[1]
+
+
+# -- backward kernel (differentiable exact-sprite perception) -----------------
+#
+# The disc raycast's backward kernel (ops/raycast._raycast_bwd_kernel) is a
+# HAND-derived transpose; the wireframe's AA math (slab clips, clamped
+# fragment evaluation, interval-union coverage) would multiply that
+# derivation's select calculus several-fold. Instead the backward kernel
+# differentiates ITSELF: the per-(chunk, pixel) tile function — the same
+# projection + _merge_edges + coverage-blend code the forward streaming
+# kernel runs — is pulled back with jax.vjp INSIDE the kernel body. Pallas
+# kernels are traced JAX programs, so the transpose is derived at trace time
+# and lowered by Mosaic like any other elementwise code; eye inputs are
+# scalars, so their cotangents arrive pre-reduced, and per-target cotangent
+# columns accumulate into grid-shared output refs (TPU grids run
+# sequentially). Winner identification is the disc kernel's residual
+# matching against the FINAL merged depth (small relative tolerance; a
+# strict d < far keeps misses out).
+
+BWD_EYES_PER_PROGRAM_WF = 8
+
+
+def _wf_bwd_kernel(
+    ex_ref, ey_ref, dx_ref, dy_ref,  # [TE, 1] eye position / unit heading
+    tx_ref, ty_ref, cx_ref, cy_ref, m_ref,  # [N_pad, 1] targets + heading
+    dep_ref, us_ref, ud_ref,  # [TE, W] final depth + cotangents
+    gxi_ref, gyi_ref, gdx_ref, gdy_ref,  # [TE, 1] out: eye pos/heading grads
+    gtx_ref, gty_ref, gcx_ref, gcy_ref,  # [N_pad, 1] out: target pos/hdg grads
+    *,
+    cfg: VisionConfig,
+    tj: int,
+):
+    te = ex_ref.shape[0]
+    wb = dep_ref.shape[1]
+    n_pad = tx_ref.shape[0]
+    num_chunks = n_pad // tj
+    t = math.tan(math.radians(cfg.hfov_deg) * 0.5)
+    hp = 1.0 / cfg.width
+    r = cfg.sprite_radius
+    verts = [(vx * r, vy * r) for vx, vy in SPRITE_VERTS]
+    aa = cfg.antialias
+    first_wblock = pl.program_id(1) == 0
+
+    @pl.when((pl.program_id(0) == 0) & first_wblock)
+    def _init():
+        gtx_ref[:] = jnp.zeros_like(gtx_ref)
+        gty_ref[:] = jnp.zeros_like(gty_ref)
+        gcx_ref[:] = jnp.zeros_like(gcx_ref)
+        gcy_ref[:] = jnp.zeros_like(gcy_ref)
+
+    # the width axis is a second grid dimension: the in-kernel vjp's saved
+    # linearization residuals scale with the (TJ, WB) tile, and a full
+    # W=32 row at TJ=256 blew Mosaic's 16 MB scoped-vmem stack (23.9 MB
+    # observed); eye grads accumulate across the width blocks
+    @pl.when(first_wblock)
+    def _init_eye():
+        gxi_ref[:] = jnp.zeros_like(gxi_ref)
+        gyi_ref[:] = jnp.zeros_like(gyi_ref)
+        gdx_ref[:] = jnp.zeros_like(gdx_ref)
+        gdy_ref[:] = jnp.zeros_like(gdy_ref)
+
+    p0 = pl.program_id(1) * wb
+    u_p = (
+        2.0
+        * (
+            p0
+            + jax.lax.broadcasted_iota(jnp.int32, (1, wb), 1).astype(jnp.float32)
+            + 0.5
+        )
+        / cfg.width
+        - 1.0
+    )  # (1, WB)
+    ut = u_p * t
+    aa_ctx = (u_p, t, hp) if aa else None
+
+    def eye_body(e, _):
+        px, py = ex_ref[e, 0], ey_ref[e, 0]
+        hx, hy = dx_ref[e, 0], dy_ref[e, 0]
+        dpr = dep_ref[pl.ds(e, 1), :]  # (1, W)
+        usr = us_ref[pl.ds(e, 1), :]
+        udr = ud_ref[pl.ds(e, 1), :]
+
+        def chunk_tile(k, px=px, py=py, hx=hx, hy=hy):
+            """This chunk's (TJ,) target columns + mask and the fragment
+            function over them — the forward streaming kernel's math,
+            verbatim, so the vjp is its exact transpose."""
+            j0 = pl.multiple_of(k * tj, tj)
+            txv = tx_ref[pl.ds(j0, tj), :]  # (TJ, 1)
+            tyv = ty_ref[pl.ds(j0, tj), :]
+            cthv = cx_ref[pl.ds(j0, tj), :]
+            sthv = cy_ref[pl.ds(j0, tj), :]
+            mj = (m_ref[pl.ds(j0, tj), :] > 0.0) & (
+                (txv != px) | (tyv != py)
+            )  # padding + coincident-self cull, captured (non-diff)
+
+            def tile(px, py, hx, hy, txv, tyv, cthv, sthv):
+                f_v, l_v = [], []
+                for vx, vy in verts:
+                    wxr = vx * cthv - vy * sthv
+                    wyr = vx * sthv + vy * cthv
+                    relx = txv + wxr - px
+                    rely = tyv + wyr - py
+                    fv = relx * hx + rely * hy
+                    lv = relx * hy - rely * hx
+                    f_v.append(jnp.where(mj, fv, -1.0))
+                    l_v.append(jnp.where(mj, lv, 0.0))
+                d_m, pays = _merge_edges(
+                    ut, f_v, l_v, cfg.sprite_albedo, cfg, aa_ctx=aa_ctx
+                )
+                shade = pays[0]
+                if aa:
+                    shade = cfg.background + pays[-1] * (
+                        shade - cfg.background
+                    )
+                return shade, d_m  # (TJ, W) fragment fields
+
+            return j0, (txv, tyv, cthv, sthv), tile
+
+        # Pass 1: recompute THIS kernel's per-pixel min depth. Matching
+        # against it is exact (same math, same order, same kernel — bit-
+        # identical), so the winner is identified without a tolerance
+        # window; matching against the forward's saved depth instead left
+        # ~0.2% of pixels at near-ties routed to the wrong fragment (the
+        # raster-precompute forward follows a different fp route).
+        def dmin_body(k, best):
+            j0, args, tile = chunk_tile(k)
+            _, dm = tile(px, py, hx, hy, *args)
+            return jnp.minimum(best, jnp.min(dm, axis=0, keepdims=True))
+
+        dloc = jax.lax.fori_loop(
+            0, num_chunks, dmin_body, jnp.full((1, wb), cfg.far, jnp.float32)
+        )
+        # cross-block gate: this kernel's min must BE the global winner
+        # (ring partials depth-merge across blocks; tolerance only here,
+        # where different devices' fp routes meet)
+        dpr_gate = (dloc < cfg.far) & (dloc <= dpr * (1.0 + 1e-5))
+
+        def body(k, carry, px=px, py=py, hx=hx, hy=hy,
+                 usr=usr, udr=udr):
+            axi, ayi, adx, ady, taken = carry
+            j0, args, tile = chunk_tile(k)
+            (sh, dm), pull = jax.vjp(tile, px, py, hx, hy, *args)
+            # each pixel's cotangent is spent exactly once: exact match to
+            # the recomputed min + first-match-wins across chunks (`taken`
+            # carries as f32 0/1 — Mosaic cannot legalize boolean vector
+            # loop carries)
+            win = dpr_gate & (dm <= dloc) & (taken < 0.5)
+            zero = jnp.zeros_like(dm)
+            dpx, dpy, dhx, dhy, dtx, dty, dcx, dcy = pull(
+                (jnp.where(win, usr, zero), jnp.where(win, udr, zero))
+            )
+            gtx_ref[pl.ds(j0, tj), :] += dtx
+            gty_ref[pl.ds(j0, tj), :] += dty
+            gcx_ref[pl.ds(j0, tj), :] += dcx
+            gcy_ref[pl.ds(j0, tj), :] += dcy
+            taken2 = jnp.maximum(
+                taken,
+                jnp.max(jnp.where(win, 1.0, 0.0), axis=0, keepdims=True),
+            )
+            return (axi + dpx, ayi + dpy, adx + dhx, ady + dhy, taken2)
+
+        zero = jnp.float32(0.0)
+        axi, ayi, adx, ady, _ = jax.lax.fori_loop(
+            0, num_chunks, body,
+            (zero, zero, zero, zero, jnp.zeros((1, wb), jnp.float32)),
+        )
+        gxi_ref[pl.ds(e, 1), :] += jnp.full((1, 1), axi, jnp.float32)
+        gyi_ref[pl.ds(e, 1), :] += jnp.full((1, 1), ayi, jnp.float32)
+        gdx_ref[pl.ds(e, 1), :] += jnp.full((1, 1), adx, jnp.float32)
+        gdy_ref[pl.ds(e, 1), :] += jnp.full((1, 1), ady, jnp.float32)
+        return 0
+
+    # the vjp transpose roughly triples the live tile set vs the forward
+    # streaming kernel — no unrolling (cap 1), (TJ, WB) bounded by the caller
+    run_eyes_unrolled(eye_body, te, 1)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "te"))
+def render_rows_wireframe_vjp_cross(
+    pos: jax.Array,
+    dirs: jax.Array,
+    depth: jax.Array,
+    us: jax.Array,
+    ud: jax.Array,
+    cfg: VisionConfig,
+    targets: jax.Array | None = None,
+    target_hdg: jax.Array | None = None,
+    te: int = BWD_EYES_PER_PROGRAM_WF,
+):
+    """Pullback of the (cross-block) wireframe eye render: cotangents
+    (us, ud) on (shade, depth) -> (d eye-pos [N,2], d eye-dirs [N,2],
+    d target-pos [M,2], d target-hdg [M,2]). `depth` must be the FINAL
+    merged rows (residual matching, exactly as the disc's
+    raycast.render_rows_vjp_cross). Geometry-only: constant albedo, no
+    texture. Sprites orient to their targets' headings, so the heading
+    cotangent is a first-class output — pull it back through unit_heading
+    to reach velocities."""
+    tgt = pos if targets is None else targets
+    hdg = dirs if target_hdg is None else target_hdg
+    n = pos.shape[0]
+    m = tgt.shape[0]
+    te = fit_tile(te, n, 8)
+    n_pad_e = round_up(n, te)
+    # the in-kernel vjp saves every forward intermediate of the (TJ, WB)
+    # tile (~100 arrays live at once), so both axes are bounded: width
+    # blocks of <=128 px on the grid, TJ capped so TJ*WB <= 2048 elements
+    # (validated on v5e — TJ=256 x WB=32 = 8k elems OOM'd the 16 MB scoped
+    # stack at 23.9 MB)
+    if cfg.width <= 128:
+        wblk = cfg.width
+    elif cfg.width % 128 == 0:
+        wblk = 128
+    elif cfg.width <= 256:
+        wblk = cfg.width
+    else:
+        raise ValueError(
+            f"the wireframe backward kernel needs vision width <= 256 or a "
+            f"multiple of 128, got {cfg.width}"
+        )
+    tj = fit_tile(max(8, (1 << 12) // wblk), m, 8)
+    n_pad_t = round_up(m, tj)
+
+    ex = pad_axis(pos[:, 0], n_pad_e)
+    ey = pad_axis(pos[:, 1], n_pad_e)
+    dx = pad_axis(dirs[:, 0], n_pad_e)
+    dy = pad_axis(dirs[:, 1], n_pad_e)
+    tx = pad_axis(tgt[:, 0], n_pad_t)
+    ty = pad_axis(tgt[:, 1], n_pad_t)
+    cx = pad_axis(hdg[:, 0], n_pad_t)
+    cy = pad_axis(hdg[:, 1], n_pad_t)
+    mask = pad_axis(jnp.ones((m,), jnp.float32), n_pad_t)
+    dep = pad_axis(depth, n_pad_e)
+    usp = pad_axis(us, n_pad_e)  # zero cotangents on padded eyes
+    udp = pad_axis(ud, n_pad_e)
+
+    grid = (n_pad_e // te, cfg.width // wblk)
+    kernel = functools.partial(_wf_bwd_kernel, cfg=cfg, tj=tj)
+    espec = lambda: pl.BlockSpec(
+        (te, 1), lambda i, p: (i, 0), memory_space=pltpu.VMEM
+    )
+    tspec = lambda: pl.BlockSpec(
+        (n_pad_t, 1), lambda i, p: (0, 0), memory_space=pltpu.VMEM
+    )
+    rowspec = lambda: pl.BlockSpec(
+        (te, wblk), lambda i, p: (i, p), memory_space=pltpu.VMEM
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=(
+            [espec()] * 4 + [tspec()] * 5 + [rowspec()] * 3
+        ),
+        out_specs=[espec()] * 4 + [tspec()] * 4,
+        out_shape=(
+            [jax.ShapeDtypeStruct((n_pad_e, 1), jnp.float32)] * 4
+            + [jax.ShapeDtypeStruct((n_pad_t, 1), jnp.float32)] * 4
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=200 * n_pad_e * n_pad_t * cfg.width,
+            bytes_accessed=(8 * n_pad_e + 8 * n_pad_t
+                            + 3 * n_pad_e * cfg.width) * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret_mode(),
+    )(
+        col(ex), col(ey), col(dx), col(dy),
+        col(tx), col(ty), col(cx), col(cy), col(mask),
+        dep, usp, udp,
+    )
+    gxi, gyi, gdx, gdy, gtx, gty, gcx, gcy = outs
+    deye = jnp.concatenate([gxi, gyi], axis=1)[:n]
+    ddirs = jnp.concatenate([gdx, gdy], axis=1)[:n]
+    dtgt = jnp.concatenate([gtx, gty], axis=1)[:m]
+    dhdg = jnp.concatenate([gcx, gcy], axis=1)[:m]
+    return deye, ddirs, dtgt, dhdg
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def render_rows_wireframe_diff(pos: jax.Array, vel: jax.Array,
+                               cfg: VisionConfig):
+    """render_rows_wireframe_tiled with a kernel-speed custom VJP —
+    differentiable perception with the reference's EXACT sprite (the dense
+    wireframe autodiff is the oracle; use cfg.antialias=True for
+    meaningful coverage gradients, as with the disc's render_rows_diff)."""
+    return render_rows_wireframe_tiled(pos, vel, cfg)
+
+
+def _rrwd_fwd(pos, vel, cfg):
+    # streaming forward: bit-consistent with the backward kernel's
+    # recomputation (same projection op order), so the gradient always
+    # corresponds to the fragment the forward actually rendered
+    shade, depth = render_rows_wireframe_tiled(
+        pos, vel, cfg, force_streaming=True
+    )
+    return (shade, depth), (pos, vel, depth)
+
+
+def _rrwd_bwd(cfg, res, cot):
+    pos, vel, depth = res
+    us, ud = cot
+    dirs, pull_dirs = jax.vjp(camera.unit_heading, vel)
+    deye, ddirs, dtgt, dhdg = render_rows_wireframe_vjp_cross(
+        pos, dirs, depth, us, ud, cfg
+    )
+    # eyes look along AND sprites orient to the same unit_heading(vel)
+    (dvel,) = pull_dirs(ddirs + dhdg)
+    return deye + dtgt, dvel
+
+
+render_rows_wireframe_diff.defvjp(_rrwd_fwd, _rrwd_bwd)
 
 
 def render_lines(state, cfg: VisionConfig) -> jax.Array:

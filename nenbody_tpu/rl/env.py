@@ -34,10 +34,17 @@ def _forces(pos: jax.Array, cfg: SimConfig, backend: str) -> jax.Array:
 
 def _render(pos: jax.Array, vel: jax.Array, cfg: SimConfig, backend: str):
     if cfg.vision.sprite_mode == "wireframe":
-        # exact-sprite observations stay on the dense renderer: the Pallas
-        # wireframe kernel (ops/wireframe.py) has no VJP, and observe() must
-        # stay differentiable for APG diff_vision; dense is jnp autodiff
-        backend = "dense"
+        if backend == "pallas":
+            from ..ops import wireframe
+
+            # kernel-speed differentiable exact-sprite observations: the
+            # wireframe backward kernel pulls the forward tile math back
+            # with jax.vjp inside the Pallas body (APG diff_vision works
+            # with the reference's actual sprite at kernel speed)
+            return wireframe.render_rows_wireframe_diff(pos, vel, cfg.vision)[0]
+        from ..vision import render
+
+        return render.render_rows(pos, vel, cfg.vision)[0]
     if backend == "pallas":
         from ..ops import raycast
 

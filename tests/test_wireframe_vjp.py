@@ -1,0 +1,112 @@
+"""The wireframe backward kernel (ops/wireframe.render_rows_wireframe_diff)
+against the dense wireframe autodiff oracle.
+
+The backward kernel differentiates ITSELF: the per-tile fragment function
+(the forward streaming kernel's math) is pulled back with jax.vjp inside
+the Pallas kernel body, and winners are identified by an EXACT match to a
+per-pixel min depth recomputed with the same math (plus a first-match-wins
+mask so each pixel's cotangent is spent once). Vs the dense oracle, a
+coverage-boundary pixel can still route its gradient to a different
+nearly-coincident sprite when the two implementations' fp routes disagree
+by an ulp at an interval endpoint — exact parity is pinned at moderate N,
+and dense clutter is pinned statistically.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nenbody_tpu.config import VisionConfig
+from nenbody_tpu.ops import wireframe
+from nenbody_tpu.vision import render
+
+
+def _scene(key, n, spread=40.0):
+    kp, kv = jax.random.split(key)
+    pos = jax.random.uniform(kp, (n, 2), minval=-spread, maxval=spread,
+                             dtype=jnp.float32)
+    vel = jax.random.uniform(kv, (n, 2), minval=-1, maxval=1,
+                             dtype=jnp.float32)
+    return pos, vel
+
+
+@pytest.mark.parametrize("antialias,width,n", [
+    (False, 32, 24), (True, 32, 24), (True, 64, 300), (True, 256, 40),
+])
+def test_kernel_vjp_matches_dense_autodiff(antialias, width, n):
+    """Exact gradient parity (positions AND velocities — sprites orient to
+    headings) for a random linear functional of (shade, depth)."""
+    cfg = VisionConfig(width=width, sprite_mode="wireframe",
+                       antialias=antialias, far=200.0)
+    pos, vel = _scene(jax.random.key(3), n)
+    ku, kd = jax.random.split(jax.random.key(9))
+    cu = jax.random.normal(ku, (n, width), jnp.float32)
+    cd = 0.01 * jax.random.normal(kd, (n, width), jnp.float32)
+
+    def loss_k(p, v):
+        sh, dep = wireframe.render_rows_wireframe_diff(p, v, cfg)
+        return jnp.sum(sh * cu) + jnp.sum(dep * cd)
+
+    def loss_d(p, v):
+        sh, dep = render.render_rows(p, v, cfg)
+        return jnp.sum(sh * cu) + jnp.sum(dep * cd)
+
+    gk = jax.grad(loss_k, argnums=(0, 1))(pos, vel)
+    gd = jax.grad(loss_d, argnums=(0, 1))(pos, vel)
+    for a, b, name in zip(gk, gd, ("pos", "vel")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4, err_msg=name)
+    assert (np.abs(np.asarray(gk[1])) > 0).any()  # heading grads live
+
+
+def test_kernel_vjp_forward_matches_oracle():
+    """The diff wrapper's forced-streaming forward is still the oracle's
+    forward (the raster/streaming variants agree; streaming is forced so
+    the backward's recomputation is bit-consistent with it)."""
+    cfg = VisionConfig(width=64, sprite_mode="wireframe", antialias=True,
+                       far=200.0)
+    pos, vel = _scene(jax.random.key(5), 100)
+    fs, fd = map(np.asarray, wireframe.render_rows_wireframe_diff(pos, vel, cfg))
+    ws, wd = map(np.asarray, render.render_rows(pos, vel, cfg))
+    np.testing.assert_allclose(fd, wd, rtol=1e-5, atol=2e-4)
+    np.testing.assert_allclose(fs, ws, rtol=1e-5, atol=2e-4)
+
+
+def test_kernel_vjp_dense_clutter_statistical():
+    """N=1,024 clutter: at coverage-boundary pixels the kernel and the
+    dense oracle may route a pixel's gradient to different nearly-
+    coincident sprites (fp ulp at an interval endpoint flips the covering
+    sprite) — allow a small fraction of per-agent mismatches, never more."""
+    cfg = VisionConfig(width=32, sprite_mode="wireframe", antialias=True,
+                       far=10000.0)
+    pos, vel = _scene(jax.random.key(6), 1024, spread=100.0)
+
+    gk = jax.grad(
+        lambda q: jnp.sum(wireframe.render_rows_wireframe_diff(q, vel, cfg)[0] ** 2)
+    )(pos)
+    gd = jax.grad(
+        lambda q: jnp.sum(render.render_rows(q, vel, cfg)[0] ** 2)
+    )(pos)
+    gk, gd = np.asarray(gk), np.asarray(gd)
+    mismatched = (np.abs(gk - gd).max(axis=1) > 3e-4).mean()
+    assert mismatched <= 0.01, f"{mismatched:.3%} agents mismatched"
+
+
+def test_fd_check_through_kernel_vjp():
+    """Finite differences through the kernel VJP at a jump-free scene."""
+    cfg = VisionConfig(width=64, sprite_mode="wireframe", antialias=True,
+                       far=200.0)
+    pos = jnp.array([[0.0, 0.0], [7.3, 1.2], [15.0, 6.0]], jnp.float32)
+    vel = jnp.array([[1.0, 0.0], [0.3, 0.8], [-0.5, 0.5]], jnp.float32)
+
+    def loss(p):
+        return jnp.sum(wireframe.render_rows_wireframe_diff(p, vel, cfg)[0] ** 2)
+
+    g = np.asarray(jax.grad(loss)(pos))
+    eps = 1e-3
+    for idx in ((1, 0), (1, 1), (2, 0)):
+        hi = float(loss(pos.at[idx].set(pos[idx] + eps)))
+        lo = float(loss(pos.at[idx].set(pos[idx] - eps)))
+        np.testing.assert_allclose(g[idx], (hi - lo) / (2 * eps),
+                                   rtol=2e-2, atol=1e-3)
