@@ -371,6 +371,45 @@ def _ring_render_bwd_local_wf(pos_l, vel_l, depth_l, us_l, ud_l, vcfg, d, axis):
     return acc_eye + gblk[0], acc_vel + gblk[1]
 
 
+def _ring_render_bwd_local_wf_kernel(
+    pos_l, vel_l, depth_l, us_l, ud_l, vcfg, d, axis
+):
+    """Kernel edition of the wireframe backward ring: each hop is the
+    wireframe backward Pallas kernel (ops.wireframe.render_rows_wireframe_
+    vjp_cross) instead of a dense autodiff transpose. Target HEADINGS
+    circulate (the kernel takes unit headings directly); their cotangents
+    ride home with the block and pull back through unit_heading there."""
+    from ..ops import wireframe as wf_ops
+
+    dirs_l, pull_dirs = jax.vjp(_unit_heading, vel_l)
+
+    def cross(p, dd, dep, us, ud, t, th):
+        return wf_ops.render_rows_wireframe_vjp_cross(
+            p, dd, dep, us, ud, vcfg, targets=t, target_hdg=th
+        )
+
+    acc_eye = jnp.zeros_like(pos_l)
+    acc_dir = jnp.zeros_like(pos_l)
+    blk = (pos_l, dirs_l)
+    gblk = (jnp.zeros_like(pos_l), jnp.zeros_like(pos_l))
+    for _ in range(d):
+        if pos_l.ndim == 3:
+            deye, ddir, dtgt, dhdg = jax.vmap(cross)(
+                pos_l, dirs_l, depth_l, us_l, ud_l, blk[0], blk[1]
+            )
+        else:
+            deye, ddir, dtgt, dhdg = cross(
+                pos_l, dirs_l, depth_l, us_l, ud_l, blk[0], blk[1]
+            )
+        acc_eye = acc_eye + deye
+        acc_dir = acc_dir + ddir
+        gblk = (gblk[0] + dtgt, gblk[1] + dhdg)
+        # permute on EVERY hop (d total) so blk/gblk return home
+        blk, gblk = jax.lax.ppermute((blk, gblk), axis, _perm(d))
+    (dvel,) = pull_dirs(acc_dir + gblk[1])
+    return acc_eye + gblk[0], dvel
+
+
 def ring_render_rows_diff(
     pos: jax.Array,
     vel: jax.Array,
@@ -383,15 +422,15 @@ def ring_render_rows_diff(
     N divisible by the mesh axis (sentinel padding would need masked
     cotangent plumbing; use divisible N for differentiable vision).
 
-    sprite_mode='wireframe' works too: the backward is the dense autodiff
-    pullback per hop (_ring_render_bwd_local_wf), and the FORWARD runs
-    dense partials so the backward's winner-residual matching is exactly
-    self-consistent — differentiable wireframe vision is dense-speed on a
-    single chip as well (the Pallas wireframe kernels have no VJP), so the
-    mesh path matches its cost model while still scaling the O(N^2) work
-    across devices."""
+    sprite_mode='wireframe' works too: on TPU both the forward partials
+    and the per-hop backward run the wireframe Pallas kernels (the
+    backward kernel identifies winners against its own recomputed min, so
+    mixed-variant fp routes only matter at cross-block near-ties, as for
+    the disc); off-TPU the per-hop backward is the dense autodiff
+    pullback (_ring_render_bwd_local_wf) over dense partials."""
     mesh = mesh or default_mesh()
     wf = vcfg.sprite_mode == "wireframe"
+    wf_kernel = wf and _use_pallas("auto")
     n = pos.shape[-2]
     d = mesh.shape[axis]
     if n % d:
@@ -404,7 +443,8 @@ def ring_render_rows_diff(
     def _render(p, v):
         return ring_render_rows(p, v, vcfg, mesh=mesh, axis=axis,
                                 data_axis=data_axis,
-                                partials="dense" if wf else "auto")
+                                partials="dense" if (wf and not wf_kernel)
+                                else "auto")
 
     def _fwd(p, v):
         shade, depth = _render(p, v)
@@ -413,7 +453,11 @@ def ring_render_rows_diff(
     def _bwd(res, cot):
         p, v, depth = res
         us, ud = cot
-        bwd_local = _ring_render_bwd_local_wf if wf else _ring_render_bwd_local
+        if wf:
+            bwd_local = (_ring_render_bwd_local_wf_kernel if wf_kernel
+                         else _ring_render_bwd_local_wf)
+        else:
+            bwd_local = _ring_render_bwd_local
 
         def local(p_l, v_l, dep_l, us_l, ud_l):
             return bwd_local(p_l, v_l, dep_l, us_l, ud_l, vcfg, d, axis)
