@@ -363,6 +363,28 @@ def _wireframe_raster_kernel(
     run_eyes_unrolled(eye_body, te, _unroll_cap(aa=aa))
 
 
+def _project_chunk_verts(px, py, hx, hy, tx, ty, cth, sth, mj, verts):
+    """Rotate the 3 sprite verts to each target's heading and project into
+    the eye's view frame as (TJ, 1) columns; masked targets (padding +
+    coincident-self) collapse to the degenerate behind-the-eye point
+    (f = -1, l = 0: every edge invalid/degenerate). ONE fp route, shared
+    by the forward streaming kernel and the backward kernel's tile
+    function — the backward identifies winners by an EXACT match against
+    a min recomputed through this code, so any reassociation here must
+    happen in exactly one place."""
+    f_v, l_v = [], []
+    for vx, vy in verts:
+        wxr = vx * cth - vy * sth
+        wyr = vx * sth + vy * cth
+        relx = tx + wxr - px
+        rely = ty + wyr - py
+        fv = relx * hx + rely * hy
+        lv = relx * hy - rely * hx
+        f_v.append(jnp.where(mj, fv, -1.0))
+        l_v.append(jnp.where(mj, lv, 0.0))
+    return f_v, l_v
+
+
 def _wireframe_stream_kernel(
     ex_ref, ey_ref, dx_ref, dy_ref,  # [TE, 1] eye position / unit heading
     tx_ref, ty_ref,  # [N_pad, 1] target positions (sublane-major)
@@ -423,19 +445,9 @@ def _wireframe_stream_kernel(
                 (tx != px) | (ty != py)
             )
 
-            # rotate + project the 3 sprite verts: (TJ, 1) columns. Padded
-            # targets collapse to a single behind-the-eye point (f = -1,
-            # l = 0): every edge degenerates (den = 0) and never hits.
-            f_v, l_v = [], []
-            for vx, vy in verts:
-                wxr = vx * cth - vy * sth
-                wyr = vx * sth + vy * cth
-                relx = tx + wxr - px
-                rely = ty + wyr - py
-                fv = relx * hx + rely * hy
-                lv = relx * hy - rely * hx
-                f_v.append(jnp.where(mj, fv, -1.0))
-                l_v.append(jnp.where(mj, lv, 0.0))
+            f_v, l_v = _project_chunk_verts(
+                px, py, hx, hy, tx, ty, cth, sth, mj, verts
+            )
 
             alb = alb_ref[pl.ds(j0, tj), :] if has_alb else cfg.sprite_albedo
             d_m, p_m = _merge_edges(
@@ -778,16 +790,9 @@ def _wf_bwd_kernel(
             )  # padding + coincident-self cull, captured (non-diff)
 
             def tile(px, py, hx, hy, txv, tyv, cthv, sthv):
-                f_v, l_v = [], []
-                for vx, vy in verts:
-                    wxr = vx * cthv - vy * sthv
-                    wyr = vx * sthv + vy * cthv
-                    relx = txv + wxr - px
-                    rely = tyv + wyr - py
-                    fv = relx * hx + rely * hy
-                    lv = relx * hy - rely * hx
-                    f_v.append(jnp.where(mj, fv, -1.0))
-                    l_v.append(jnp.where(mj, lv, 0.0))
+                f_v, l_v = _project_chunk_verts(
+                    px, py, hx, hy, txv, tyv, cthv, sthv, mj, verts
+                )
                 d_m, pays = _merge_edges(
                     ut, f_v, l_v, cfg.sprite_albedo, cfg, aa_ctx=aa_ctx
                 )
@@ -825,10 +830,19 @@ def _wf_bwd_kernel(
             j0, args, tile = chunk_tile(k)
             (sh, dm), pull = jax.vjp(tile, px, py, hx, hy, *args)
             # each pixel's cotangent is spent exactly once: exact match to
-            # the recomputed min + first-match-wins across chunks (`taken`
+            # the recomputed min, first-match-wins across chunks (`taken`
             # carries as f32 0/1 — Mosaic cannot legalize boolean vector
-            # loop carries)
-            win = dpr_gate & (dm <= dloc) & (taken < 0.5)
+            # loop carries), and lowest-row-wins WITHIN the chunk —
+            # coincident targets tie exactly and would otherwise each
+            # receive the full cotangent (observed: 2x eye gradients)
+            match = dpr_gate & (dm <= dloc) & (taken < 0.5)
+            # integer iota + cast: Mosaic rejects tpu.iota on float vectors
+            ridx = jax.lax.broadcasted_iota(
+                jnp.int32, (tj, wb), 0
+            ).astype(jnp.float32)
+            first = jnp.min(jnp.where(match, ridx, float(tj)), axis=0,
+                            keepdims=True)
+            win = match & (ridx <= first)
             zero = jnp.zeros_like(dm)
             dpx, dpy, dhx, dhy, dtx, dty, dcx, dcy = pull(
                 (jnp.where(win, usr, zero), jnp.where(win, udr, zero))
@@ -887,9 +901,9 @@ def render_rows_wireframe_vjp_cross(
     n_pad_e = round_up(n, te)
     # the in-kernel vjp saves every forward intermediate of the (TJ, WB)
     # tile (~100 arrays live at once), so both axes are bounded: width
-    # blocks of <=128 px on the grid, TJ capped so TJ*WB <= 2048 elements
+    # blocks of <=128 px on the grid, TJ capped so TJ*WB <= 4096 elements
     # (validated on v5e — TJ=256 x WB=32 = 8k elems OOM'd the 16 MB scoped
-    # stack at 23.9 MB)
+    # stack at 23.9 MB; 4k compiles at every tested shape)
     if cfg.width <= 128:
         wblk = cfg.width
     elif cfg.width % 128 == 0:

@@ -198,6 +198,7 @@ def ring_render_rows(
     data_axis: Optional[str] = None,
     partials: str = "auto",
     texture: Optional[jax.Array] = None,
+    wf_force_streaming: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """(shade, depth) [(B,) N, W] with both eyes and targets sharded: each
     hop renders the local eyes against the circulating target block and
@@ -225,7 +226,8 @@ def ring_render_rows(
 
                 return _maybe_vmap(
                     lambda a, b, t, tv: wireframe.render_rows_wireframe_tiled(
-                        a, b, vcfg, targets=t, target_vel=tv, texture=texture
+                        a, b, vcfg, targets=t, target_vel=tv, texture=texture,
+                        force_streaming=wf_force_streaming,
                     ),
                     pi, vi, tgt, tvel,
                 )
@@ -291,53 +293,62 @@ def _unit_heading(vel):
     return camera.unit_heading(vel)
 
 
+def _bwd_ring_hops(hop, locals_, blk, d, axis, batched):
+    """The ONE backward-ring hop loop: per hop, `hop(*locals_, *blk)`
+    returns (local_grad_tuple, blk_grad_tuple); local grads accumulate on
+    this device, block grads travel WITH the circulating block (permute on
+    EVERY hop — d total — so blk/gblk return home). An optional leading
+    env-batch dim vmaps the per-hop primitive while the ppermute moves
+    whole batched blocks, mirroring the forward."""
+    acc = None
+    gblk = tuple(jnp.zeros_like(b) for b in blk)
+    for _ in range(d):
+        if batched:
+            dloc, dblk = jax.vmap(hop)(*locals_, *blk)
+        else:
+            dloc, dblk = hop(*locals_, *blk)
+        acc = dloc if acc is None else tuple(
+            a + g for a, g in zip(acc, dloc)
+        )
+        gblk = tuple(g + db for g, db in zip(gblk, dblk))
+        blk, gblk = jax.lax.ppermute((blk, gblk), axis, _perm(d))
+    return acc, gblk
+
+
 def _ring_render_bwd_local(pos_l, vel_l, depth_l, us_l, ud_l, vcfg, d, axis):
-    """Per-device backward ring (runs inside shard_map; handles an optional
-    leading env-batch dim by vmapping the per-hop VJP primitive while the
-    ppermute moves whole batched blocks, mirroring the forward)."""
+    """Per-device backward ring (runs inside shard_map): each hop pulls
+    the local eyes' cotangents through the disc raycast backward kernel
+    against the circulating position block."""
     from ..ops import raycast
 
     dirs_l, pull_dirs = jax.vjp(_unit_heading, vel_l)
 
-    def cross(p, dd, dep, us, ud, t):
-        return raycast.render_rows_vjp_cross(
+    def hop(p, dd, dep, us, ud, t):
+        deye, ddir, dtgt = raycast.render_rows_vjp_cross(
             p, dd, dep, us, ud, vcfg, targets=t
         )
+        return (deye, ddir), (dtgt,)
 
-    acc_eye = jnp.zeros_like(pos_l)
-    acc_dir = jnp.zeros_like(pos_l)
-    blk = pos_l
-    gblk = jnp.zeros_like(pos_l)
-    for _ in range(d):
-        if pos_l.ndim == 3:
-            deye, ddir, dtgt = jax.vmap(cross)(
-                pos_l, dirs_l, depth_l, us_l, ud_l, blk
-            )
-        else:
-            deye, ddir, dtgt = cross(pos_l, dirs_l, depth_l, us_l, ud_l, blk)
-        acc_eye = acc_eye + deye
-        acc_dir = acc_dir + ddir
-        gblk = gblk + dtgt
-        # permute on EVERY hop (d total) so blk/gblk return home
-        blk, gblk = jax.lax.ppermute((blk, gblk), axis, _perm(d))
+    (acc_eye, acc_dir), (gblk,) = _bwd_ring_hops(
+        hop, (pos_l, dirs_l, depth_l, us_l, ud_l), (pos_l,), d, axis,
+        batched=pos_l.ndim == 3,
+    )
     (dvel,) = pull_dirs(acc_dir)
     return acc_eye + gblk, dvel
 
 
 def _ring_render_bwd_local_wf(pos_l, vel_l, depth_l, us_l, ud_l, vcfg, d, axis):
-    """Wireframe backward ring: the per-hop pullback is plain JAX autodiff
-    of the DENSE cross-block wireframe render (vision.render.render_rows
-    with targets/target_vel — the same autodiff that powers single-chip
-    wireframe diff-vision), masked to the pixels this hop's block WON. The
-    residual-matching argument is the disc kernel's: merge_rows keeps
-    exactly one block's fragment per pixel, and at winner pixels the final
-    (shade, depth) EQUALS the partial's, so pulling the masked cotangents
-    through the partial recovers that block's exact gradient share (fp32
-    cross-block depth ties would double-count; coincident-cull plus
-    distinct positions make those measure-zero). Eye-side gradients
-    accumulate locally; target-side gradients travel WITH the circulating
-    (pos, vel) block — velocities matter here because the sprite orients
-    to the target's heading."""
+    """Wireframe backward ring, dense edition: the per-hop pullback is
+    plain JAX autodiff of the DENSE cross-block wireframe render (the same
+    autodiff that powers single-chip wireframe diff-vision), masked to the
+    pixels this hop's block WON. The residual-matching argument is the
+    disc kernel's: merge_rows keeps exactly one block's fragment per
+    pixel, and at winner pixels the final (shade, depth) EQUALS the
+    partial's, so pulling the masked cotangents through the partial
+    recovers that block's exact gradient share (fp32 cross-block depth
+    ties would double-count; coincident-cull plus distinct positions make
+    those measure-zero). The (pos, vel) block circulates — velocities
+    matter because the sprite orients to the target's heading."""
 
     def partial_fn(p, v, t, tv):
         return dense_render.render_rows(
@@ -348,26 +359,15 @@ def _ring_render_bwd_local_wf(pos_l, vel_l, depth_l, us_l, ud_l, vcfg, d, axis):
         (sh_p, dep_p), pull = jax.vjp(partial_fn, p, v, t, tv)
         win = dep_p == dep  # this block produced the surviving fragment
         zero = jnp.zeros_like(us)
-        return pull((jnp.where(win, us, zero), jnp.where(win, ud, zero)))
+        deye, dvel, dtgt, dtgtv = pull(
+            (jnp.where(win, us, zero), jnp.where(win, ud, zero))
+        )
+        return (deye, dvel), (dtgt, dtgtv)
 
-    acc_eye = jnp.zeros_like(pos_l)
-    acc_vel = jnp.zeros_like(vel_l)
-    blk = (pos_l, vel_l)
-    gblk = (jnp.zeros_like(pos_l), jnp.zeros_like(vel_l))
-    for _ in range(d):
-        if pos_l.ndim == 3:
-            deye, dvel, dtgt, dtgtv = jax.vmap(hop)(
-                pos_l, vel_l, depth_l, us_l, ud_l, blk[0], blk[1]
-            )
-        else:
-            deye, dvel, dtgt, dtgtv = hop(
-                pos_l, vel_l, depth_l, us_l, ud_l, blk[0], blk[1]
-            )
-        acc_eye = acc_eye + deye
-        acc_vel = acc_vel + dvel
-        gblk = (gblk[0] + dtgt, gblk[1] + dtgtv)
-        # permute on EVERY hop (d total) so blk/gblk return home
-        blk, gblk = jax.lax.ppermute((blk, gblk), axis, _perm(d))
+    (acc_eye, acc_vel), gblk = _bwd_ring_hops(
+        hop, (pos_l, vel_l, depth_l, us_l, ud_l), (pos_l, vel_l), d, axis,
+        batched=pos_l.ndim == 3,
+    )
     return acc_eye + gblk[0], acc_vel + gblk[1]
 
 
@@ -383,29 +383,16 @@ def _ring_render_bwd_local_wf_kernel(
 
     dirs_l, pull_dirs = jax.vjp(_unit_heading, vel_l)
 
-    def cross(p, dd, dep, us, ud, t, th):
-        return wf_ops.render_rows_wireframe_vjp_cross(
+    def hop(p, dd, dep, us, ud, t, th):
+        deye, ddir, dtgt, dhdg = wf_ops.render_rows_wireframe_vjp_cross(
             p, dd, dep, us, ud, vcfg, targets=t, target_hdg=th
         )
+        return (deye, ddir), (dtgt, dhdg)
 
-    acc_eye = jnp.zeros_like(pos_l)
-    acc_dir = jnp.zeros_like(pos_l)
-    blk = (pos_l, dirs_l)
-    gblk = (jnp.zeros_like(pos_l), jnp.zeros_like(pos_l))
-    for _ in range(d):
-        if pos_l.ndim == 3:
-            deye, ddir, dtgt, dhdg = jax.vmap(cross)(
-                pos_l, dirs_l, depth_l, us_l, ud_l, blk[0], blk[1]
-            )
-        else:
-            deye, ddir, dtgt, dhdg = cross(
-                pos_l, dirs_l, depth_l, us_l, ud_l, blk[0], blk[1]
-            )
-        acc_eye = acc_eye + deye
-        acc_dir = acc_dir + ddir
-        gblk = (gblk[0] + dtgt, gblk[1] + dhdg)
-        # permute on EVERY hop (d total) so blk/gblk return home
-        blk, gblk = jax.lax.ppermute((blk, gblk), axis, _perm(d))
+    (acc_eye, acc_dir), gblk = _bwd_ring_hops(
+        hop, (pos_l, dirs_l, depth_l, us_l, ud_l), (pos_l, dirs_l), d, axis,
+        batched=pos_l.ndim == 3,
+    )
     (dvel,) = pull_dirs(acc_dir + gblk[1])
     return acc_eye + gblk[0], dvel
 
@@ -423,11 +410,12 @@ def ring_render_rows_diff(
     cotangent plumbing; use divisible N for differentiable vision).
 
     sprite_mode='wireframe' works too: on TPU both the forward partials
-    and the per-hop backward run the wireframe Pallas kernels (the
-    backward kernel identifies winners against its own recomputed min, so
-    mixed-variant fp routes only matter at cross-block near-ties, as for
-    the disc); off-TPU the per-hop backward is the dense autodiff
-    pullback (_ring_render_bwd_local_wf) over dense partials."""
+    and the per-hop backward run the wireframe Pallas kernels — forward
+    hops FORCE the streaming variant so the backward's recomputed-min
+    winner identification follows the same fp route (cross-block
+    near-ties remain the only residual-matching caveat, as for the disc);
+    off-TPU the per-hop backward is the dense autodiff pullback
+    (_ring_render_bwd_local_wf) over dense partials."""
     mesh = mesh or default_mesh()
     wf = vcfg.sprite_mode == "wireframe"
     wf_kernel = wf and _use_pallas("auto")
@@ -441,10 +429,15 @@ def ring_render_rows_diff(
 
     @functools.partial(jax.custom_vjp, nondiff_argnums=())
     def _render(p, v):
+        # wf kernel path: force the STREAMING forward variant per hop so
+        # the backward kernel's recomputed min follows the same fp route
+        # (the raster variant disagrees by an ulp at coverage boundaries
+        # and would misroute those pixels' gradients within a block)
         return ring_render_rows(p, v, vcfg, mesh=mesh, axis=axis,
                                 data_axis=data_axis,
                                 partials="dense" if (wf and not wf_kernel)
-                                else "auto")
+                                else "auto",
+                                wf_force_streaming=wf_kernel)
 
     def _fwd(p, v):
         shade, depth = _render(p, v)

@@ -34,13 +34,17 @@ def _forces(pos: jax.Array, cfg: SimConfig, backend: str) -> jax.Array:
 
 def _render(pos: jax.Array, vel: jax.Array, cfg: SimConfig, backend: str):
     if cfg.vision.sprite_mode == "wireframe":
-        if backend == "pallas":
+        w = cfg.vision.width
+        if backend == "pallas" and (w <= 256 or w % 128 == 0):
             from ..ops import wireframe
 
             # kernel-speed differentiable exact-sprite observations: the
             # wireframe backward kernel pulls the forward tile math back
             # with jax.vjp inside the Pallas body (APG diff_vision works
-            # with the reference's actual sprite at kernel speed)
+            # with the reference's actual sprite at kernel speed). Widths
+            # the kernel can't tile fall back to the dense renderer, which
+            # accepts any width — as all wireframe observations did before
+            # the kernel path existed
             return wireframe.render_rows_wireframe_diff(pos, vel, cfg.vision)[0]
         from ..vision import render
 

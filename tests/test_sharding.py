@@ -307,3 +307,39 @@ def test_ring_diff_wireframe_matches_dense_autodiff(antialias):
     np.testing.assert_allclose(np.asarray(gv_r), np.asarray(gv_d),
                                rtol=1e-4, atol=1e-5)
     assert (np.abs(np.asarray(gv_r)) > 0).any()  # heading gradients live
+
+
+def test_ring_diff_wireframe_kernel_edition(monkeypatch):
+    """The TPU kernel edition of the wireframe backward ring (per-hop
+    wireframe backward Pallas kernels, headings circulating) — exercised on
+    the CPU rig by forcing the pallas gate (kernels run interpreted), so
+    the heading-cotangent plumbing through gblk can't regress silently."""
+    monkeypatch.setattr(ring, "_use_pallas", lambda backend: True)
+    mesh4 = mesh_lib.make_mesh({"agents": 4}, devices=jax.devices()[:4])
+    st = _state(16, seed=8)
+    key = jax.random.key(13)
+    st = st.replace(
+        vel=jax.random.uniform(key, (16, 2), minval=-1, maxval=1,
+                               dtype=jnp.float32)
+    )
+    vcfg = VisionConfig(width=16, sprite_mode="wireframe", antialias=True,
+                        far=200.0)
+    ku, kd = jax.random.split(jax.random.key(7))
+    cu = jax.random.normal(ku, (16, 16), jnp.float32)
+    cd = 0.01 * jax.random.normal(kd, (16, 16), jnp.float32)
+
+    def loss_ring(p, v):
+        sh, dep = ring.ring_render_rows_diff(p, v, vcfg, mesh=mesh4)
+        return jnp.sum(sh * cu) + jnp.sum(dep * cd)
+
+    def loss_dense(p, v):
+        sh, dep = render.render_rows(p, v, vcfg)
+        return jnp.sum(sh * cu) + jnp.sum(dep * cd)
+
+    gp_r, gv_r = jax.grad(loss_ring, argnums=(0, 1))(st.pos, st.vel)
+    gp_d, gv_d = jax.grad(loss_dense, argnums=(0, 1))(st.pos, st.vel)
+    np.testing.assert_allclose(np.asarray(gp_r), np.asarray(gp_d),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gv_r), np.asarray(gv_d),
+                               rtol=1e-4, atol=1e-5)
+    assert (np.abs(np.asarray(gv_r)) > 0).any()

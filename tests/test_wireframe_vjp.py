@@ -110,3 +110,28 @@ def test_fd_check_through_kernel_vjp():
         lo = float(loss(pos.at[idx].set(pos[idx] - eps)))
         np.testing.assert_allclose(g[idx], (hi - lo) / (2 * eps),
                                    rtol=2e-2, atol=1e-3)
+
+
+def test_coincident_targets_single_count():
+    """Two targets at the SAME position tie exactly in depth; the pixel's
+    cotangent must be spent once (lowest-row-wins within the chunk) — the
+    eye gradient previously came out exactly 2x the dense oracle's."""
+    cfg = VisionConfig(width=32, sprite_mode="wireframe", antialias=True,
+                       far=200.0)
+    pos = jnp.array([[0.0, 0.0], [10.0, 0.0], [10.0, 0.0]], jnp.float32)
+    vel = jnp.array([[1.0, 0.0], [0.5, 0.5], [0.5, 0.5]], jnp.float32)
+
+    def loss_k(p):
+        return jnp.sum(wireframe.render_rows_wireframe_diff(p, vel, cfg)[0] ** 2)
+
+    def loss_d(p):
+        return jnp.sum(render.render_rows(p, vel, cfg)[0] ** 2)
+
+    gk = np.asarray(jax.grad(loss_k)(pos))
+    gd = np.asarray(jax.grad(loss_d)(pos))
+    # the EYE row must agree exactly (the duplicated targets may split
+    # attribution differently between the two coincident sprites — both
+    # are valid subgradients — but their sum and the eye's grad must match)
+    np.testing.assert_allclose(gk[0], gd[0], rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(gk[1] + gk[2], gd[1] + gd[2],
+                               rtol=1e-4, atol=1e-5)
