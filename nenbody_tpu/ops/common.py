@@ -16,6 +16,14 @@ def round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def kernel_width_ok(width: int) -> bool:
+    """Whether the tiled render kernels can block this vision width: a whole
+    row up to 256 lanes, or 128-lane blocks beyond. Routing layers (Scene,
+    the ring's partial renderers, rl.env) fall back to the dense renderer
+    for other widths instead of raising at observe time."""
+    return width <= 256 or width % 128 == 0
+
+
 def fit_tile(tile: int, n: int, mult: int) -> int:
     """Shrink a power-of-two tile toward the hardware minimum `mult` while it
     overshoots the padded problem size, keeping tile a power-of-two multiple

@@ -220,7 +220,11 @@ def ring_render_rows(
     wf = vcfg.sprite_mode == "wireframe"
 
     def partial_render(pi, vi, tgt, tvel):
-        if _use_pallas(partials):
+        from ..ops.common import kernel_width_ok
+
+        # the wireframe kernel can't tile widths >256 off the 128-lane grid;
+        # those hops render dense (any width) instead of raising
+        if _use_pallas(partials) and (not wf or kernel_width_ok(vcfg.width)):
             if wf:
                 from ..ops import wireframe
 
@@ -416,9 +420,11 @@ def ring_render_rows_diff(
     near-ties remain the only residual-matching caveat, as for the disc);
     off-TPU the per-hop backward is the dense autodiff pullback
     (_ring_render_bwd_local_wf) over dense partials."""
+    from ..ops.common import kernel_width_ok
+
     mesh = mesh or default_mesh()
     wf = vcfg.sprite_mode == "wireframe"
-    wf_kernel = wf and _use_pallas("auto")
+    wf_kernel = wf and _use_pallas("auto") and kernel_width_ok(vcfg.width)
     n = pos.shape[-2]
     d = mesh.shape[axis]
     if n % d:

@@ -34,8 +34,9 @@ def _forces(pos: jax.Array, cfg: SimConfig, backend: str) -> jax.Array:
 
 def _render(pos: jax.Array, vel: jax.Array, cfg: SimConfig, backend: str):
     if cfg.vision.sprite_mode == "wireframe":
-        w = cfg.vision.width
-        if backend == "pallas" and (w <= 256 or w % 128 == 0):
+        from ..ops.common import kernel_width_ok
+
+        if backend == "pallas" and kernel_width_ok(cfg.vision.width):
             from ..ops import wireframe
 
             # kernel-speed differentiable exact-sprite observations: the

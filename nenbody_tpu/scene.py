@@ -96,13 +96,20 @@ def _vision_route(cfg: SimConfig) -> str:
     """The ONE place the vision routing rules live: resolve a config to
     'pallas-wf' (exact-sprite kernel), 'pallas', 'ring' (circulates (pos,
     vel) blocks for wireframe, pos-only for disc), or 'dense'. Wireframe on
-    gspmd/dense routes dense (exact sprite lives there and stays
-    differentiable — the Pallas wireframe kernels have no VJP)."""
+    gspmd/dense routes dense (the exact sprite lives there and plain autodiff
+    keeps it differentiable; the pallas route has its own kernel VJP,
+    ops.wireframe.render_rows_wireframe_diff). Widths the wireframe kernel
+    cannot tile (>256 and not a multiple of 128) fall back to dense rather
+    than raising at observe time."""
+    from .ops.common import kernel_width_ok
+
     backend = _vision_backend(cfg)
     if cfg.vision.sprite_mode == "wireframe":
-        if backend == "pallas":
+        if backend == "ring":
+            return "ring"  # the ring's partial renderers apply the guard
+        if backend == "pallas" and kernel_width_ok(cfg.vision.width):
             return "pallas-wf"
-        return "ring" if backend == "ring" else "dense"
+        return "dense"
     if backend in ("pallas", "ring"):
         return backend
     return "dense"

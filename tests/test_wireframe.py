@@ -245,6 +245,31 @@ def test_wireframe_routes_to_dense_in_scene():
     assert shade.shape == depth.shape == (32, 32)
 
 
+def test_wireframe_odd_width_falls_back_to_dense():
+    """Widths the wireframe kernel can't tile (>256, not a multiple of 128)
+    must route to the dense renderer at every layer instead of raising at
+    observe time — the round-2 advisor regression (Scene backend='pallas'
+    + width=300 raised a kernel ValueError)."""
+    from nenbody_tpu.config import SimConfig
+    from nenbody_tpu.scene import Scene, _vision_route
+
+    vcfg = VisionConfig(width=300, sprite_mode="wireframe", far=200.0)
+    cfg = SimConfig(n=16, controller="boids", backend="pallas", vision=vcfg)
+    assert _vision_route(cfg) == "dense"
+    scene = Scene(cfg)
+    st = scene.spawn(seed=0)
+    obs = scene.observe(st)
+    assert obs.shape == (16, 300)
+    # ring backend: the route stays 'ring' and the per-hop partials render
+    # dense, so multi-device wireframe at odd widths still works
+    rcfg = SimConfig(n=16, controller="boids", backend="ring", vision=vcfg)
+    assert _vision_route(rcfg) == "ring"
+    robs = Scene(rcfg).observe(st)
+    np.testing.assert_allclose(
+        np.asarray(robs), np.asarray(obs), rtol=1e-5, atol=1e-4
+    )
+
+
 def test_wireframe_scene_ring_backend():
     """Scene(backend='ring'): wireframe observations route through the
     vision ring (velocities circulate with positions) and match dense."""
