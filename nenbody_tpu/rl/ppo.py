@@ -17,6 +17,16 @@ score-function gradient drowns. PPO attacks exactly that variance:
 All compute is batched matmuls over the flattened [T*B*N] sample axis (MXU
 work); the rollout is the same lax.scan of vmapped env steps as rl/train.py.
 Everything jits into ONE train step.
+
+Mesh mode (make_ppo_step(mesh=...)): env states shard (data, agents) and the
+sim runs the explicit ppermute ring, exactly as rl/train.py — the one change
+is minibatching. The single-device path permutes a flattened [T*B*N] sample
+axis; under a mesh that flatten interleaves the sharded env/agent dims into
+dim 0 (forcing GSPMD to all-gather every minibatch), so mesh minibatches are
+drawn along the REPLICATED time axis instead: a replicated permutation of
+the T rollout steps, each minibatch a [T/k, B, N] slab whose (data, agents)
+shardings pass through the loss untouched. Advantage standardization stays
+global (jnp.mean/std reduce over all axes; XLA inserts the psums).
 """
 
 from __future__ import annotations
@@ -26,8 +36,9 @@ from typing import Any, Callable, NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..state import spawn_batch
+from ..state import SceneState, spawn_batch
 from .env import VisionEnv
 from .policy import MLPPolicy, ValueMLP, gaussian_log_prob, sample_action
 
@@ -84,14 +95,42 @@ def make_ppo_step(
     vf_coef: float = 0.5,
     ent_coef: float = 0.0,
     episodic: bool = True,
+    mesh: Optional[Mesh] = None,
 ):
     """Build the jitted PPO step: rollout -> GAE -> epochs x minibatches of
     clipped surrogate + value regression. episodic=True respawns envs each
     iteration (see rl/train.py for why persistent envs mislead);
     episodic=False carries the env states across iterations in
-    PPOState.env_states (spawned on the first step if absent)."""
-    observe_b = jax.vmap(env.observe)
-    step_b = jax.vmap(env.step)
+    PPOState.env_states (spawned on the first step if absent).
+
+    mesh: shard envs over the data axis and agents over the ppermute ring
+    (see module docstring for the time-axis minibatch scheme). Requires
+    horizon % num_minibatches == 0 in mesh mode."""
+    from .train import _batched_env_fns
+
+    if mesh is not None and horizon % num_minibatches:
+        raise ValueError(
+            f"mesh-mode PPO draws minibatches along the time axis: horizon "
+            f"{horizon} must divide into num_minibatches {num_minibatches}"
+        )
+    observe_b, step_b = _batched_env_fns(env, mesh)
+
+    def constrain_states(states: SceneState) -> SceneState:
+        """Pin freshly-spawned env states to the (data, agents) layout so
+        the ring's shard_map sees them already distributed."""
+        if mesh is None:
+            return states
+        from ..parallel.mesh import DATA_AXIS, shard_state_specs
+
+        specs = shard_state_specs(batch=True, data_axis=DATA_AXIS)
+        return SceneState(
+            **{
+                name: jax.lax.with_sharding_constraint(
+                    getattr(states, name), NamedSharding(mesh, spec)
+                )
+                for name, spec in specs.items()
+            }
+        )
 
     def rollout(params: PPOParams, env_states, key):
         obs0 = observe_b(env_states)
@@ -130,27 +169,33 @@ def make_ppo_step(
         key, k_envs, k_roll, k_perm = jax.random.split(ts.key, 4)
         num = num_envs
         if episodic or ts.env_states is None:
-            start_states = spawn_batch(k_envs, env.cfg, num)
+            start_states = constrain_states(spawn_batch(k_envs, env.cfg, num))
         else:
             start_states = ts.env_states
         env_states, traj, last_value = rollout(ts.params, start_states, k_roll)
         obs, action, logp_old, value, reward = traj
         adv, ret = gae(reward, value, last_value, gamma, lam)
 
-        # flatten (T, B, N) -> samples; standardize advantages per batch
-        def flat(x):
-            return x.reshape((-1,) + x.shape[3:])
+        if mesh is None:
+            # flatten (T, B, N) -> samples; standardize advantages per batch
+            def flat(x):
+                return x.reshape((-1,) + x.shape[3:])
 
-        obs_f, act_f, logp_f = flat(obs), flat(action), flat(logp_old)
-        adv_f, ret_f = flat(adv), flat(ret)
+            obs_f, act_f, logp_f = flat(obs), flat(action), flat(logp_old)
+            adv_f, ret_f = flat(adv), flat(ret)
+            n_samples = obs_f.shape[0]
+            mb = n_samples // num_minibatches
+        else:
+            # mesh: keep the sharded [B, N] dims whole; minibatch over time
+            obs_f, act_f, logp_f, ret_f = obs, action, logp_old, ret
+            adv_f = adv
+            mb = horizon // num_minibatches
         adv_f = (adv_f - jnp.mean(adv_f)) / (jnp.std(adv_f) + 1e-8)
-
-        n_samples = obs_f.shape[0]
-        mb = n_samples // num_minibatches
+        n_perm = obs_f.shape[0] if mesh is None else horizon
 
         def epoch_body(carry, k_ep):
             params, opt_state = carry
-            perm = jax.random.permutation(k_ep, n_samples)
+            perm = jax.random.permutation(k_ep, n_perm)
 
             def mb_body(carry, i):
                 params, opt_state = carry
@@ -191,13 +236,21 @@ def init_ppo_state(
     optimizer: optax.GradientTransformation,
     policy: Optional[MLPPolicy] = None,
     value: Optional[ValueMLP] = None,
+    mesh: Optional[Mesh] = None,
 ) -> Tuple[PPOState, Callable, Callable]:
+    """Init params/optimizer; with a mesh, replicate both across it (the
+    policy/value nets are small — DP with replicated params is the right
+    sharding; XLA psums the gradients)."""
     policy = policy or MLPPolicy()
     value = value or ValueMLP()
     kp, kv, kr = jax.random.split(key, 3)
     dummy = jnp.zeros((1, env.obs_width), jnp.float32)
     params = PPOParams(policy.init(kp, dummy), value.init(kv, dummy))
     opt_state = optimizer.init(params)
+    if mesh is not None:
+        repl = NamedSharding(mesh, P())
+        params = jax.device_put(params, repl)
+        opt_state = jax.device_put(opt_state, repl)
     return (
         PPOState(params, opt_state, kr, jnp.int32(0)),
         policy.apply,

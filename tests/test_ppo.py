@@ -104,6 +104,60 @@ def test_ppo_learns_multiagent_cohesion_n64():
     )
 
 
+def test_ppo_step_on_mesh():
+    """PPO over a (data=2, agents=4) mesh (VERDICT r2 #3): envs shard over
+    data, the sim runs the agent-axis ppermute ring, params stay replicated,
+    and minibatches slice the replicated time axis so the sharded [B, N]
+    dims never cross devices. One step must be finite and move the params;
+    a second step must reuse the same executable."""
+    from nenbody_tpu.parallel import mesh as mesh_lib
+
+    mesh = mesh_lib.make_mesh({"data": 2, "agents": 4})
+    env = VisionEnv(
+        SimConfig(n=8, controller="gravity", vision=VisionConfig(width=8))
+    )
+    opt = optax.adam(1e-3)
+    ts, pol_apply, val_apply = ppo_lib.init_ppo_state(
+        env, jax.random.key(0), opt,
+        policy=MLPPolicy(use_bf16=False), value=ValueMLP(use_bf16=False),
+        mesh=mesh,
+    )
+    step = jax.jit(ppo_lib.make_ppo_step(
+        env, pol_apply, val_apply, opt, horizon=4, num_envs=2,
+        epochs=2, num_minibatches=2, mesh=mesh,
+    ))
+    ts2, metrics = step(ts)
+    assert all(np.isfinite(float(v)) for v in metrics.values()), metrics
+    changed = jax.tree.map(
+        lambda a, b: not np.allclose(np.asarray(a), np.asarray(b)),
+        ts.params, ts2.params,
+    )
+    assert any(jax.tree.leaves(changed))
+    ts3, m3 = step(ts2)
+    assert np.isfinite(float(m3["loss"]))
+    # params remain replicated across the mesh after updating
+    leaf = jax.tree.leaves(ts3.params)[0]
+    assert leaf.sharding.is_fully_replicated
+
+
+def test_ppo_mesh_rejects_indivisible_horizon():
+    from nenbody_tpu.parallel import mesh as mesh_lib
+
+    mesh = mesh_lib.make_mesh({"data": 2, "agents": 4})
+    env = VisionEnv(
+        SimConfig(n=8, controller="gravity", vision=VisionConfig(width=8))
+    )
+    opt = optax.adam(1e-3)
+    _, pol_apply, val_apply = ppo_lib.init_ppo_state(
+        env, jax.random.key(0), opt, mesh=mesh,
+    )
+    with pytest.raises(ValueError, match="time axis"):
+        ppo_lib.make_ppo_step(
+            env, pol_apply, val_apply, opt, horizon=5, num_envs=2,
+            num_minibatches=2, mesh=mesh,
+        )
+
+
 def test_ppo_non_episodic_carries_env_states():
     """episodic=False: env states persist across iterations in
     PPOState.env_states (the first step spawns them, later steps continue
