@@ -33,19 +33,42 @@ import jax.numpy as jnp
 import numpy as np
 
 
+_CACHE_DIR = None  # set in main(); enables per-label cache hit/miss reporting
+
+
+def _cache_entries():
+    import os
+
+    try:
+        return len(os.listdir(_CACHE_DIR)) if _CACHE_DIR else -1
+    except OSError:
+        return -1
+
+
 def _slope_timed(fn, carry, *, sync_slice, steps, label="", m=4):
     """Compile, then measure sec/step as the multi-dispatch slope.
 
     fn: carry -> carry (one jitted chained-scan of `steps` sim steps).
     Retries once — the remote-execution tunnel occasionally throws a
-    transient 'TPU backend error (Internal)' on a cold first dispatch."""
+    transient 'TPU backend error (Internal)' on a cold first dispatch.
+
+    Each label reports whether the persistent compile cache hit (no new
+    cache entry written) — BENCH_r02's '738s gravity compile' was backend
+    init + tunnel drain charged to the first label, not compilation; the
+    warmup in main() now absorbs that, and hit/miss makes cache state
+    visible instead of guessable."""
     last_err = None
     for attempt in range(2):
         try:
+            before = _cache_entries()
             t0 = time.perf_counter()
             _ = np.asarray(sync_slice(fn(carry)))  # compile + full sync
             compile_s = time.perf_counter() - t0
-            print(f"[bench] {label}: compiled in {compile_s:.0f}s",
+            cache_note = (
+                "hit" if 0 <= before == _cache_entries() else "miss"
+            )
+            print(f"[bench] {label}: compiled in {compile_s:.0f}s "
+                  f"(cache {cache_note})",
                   file=sys.stderr, flush=True)
             c = jax.block_until_ready(
                 jax.tree.map(lambda x: x + jnp.asarray(1e-6, x.dtype), carry)
@@ -78,8 +101,21 @@ def main():
     from nenbody_tpu.ops import pairwise, raycast
     from nenbody_tpu.utils.profiling import enable_compilation_cache
 
-    cache_dir = enable_compilation_cache()
+    global _CACHE_DIR
+    cache_dir = _CACHE_DIR = enable_compilation_cache()
     on_tpu = jax.default_backend() == "tpu"
+
+    # Absorb backend/tunnel startup BEFORE any timed label: the first device
+    # interaction pays remote-backend init (~25-70 s measured) plus a drain
+    # of any still-running work on the shared tunnel (unbounded — BENCH_r02
+    # recorded 738 s of it charged to the gravity label). A trivial op takes
+    # the hit here, where it is reported as what it is.
+    t0 = time.perf_counter()
+    _ = np.asarray(jax.jit(lambda a: a + 1)(jnp.ones((8, 8))))
+    backend_init_s = time.perf_counter() - t0
+    print(f"[bench] backend init + tunnel drain: {backend_init_s:.0f}s",
+          file=sys.stderr, flush=True)
+
     key = jax.random.key(0)
     compile_times = {}
 
@@ -108,6 +144,16 @@ def main():
         sync_slice=lambda c: c[0][:1], steps=k_steps, label="gravity",
     )
     pair_evals_per_s = n * n / dt
+
+    # warm-load: a FRESH jit wrapper of the same computation — the in-memory
+    # jit cache misses (new function identity) but the HLO is identical, so
+    # this times exactly the persistent-cache load + execute path a new
+    # process would see (VERDICT r2 #2's "<5 s warm" criterion, measured)
+    t0 = time.perf_counter()
+    _ = np.asarray(grav_carry(GravityConfig())((pos, vel))[0][:1])
+    gravity_warm_load_s = time.perf_counter() - t0
+    print(f"[bench] gravity warm-load (persistent cache): "
+          f"{gravity_warm_load_s:.1f}s", file=sys.stderr, flush=True)
 
     # fast mode: approximate reciprocal (documented ~1e-3 force error)
     dt_fast, _ = _slope_timed(
@@ -256,6 +302,8 @@ def main():
                     "vision_vs_1e6_target": vision_fps_batched / 1e6,
                     "vision_single_vs_1e6_target": vision_fps_single / 1e6,
                     "compile_seconds": compile_times,
+                    "backend_init_s": backend_init_s,
+                    "gravity_warm_load_s": gravity_warm_load_s,
                     "compilation_cache_dir": cache_dir,
                     "timing": "multi-dispatch slope of chained scans "
                               "(fixed dispatch+fetch latency cancelled)",
