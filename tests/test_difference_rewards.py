@@ -79,6 +79,7 @@ def _reinforce_final_team_reward(mode, iters=40):
     return float(evaluate(ts.params))
 
 
+@pytest.mark.slow
 def test_difference_rewards_beat_shared_reward_reinforce():
     """The credit-assignment A/B at N=64: identical REINFORCE, identical
     seeds and budget; only the reward signal differs. The SHARED team

@@ -24,6 +24,7 @@ def _free_port() -> int:
 
 
 @pytest.mark.timeout(300)
+@pytest.mark.slow
 def test_two_process_cpu_mesh_ring_parity():
     port = _free_port()
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

@@ -60,47 +60,60 @@ def test_ppo_step_runs_and_updates():
     assert any(jax.tree.leaves(changed))
 
 
+@pytest.mark.slow
 def test_ppo_learns_multiagent_cohesion_n64():
     """THE credit-assignment pin: PPO's per-agent GAE advantages + clipped
     minibatched reuse must IMPROVE the shared cohesion reward at N=64
     agents on a fixed evaluation set (round-1 REINFORCE/AC stayed flat
-    here, NEXT #6). Budget tuned to ~1 CI minute; observed trajectory
-    -0.622 -> -0.604 (monotone across checkpoints) at this exact config."""
+    here, NEXT #6). VERDICT r2 #5: one seed's +0.008 margin was
+    statistically thin, so this asserts the MEDIAN improvement across 3
+    seeds (measured +0.0183/+0.0073/+0.0096 for seeds 0/1/2 at this
+    config — note seed 1 alone would have failed the old single-seed bar;
+    a real credit-assignment regression flattens all three to ~±0.002
+    noise). The production-scale pin is
+    tpu_tests/test_perf_gates.py::test_ppo_scale_gate."""
     env = VisionEnv(
         SimConfig(n=64, controller="gravity", vision=VisionConfig(width=16)),
         max_accel=1.0,
     )
     opt = optax.chain(optax.clip_by_global_norm(0.5), optax.adam(3e-4))
-    ts, pol_apply, val_apply = ppo_lib.init_ppo_state(
-        env, jax.random.key(0), opt,
-        policy=MLPPolicy(use_bf16=False), value=ValueMLP(use_bf16=False),
-    )
-    step = jax.jit(ppo_lib.make_ppo_step(
-        env, pol_apply, val_apply, opt, horizon=32, num_envs=16,
-        epochs=4, num_minibatches=8,
-    ))
 
     eval_envs = spawn_batch(jax.random.key(999), env.cfg, 16)
+    step = None
+    deltas = []
+    for seed in (0, 1, 2):
+        ts, pol_apply, val_apply = ppo_lib.init_ppo_state(
+            env, jax.random.key(seed), opt,
+            policy=MLPPolicy(use_bf16=False), value=ValueMLP(use_bf16=False),
+        )
+        if step is None:  # one compile serves all seeds
+            step = jax.jit(ppo_lib.make_ppo_step(
+                env, pol_apply, val_apply, opt, horizon=32, num_envs=16,
+                epochs=4, num_minibatches=8,
+            ))
 
-    @jax.jit
-    def evaluate(params):
-        def body(states, _):
-            obs = jax.vmap(env.observe)(states)
-            action, _ = pol_apply(params.policy, obs)
-            states = jax.vmap(env.dynamics)(states, action)
-            return states, jnp.mean(jax.vmap(env.reward)(states))
+            @jax.jit
+            def evaluate(params):
+                def body(states, _):
+                    obs = jax.vmap(env.observe)(states)
+                    action, _ = pol_apply(params.policy, obs)
+                    states = jax.vmap(env.dynamics)(states, action)
+                    return states, jnp.mean(jax.vmap(env.reward)(states))
 
-        _, r = jax.lax.scan(body, eval_envs, None, length=32)
-        return jnp.mean(r)
+                _, r = jax.lax.scan(body, eval_envs, None, length=32)
+                return jnp.mean(r)
 
-    r0 = float(evaluate(ts.params))
-    for _ in range(60):
-        ts, metrics = step(ts)
-    assert np.isfinite(float(metrics["loss"]))
-    r1 = float(evaluate(ts.params))
-    assert r1 > r0 + 0.008, (
-        f"PPO failed the multi-agent credit-assignment pin: {r0:.4f} -> "
-        f"{r1:.4f} (needs > {r0 + 0.008:.4f})"
+        r0 = float(evaluate(ts.params))
+        for _ in range(60):
+            ts, metrics = step(ts)
+        assert np.isfinite(float(metrics["loss"]))
+        deltas.append(float(evaluate(ts.params)) - r0)
+
+    med = float(np.median(deltas))
+    assert med > 0.005, (
+        f"PPO failed the multi-agent credit-assignment pin: median "
+        f"improvement {med:.4f} across seeds (deltas {deltas}; measured "
+        f"median +0.0096, flat runs sit at ~±0.002)"
     )
 
 

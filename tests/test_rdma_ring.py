@@ -31,6 +31,7 @@ def test_rdma_gravity_matches_dense(n):
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_rdma_gravity_matches_shardmap_ring():
     from nenbody_tpu.parallel import ring
 

@@ -37,6 +37,7 @@ def test_ring_gravity_matches_dense(mesh8):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=3e-5, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_ring_boids_matches_dense(mesh8):
     st = _state(256, seed=1, controller="boids")
     cfg = SimConfig(n=256, controller="boids", backend="ring")
@@ -106,6 +107,7 @@ def test_ring_batched_with_data_axis(mesh2x4):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=3e-5, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_ring_boids_batched(mesh2x4):
     cfg = SimConfig(n=64, controller="boids", backend="ring")
     keys = jax.random.split(jax.random.key(1), 2)
@@ -198,6 +200,7 @@ def test_gspmd_scene_end_to_end():
 
 
 @pytest.mark.parametrize("n", [100, 37, 9])
+@pytest.mark.slow
 def test_ring_indivisible_agents_pad_transparently(mesh8, n):
     """Arbitrary N on any mesh (VERDICT r1 weak #6): far-sentinel internal
     padding keeps ring results equal to the dense oracle even when N does
@@ -253,6 +256,7 @@ def test_ring_vision_wireframe_matches_dense(mesh8):
     np.testing.assert_allclose(np.asarray(got_s), np.asarray(want_s), rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_ring_vision_wireframe_nondivisible_n(mesh8):
     """Arbitrary N through the wireframe vision ring: far-sentinel padding
     stays inert for heading-oriented sprites too."""
@@ -269,6 +273,7 @@ def test_ring_vision_wireframe_nondivisible_n(mesh8):
 
 
 @pytest.mark.parametrize("antialias", [False, True])
+@pytest.mark.slow
 def test_ring_diff_wireframe_matches_dense_autodiff(antialias):
     """Differentiable EXACT-sprite vision on a mesh: the wireframe backward
     ring (per-hop dense autodiff pullbacks masked to winner pixels, target

@@ -197,6 +197,7 @@ def test_antialias_albedo_matches_dense():
     _assert_rows_close(got, want)
 
 
+@pytest.mark.slow
 def test_antialias_far_plane_straddle_parity():
     """A sprite straddling the far plane: the AA slab clip can land a
     fragment at EXACTLY far in fp32; it must be a miss on every path

@@ -32,7 +32,11 @@ def _scene(key, n, spread=40.0):
 
 
 @pytest.mark.parametrize("antialias,width,n", [
-    (False, 32, 24), (True, 32, 24), (True, 64, 300), (True, 256, 40),
+    (False, 32, 24), (True, 32, 24),
+    # the large-clutter shape takes ~110 s on the CPU rig; the smaller
+    # params cover the same code paths every run
+    pytest.param(True, 64, 300, marks=pytest.mark.slow),
+    (True, 256, 40),
 ])
 def test_kernel_vjp_matches_dense_autodiff(antialias, width, n):
     """Exact gradient parity (positions AND velocities — sprites orient to
@@ -73,6 +77,7 @@ def test_kernel_vjp_forward_matches_oracle():
     np.testing.assert_allclose(fs, ws, rtol=1e-5, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_kernel_vjp_dense_clutter_statistical():
     """N=1,024 clutter: at coverage-boundary pixels the kernel and the
     dense oracle may route a pixel's gradient to different nearly-
