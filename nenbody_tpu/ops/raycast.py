@@ -208,9 +208,13 @@ def _raycast_kernel(
     # streams (o2/inv/albedo) and measured ~2x the stack of the others
     # (observed OOMs at 16.25-17.6 MB), so they cap at 4 unrolled eyes
     # (2 for the largest tiles); everything else is safe (validated on
-    # v5e) and faster up to 16.
+    # v5e) and faster up to 16. The wide-pixel-block streaming shapes
+    # (wb up to the full 1024-px row, few-target scenes) additionally
+    # bound unroll x live-(TJ, WB)-temporaries to ~6 MB.
     heavy = (cfg.antialias and has_alb) or raw
     cap = (2 if wb * tj >= (1 << 17) else 4) if heavy else 16
+    per_eye_bytes = wb * tj * 4 * (10 if heavy else 6)
+    cap = max(1, min(cap, (6 << 20) // max(per_eye_bytes, 1)))
     run_eyes_unrolled(eye_body, te, cap)
 
 
@@ -450,7 +454,7 @@ def _render_precomputed(
     )(*args)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "te", "tj"))
+@functools.partial(jax.jit, static_argnames=("cfg", "te", "tj", "wb"))
 def render_rows_tiled(
     pos: jax.Array,
     vel: jax.Array,
@@ -460,6 +464,7 @@ def render_rows_tiled(
     targets: jax.Array | None = None,
     albedo: jax.Array | None = None,
     texture: jax.Array | None = None,
+    wb: int | None = None,
 ):
     """Pallas counterpart of vision.render.render_rows.
 
@@ -489,25 +494,48 @@ def render_rows_tiled(
     # wide images are tiled into pixel blocks so the (TJ, WB) temporaries of
     # the te-way unrolled eye loop stay inside the VMEM budget; wb=128 with
     # the widest tj the budget allows won the v5e sweep at W=1024 (1.68x
-    # over wb=256/tj=512)
-    if cfg.width <= 128:
-        wb = cfg.width
-    elif cfg.width % 128 == 0:
-        wb = 128
-    elif cfg.width <= 256:
-        wb = cfg.width
-    else:
-        raise ValueError(
-            f"the Pallas render path needs vision width <= 256 or a multiple "
-            f"of 128, got {cfg.width}; use backend='dense' for odd widths"
-        )
+    # over wb=256/tj=512). `wb` overrides (tests/sweeps).
+    wb_user = wb
+    if wb is None:
+        if cfg.width <= 128:
+            wb = cfg.width
+        elif cfg.width % 128 == 0:
+            wb = 128
+        elif cfg.width <= 256:
+            wb = cfg.width
+        else:
+            raise ValueError(
+                f"the Pallas render path needs vision width <= 256 or a "
+                f"multiple of 128, got {cfg.width}; use backend='dense' for "
+                f"odd widths"
+            )
+    elif cfg.width % wb:
+        raise ValueError(f"wb {wb} must divide the vision width {cfg.width}")
     dirs = camera.unit_heading(vel)
+
+    # Few-target wide-row shapes (the reference's own N=100 x W=1024 eye,
+    # src/main.rs:654+694): the raster precompute pads targets to 128 lanes
+    # and eyes to 16 (~30% dead work at N=100) while the streaming kernel
+    # pads targets only to 8 on sublanes and amortizes its per-target
+    # projection columns over the whole row — measured 2.9e6 vs 0.81e6
+    # agent-frames/s on v5e (r3 sweep). Route them to streaming with a
+    # single-chunk target tile and a whole-row pixel block.
+    small_m_wide = (
+        wb_user is None
+        and cfg.width >= 512
+        and cfg.width % 128 == 0
+        and round_up(m, 8) * min(cfg.width, 1024) <= (1 << 18)
+    )
+    if small_m_wide:
+        tj = round_up(m, 8)
+        n_pad_t = tj
+        wb = next(d for d in (1024, 512, 256, 128) if cfg.width % d == 0)
 
     # precompute path: also bound the (te, n_pad_t) projection input blocks
     # (3 resident) to ~6 MB of VMEM — asymmetric few-eyes/many-targets calls
     # can pass the element gate yet blow the block budget
     te_p = fit_tile(32, n, 8)
-    if (
+    if not small_m_wide and (
         n_pad_e * n_pad_t <= _PRECOMPUTE_MAX_ELEMS
         and 3 * te_p * round_up(m, 128) * 4 <= (6 << 20)
     ):
@@ -520,7 +548,8 @@ def render_rows_tiled(
         # W=1024 eyes) instead want the widest pixel block and fewer eyes
         # per program — the work per (eye, chunk) is tiny, so program count
         # dominates (swept on v5e: te=16/wb=512 is 1.6x te=32/wb=128).
-        if round_up(m, 128) <= 128 and cfg.width % 128 == 0 and cfg.width > 128:
+        if (wb_user is None and round_up(m, 128) <= 128
+                and cfg.width % 128 == 0 and cfg.width > 128):
             wb = next(d for d in (512, 256, 128) if cfg.width % d == 0)
             te_p = fit_tile(16, n, 8)
         n_pad_e_p = round_up(n, te_p)

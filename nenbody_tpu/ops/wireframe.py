@@ -471,7 +471,13 @@ def _wireframe_stream_kernel(
         out_refs[1][pl.ds(e, 1), :] = depth
         return 0
 
-    run_eyes_unrolled(eye_body, te, _unroll_cap(streaming=True, aa=aa))
+    # wide-pixel-block shapes (small-m wide-row routing) additionally bound
+    # unroll x live-(TJ, WB)-temporaries; the per-edge live set is ~10
+    # (TJ, WB) f32 streams (~16 with the AA coverage/interval extras)
+    cap = _unroll_cap(streaming=True, aa=aa)
+    per_eye_bytes = wb * tj * 4 * (16 if aa else 10)
+    cap = max(1, min(cap, (6 << 20) // max(per_eye_bytes, 1)))
+    run_eyes_unrolled(eye_body, te, cap)
 
 
 def _project_verts_all(pos, dirs, tgt, hdg, cfg: VisionConfig, n_pad_t: int):
@@ -571,6 +577,21 @@ def render_rows_wireframe_tiled(
     n_pad_e = round_up(n, te)
     has_alb = albedo is not None
 
+    # Few-target wide-row shapes route to streaming with a single-chunk
+    # 8-granular target tile and a whole-row pixel block — the same r3-swept
+    # rule as the disc kernel (ops/raycast.py `small_m_wide`): at the
+    # reference's N=100 x W=1024 eye the precompute path pads targets to
+    # 128 lanes while streaming pads to 104 sublanes and amortizes the
+    # per-chunk vertex projections over the full row.
+    small_m_wide = (
+        cfg.width >= 512
+        and cfg.width % 128 == 0
+        and round_up(m, 8) * min(cfg.width, 1024) <= (1 << 18)
+    )
+    if small_m_wide:
+        tj = round_up(m, 8)
+        wb = next(d for d in (1024, 512, 256, 128) if cfg.width % d == 0)
+
     # precompute path (same gates as the disc kernel, halved for 6 tensors).
     # force_streaming skips it: the diff path's backward kernel recomputes
     # projections with the streaming op order, and the forward must follow
@@ -578,6 +599,7 @@ def render_rows_wireframe_tiled(
     te_p = fit_tile(32, n, 8)
     if (
         not force_streaming
+        and not small_m_wide
         and n_pad_e * round_up(m, 128) <= _PRECOMPUTE_MAX_ELEMS
         and 6 * te_p * round_up(m, 128) * 4 <= (6 << 20)
     ):

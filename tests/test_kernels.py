@@ -191,7 +191,12 @@ def test_tiled_steppers_match_dense_steppers():
         )
 
 
-@pytest.mark.parametrize("n,w", [(24, 64), (100, 128), (60, 32)])
+@pytest.mark.parametrize("n,w", [
+    (24, 64), (100, 128), (60, 32),
+    # the small-m wide-row streaming route (whole-row pixel block,
+    # 8-granular target tile — the reference's N=100 x W=1024 shape class)
+    (20, 512), (100, 1024),
+])
 def test_raycast_kernel_matches_dense_renderer(n, w):
     st = _state(n, seed=4)
     # give agents real headings

@@ -271,9 +271,30 @@ def test_rdma_ring_compiles_on_hardware():
     from nenbody_tpu.physics import dense
 
     cfg = SimConfig(n=2048, controller="gravity")
-    pos = jax.random.uniform(
-        jax.random.key(0), (2048, 2), minval=-100.0, maxval=100.0
-    )
+    kp, kv = jax.random.split(jax.random.key(0))
+    pos = jax.random.uniform(kp, (2048, 2), minval=-100.0, maxval=100.0)
     got = np.asarray(rdma.rdma_ring_gravity_forces(pos, cfg, mesh=make_mesh()))
     want = np.asarray(dense.gravity_forces(pos, cfg.gravity))
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-6)
+
+    # r3's boids + vision hop variants lower through Mosaic too
+    from nenbody_tpu.config import VisionConfig
+    from nenbody_tpu.vision import render
+
+    vel = jax.random.uniform(kv, (2048, 2), minval=-1.0, maxval=1.0)
+    bgot = np.asarray(
+        rdma.rdma_ring_boids_velocity(pos, vel, SimConfig(n=2048), mesh=make_mesh())
+    )
+    bwant = np.asarray(dense.boids_accels(pos, vel, SimConfig(n=2048).boids))
+    np.testing.assert_allclose(bgot, bwant, rtol=3e-5, atol=1e-5)
+
+    vcfg = VisionConfig(width=64)
+    vgot_s, vgot_d = map(
+        np.asarray,
+        rdma.rdma_ring_render_rows(pos[:512], vel[:512], vcfg, mesh=make_mesh()),
+    )
+    vwant_s, vwant_d = map(
+        np.asarray, render.render_rows(pos[:512], vel[:512], vcfg)
+    )
+    np.testing.assert_allclose(vgot_d, vwant_d, rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(vgot_s, vwant_s, rtol=1e-5, atol=1e-4)
