@@ -197,6 +197,40 @@ def test_antialias_albedo_matches_dense():
     _assert_rows_close(got, want)
 
 
+@pytest.mark.parametrize("aa", [False, True])
+@pytest.mark.parametrize("texture", [False, True])
+def test_compact_wide_row_matches_dense(aa, texture):
+    """W >= 512 few-target shapes route to the compacted-candidate kernel
+    (ops/wireframe._render_compact — the reference's own N=100 x W=1024
+    eye shape class, src/main.rs:654+694); pin every payload mode to the
+    dense oracle."""
+    cfg = VisionConfig(width=512, sprite_mode="wireframe", antialias=aa,
+                       far=200.0)
+    pos, vel = _spawnish(jax.random.key(31), 40)
+    tex = render.checker_texture(8, 2) if texture else None
+    albedo = jax.random.uniform(jax.random.key(5), (40,), minval=0.3,
+                                maxval=1.0)
+    want = render.render_rows(pos, vel, cfg, albedo=albedo, texture=tex)
+    got = wireframe.render_rows_wireframe_tiled(pos, vel, cfg, albedo=albedo,
+                                                texture=tex)
+    # the compact kernel's inverse-depth route (depth = 1/q) loses ~2e-5
+    # RELATIVE precision at clamped AA interval endpoints; at depth ~25
+    # that exceeds the 2e-4 absolute gate the direct-depth kernels meet
+    _assert_rows_close(got, want, atol=1e-3)
+
+
+@pytest.mark.slow
+def test_compact_reference_shape_matches_dense():
+    """The full reference-parity vision shape (N=100, W=1024, AA) through
+    the compacted-candidate kernel."""
+    cfg = VisionConfig(width=1024, sprite_mode="wireframe", antialias=True,
+                       far=200.0)
+    pos, vel = _spawnish(jax.random.key(33), 100, spread=100.0)
+    want = render.render_rows(pos, vel, cfg)
+    got = wireframe.render_rows_wireframe_tiled(pos, vel, cfg)
+    _assert_rows_close(got, want, atol=1e-3)
+
+
 @pytest.mark.slow
 def test_antialias_far_plane_straddle_parity():
     """A sprite straddling the far plane: the AA slab clip can land a
