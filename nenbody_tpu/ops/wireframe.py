@@ -505,8 +505,9 @@ def _edge_slab_interval(fa, la, fb, lb, t, cfg: VisionConfig):
     return valid, jnp.minimum(u_a, u_b), jnp.maximum(u_a, u_b)
 
 
-COMPACT_WB = 128
+COMPACT_WB = 512  # preferred pixel-block width; swept on v5e (128/256/512/1024)
 COMPACT_SUB = 8
+COMPACT_UNROLL = 8
 
 
 def _compact_field_count(aa: bool, has_alb: bool) -> int:
@@ -522,7 +523,7 @@ def _compact_alb_idx(aa: bool) -> int:
 
 
 def _wireframe_compact_kernel(
-    ks_ref, ke_ref,  # [N_e_pad, P] SMEM: per-(eye, pixel-block) group range
+    ks_ref, ke_ref,  # [TE, P] SMEM: per-(eye, pixel-block) group range
     *rest,  # F field refs ([TE*K, 1] eye-major constant columns) + out refs
     cfg: VisionConfig,
     n_fields: int,
@@ -576,7 +577,6 @@ def _wireframe_compact_kernel(
     sub = COMPACT_SUB
     n_pay = (2 if raw else 1) + (1 if has_alb else 0) + (1 if aa else 0)
     alb_idx = _compact_alb_idx(aa)
-    e0 = pl.program_id(0) * te
     p = pl.program_id(1)
 
     p0 = p * wb
@@ -655,24 +655,29 @@ def _wireframe_compact_kernel(
                     1.0,
                 )
                 pays = pays + (cov,)
-            cmax = jnp.max(q_m, axis=0, keepdims=True)  # (1, WB)
-            win = (q_m == cmax) & (cmax > qfar)
-            pays_win = tuple(
-                jnp.min(jnp.where(win, pv, jnp.inf), axis=0, keepdims=True)
-                for pv in pays
-            )
-            better = cmax > best_q
+            # DEFERRED winner reduce: groups merge elementwise into a
+            # (sub, WB) accumulator (depth-max is associative across any
+            # candidate partition) and the cross-sublane reduce runs ONCE
+            # per (eye, block) after the loop — saves ~18 ops per tile on
+            # the single-issue-bound VPU
+            better = q_m > best_q
             best_p = tuple(
-                jnp.where(better, pw, bp) for pw, bp in zip(pays_win, best_p)
+                jnp.where(better, pv, bp) for pv, bp in zip(pays, best_p)
             )
-            return jnp.maximum(best_q, cmax), best_p
+            return jnp.maximum(best_q, q_m), best_p
 
         init = (
-            jnp.zeros((1, wb), jnp.float32),
-            tuple(jnp.zeros((1, wb), jnp.float32) for _ in range(n_pay)),
+            jnp.zeros((sub, wb), jnp.float32),
+            tuple(jnp.zeros((sub, wb), jnp.float32) for _ in range(n_pay)),
         )
-        best_q, best_p = jax.lax.fori_loop(
-            ks_ref[e0 + e, p], ke_ref[e0 + e, p], grp, init
+        acc_q, acc_p = jax.lax.fori_loop(
+            ks_ref[e, p], ke_ref[e, p], grp, init
+        )
+        best_q = jnp.max(acc_q, axis=0, keepdims=True)  # (1, WB)
+        win = (acc_q == best_q) & (best_q > qfar)
+        best_p = tuple(
+            jnp.min(jnp.where(win, pv, jnp.inf), axis=0, keepdims=True)
+            for pv in acc_p
         )
 
         # epilogue: undo the q-homogenization once per (eye, pixel)
@@ -703,7 +708,7 @@ def _wireframe_compact_kernel(
             ref[pl.ds(e, 1), :] = v
         return 0
 
-    run_eyes_unrolled(eye_body, te, 4)
+    run_eyes_unrolled(eye_body, te, COMPACT_UNROLL)
 
 
 def _project_verts_all(pos, dirs, tgt, hdg, cfg: VisionConfig, n_pad_t: int):
@@ -964,7 +969,7 @@ def _stream_outs(pos, dirs, tgt, hdg, cfg: VisionConfig, te, tj, wb, albedo,
 
 
 def _compact_candidates(pos, dirs, tgt, hdg, cfg: VisionConfig, albedo,
-                        n, m, n_pad_e: int, K: int, P: int):
+                        n, m, n_pad_e: int, K: int, P: int, wb: int):
     """XLA prologue for _wireframe_compact_kernel (see its docstring).
 
     Per (eye, target): project the 3 sprite verts (_project_verts_all, the
@@ -978,7 +983,7 @@ def _compact_candidates(pos, dirs, tgt, hdg, cfg: VisionConfig, albedo,
     field's sentinel (0 for constants — q = 0 never hits — and the +-4
     off-screen pair for intervals).
 
-    Returns (fld [n_pad_e, K, F], ks, ke [n_pad_e, P] i32 group ranges)."""
+    Returns (fld [F, n_pad_e, K], ks, ke [n_pad_e, P] i32 group ranges)."""
     aa = cfg.antialias
     has_alb = albedo is not None
     sub = COMPACT_SUB
@@ -1048,36 +1053,37 @@ def _compact_candidates(pos, dirs, tgt, hdg, cfg: VisionConfig, albedo,
 
     fstack = jnp.stack(fields, axis=-1)  # [n, m, F+2]
     comp = jnp.einsum(
-        "etk,etf->ekf", onehot, fstack,
+        "etk,etf->fek", onehot, fstack,
         precision=jax.lax.Precision.HIGHEST,
-    )  # [n, K, F+2]
+    )  # [F+2, n, K]: field-major, so the launcher's per-field kernel
+    # operands are CONTIGUOUS leading-dim slices (the [n, K, F] layout cost
+    # ~20 strided-copy kernels per step, measured as a flat ~50 us floor)
     filled = jnp.sum(onehot, axis=1) > 0.5  # [n, K]
     comp = jnp.where(
-        filled[:, :, None], comp, jnp.asarray(sent, jnp.float32)
+        filled[None, :, :], comp,
+        jnp.asarray(sent, jnp.float32)[:, None, None],
     )
-    spc_lo, spc_hi = comp[:, :, -2], comp[:, :, -1]
-    fld = comp[:, :, :-2]
+    spc_lo, spc_hi = comp[-2], comp[-1]
+    fld = comp[:-2]
 
     # per-(eye, pixel-block) group ranges: candidate groups are screen-local
     # after sorting, so the overlapping range is ~1-2 groups per block
     G = K // sub
     grp_lo = spc_lo.reshape(n, G, sub).min(axis=2)  # [n, G]
     grp_hi = spc_hi.reshape(n, G, sub).max(axis=2)
-    wb = COMPACT_WB
     blk_lo = 2.0 * (jnp.arange(P, dtype=jnp.float32) * wb) / cfg.width - 1.0
     blk_hi = blk_lo + 2.0 * wb / cfg.width
     ov = (grp_hi[:, :, None] >= blk_lo[None, None, :] - margin) & (
         grp_lo[:, :, None] <= blk_hi[None, None, :] + margin
     )  # [n, G, P]
-    ks = jnp.sum(jnp.cumsum(ov, axis=1) == 0, axis=1, dtype=jnp.int32)
-    ke = G - jnp.sum(
-        jnp.cumsum(ov[:, ::-1, :], axis=1)[:, ::-1, :] == 0,
-        axis=1,
-        dtype=jnp.int32,
-    )
+    # [min overlapping group, max overlapping group + 1): two plain reduces
+    # (gap groups between them run harmlessly; sorting makes gaps rare)
+    gi = jnp.arange(G, dtype=jnp.int32)[None, :, None]
+    ks = jnp.min(jnp.where(ov, gi, G), axis=1)
+    ke = jnp.max(jnp.where(ov, gi + 1, 0), axis=1)
 
     if n_pad_e != n:
-        fld = pad_axis(fld, n_pad_e)
+        fld = pad_axis(fld, n_pad_e, axis=1)
         ks = pad_axis(ks, n_pad_e)  # pad eyes: ks=ke=0 -> empty group loop
         ke = pad_axis(ke, n_pad_e)
     return fld, ks, ke
@@ -1096,27 +1102,33 @@ def _render_compact(pos, dirs, tgt, hdg, cfg: VisionConfig, te, albedo,
     raw = texture is not None
     has_alb = albedo is not None
     aa = cfg.antialias
-    wb = COMPACT_WB
+    wb = next(d for d in (COMPACT_WB, 256, 128) if cfg.width % d == 0)
     P = cfg.width // wb
     n_pad_e = round_up(n, te)
-    K = round_up(m, 8)
+    K = round_up(m, COMPACT_SUB)
     F = _compact_field_count(aa, has_alb)
     n_out = _wf_num_outputs(raw, has_alb, aa)
     fld, ks, ke = _compact_candidates(
-        pos, dirs, tgt, hdg, cfg, albedo, n, m, n_pad_e, K, P
+        pos, dirs, tgt, hdg, cfg, albedo, n, m, n_pad_e, K, P, wb
     )
 
     kernel = functools.partial(
         _wireframe_compact_kernel, cfg=cfg, n_fields=F, K=K,
         has_alb=has_alb, raw=raw,
     )
-    fld_cols = [fld[:, :, f].reshape(-1, 1) for f in range(F)]
+    fld_cols = [fld[f].reshape(-1, 1) for f in range(F)]
     outs = pl.pallas_call(
         kernel,
         grid=(n_pad_e // te, P),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            # blocked SMEM (not whole-array): under vmap a whole-array SMEM
+            # operand re-fetches the FULL batched array per program
+            pl.BlockSpec(
+                (te, P), lambda i, p: (i, 0), memory_space=pltpu.SMEM
+            ),
+            pl.BlockSpec(
+                (te, P), lambda i, p: (i, 0), memory_space=pltpu.SMEM
+            ),
         ]
         + [
             pl.BlockSpec(
