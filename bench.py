@@ -281,6 +281,98 @@ def main():
         1024, 1024, 20 if on_tpu else 2, "vision-n1024-w1024"
     )
 
+    # the FULL reference-parity vision config (VERDICT r2 #1): wireframe
+    # LineStrip sprite (main.rs:130-139) + antialias (8xMSAA stand-in,
+    # main.rs:652) + skin texture (main.rs:322-356) at the 1024-px eye,
+    # N=100 — through the compacted-candidate kernel (ops/wireframe.py)
+    from nenbody_tpu.vision.render import checker_texture
+
+    def wf_shape(n_v, vcfg, label, k, m=8, texture=None):
+        kp2, kv2 = jax.random.split(jax.random.key(13))
+        p2 = jax.random.uniform(kp2, (n_v, 2), minval=-100, maxval=100,
+                                dtype=jnp.float32)
+        v2 = jax.random.uniform(kv2, (n_v, 2), minval=-1, maxval=1,
+                                dtype=jnp.float32)
+
+        @jax.jit
+        def roll(c):
+            p, v = c
+
+            def body(p, _):
+                s = wireframe_ops.render_rows_wireframe_tiled(
+                    p, v, vcfg, texture=texture
+                )[0]
+                return p + 1e-7 * s[:, :2], ()
+
+            p, _ = jax.lax.scan(body, p, None, length=k)
+            return p, v
+
+        dt_s, compile_times[label] = _slope_timed(
+            roll, (p2, v2), sync_slice=lambda c: c[0][:1], steps=k,
+            label=label, m=m,
+        )
+        return n_v / dt_s
+
+    kref = 400 if on_tpu else 2
+    vision_fps_wf_ref100 = wf_shape(
+        100, VisionConfig(width=1024, sprite_mode="wireframe"),
+        "vision-wireframe-n100-w1024", kref,
+    )
+    vision_fps_wf_ref100_aa = wf_shape(
+        100, VisionConfig(width=1024, sprite_mode="wireframe", antialias=True),
+        "vision-wireframe-aa-n100-w1024", kref,
+    )
+    vision_fps_wf_ref100_aatex = wf_shape(
+        100, VisionConfig(width=1024, sprite_mode="wireframe", antialias=True),
+        "vision-wireframe-aa-tex-n100-w1024", kref,
+        texture=checker_texture(8, 2),
+    )
+    vision_fps_wf_wide = wf_shape(
+        1024, VisionConfig(width=1024, sprite_mode="wireframe", antialias=True),
+        "vision-wireframe-aa-n1024-w1024", 20 if on_tpu else 2,
+    )
+
+    # differentiable exact-sprite perception (VERDICT r2 #6): forward +
+    # backward through the wireframe VJP kernel, chained grad steps
+    def wf_diff_shape(n_v, w, label, k, m=6):
+        vcfg = VisionConfig(width=w, sprite_mode="wireframe", antialias=True,
+                            far=200.0)
+        kp2, kv2 = jax.random.split(jax.random.key(17))
+        p2 = jax.random.uniform(kp2, (n_v, 2), minval=-100, maxval=100,
+                                dtype=jnp.float32)
+        v2 = jax.random.uniform(kv2, (n_v, 2), minval=-1, maxval=1,
+                                dtype=jnp.float32)
+
+        @jax.jit
+        def roll(c):
+            p, v = c
+
+            def body(p, _):
+                def loss(pq):
+                    s, d = wireframe_ops.render_rows_wireframe_diff(
+                        pq, v, vcfg
+                    )
+                    return jnp.sum(s * s) + 1e-3 * jnp.sum(d)
+
+                g = jax.grad(loss)(p)
+                return p + 1e-6 * g, ()
+
+            p, _ = jax.lax.scan(body, p, None, length=k)
+            return p, v
+
+        dt_s, compile_times[label] = _slope_timed(
+            roll, (p2, v2), sync_slice=lambda c: c[0][:1], steps=k,
+            label=label, m=m,
+        )
+        return n_v / dt_s
+
+    vision_fps_wf_diff = wf_diff_shape(
+        1024, 64, "vision-wireframe-diff-n1024-w64", 50 if on_tpu else 2
+    )
+    vision_fps_wf_diff_ref = wf_diff_shape(
+        100, 1024, "vision-wireframe-diff-n100-w1024", 50 if on_tpu else 2
+    )
+
     print(
         json.dumps(
             {
@@ -299,6 +391,15 @@ def main():
                     "vision_agent_frames_per_s_wireframe_n1024_w64": vision_fps_wireframe,
                     "vision_agent_frames_per_s_n100_w1024": vision_fps_ref100,
                     "vision_agent_frames_per_s_n1024_w1024": vision_fps_wide,
+                    "vision_agent_frames_per_s_wireframe_n100_w1024": vision_fps_wf_ref100,
+                    "vision_agent_frames_per_s_wireframe_aa_n100_w1024": vision_fps_wf_ref100_aa,
+                    "vision_agent_frames_per_s_wireframe_aa_tex_n100_w1024": vision_fps_wf_ref100_aatex,
+                    "vision_agent_frames_per_s_wireframe_aa_n1024_w1024": vision_fps_wf_wide,
+                    "vision_agent_frames_per_s_wireframe_diff_n1024_w64": vision_fps_wf_diff,
+                    "vision_agent_frames_per_s_wireframe_diff_n100_w1024": vision_fps_wf_diff_ref,
+                    # the reference app itself caps at ~500 frames/s = 5e4
+                    # agent-frames/s at its shipping N=100 (main.rs:837-845)
+                    "wireframe_ref_config_vs_reference_hw": vision_fps_wf_ref100_aatex / 5e4,
                     "vision_vs_1e6_target": vision_fps_batched / 1e6,
                     "vision_single_vs_1e6_target": vision_fps_single / 1e6,
                     "compile_seconds": compile_times,

@@ -206,6 +206,67 @@ def distill(
     return ts.params, policy.apply, np.asarray(losses).reshape(-1)
 
 
+def fit_streaming(
+    env: VisionEnv,
+    key: jax.Array,
+    total_steps: int = 256,
+    num_envs: int = 16,
+    horizon: int = 16,
+    behavior_params=None,
+    behavior_apply: Optional[Callable] = None,
+    bc_steps_per_shard: int = 8,
+    batch_size: int = 2048,
+    lr: float = 1e-3,
+    policy: Optional[MLPPolicy] = None,
+    episodic: bool = True,
+) -> Tuple[Any, Callable, np.ndarray]:
+    """BC directly from DEVICE-RESIDENT datagen shards (VERDICT r2 #9 /
+    NEXT #8's remaining step).
+
+    `rl.datagen.make_collect_fn` — the same jitted collector the npz
+    datagen path uses — generates behavior-policy (or, with
+    behavior_apply=None, uniform-exploration) shards that feed
+    `make_bc_step` AS DEVICE ARRAYS: no np.asarray, no npz export, no
+    on-device re-rendering from recorded states. Python only sequences
+    jitted calls, so chunk k+1's generation dispatches while chunk k's BC
+    steps run (async dispatch). vs `distill`: that fuses a pure obs->action
+    teacher into one jit; this consumes the datagen COLLECTOR (sampled
+    behavior actions, rewards included), so the same code path that fills
+    disk shards can fill the optimizer. Shards respawn episodically by
+    default (CLAUDE.md: persistent envs drift from the spawn distribution).
+
+    Returns (params, apply_fn, losses [num_chunks * bc_steps_per_shard])."""
+    from ..state import spawn_batch
+    from .datagen import make_collect_fn
+
+    policy = policy or MLPPolicy()
+    collect_fn = make_collect_fn(env, behavior_apply, horizon=horizon)
+    kp, ke, kr, kc = jax.random.split(key, 4)
+    states = spawn_batch(ke, env.cfg, num_envs)
+    obs0 = jax.vmap(env.observe)(states)
+    params = policy.init(kp, obs0.reshape(-1, env.obs_width)[:1])
+    opt = optax.adam(lr)
+    ts = BCState(params, opt.init(params), kr, jnp.int32(0))
+    step = make_bc_step(
+        policy.apply, opt,
+        batch_size=min(batch_size, num_envs * horizon * env.cfg.n),
+    )
+
+    num_chunks = -(-total_steps // horizon)
+    losses = []
+    for _ in range(num_chunks):
+        kc, ks, kg = jax.random.split(kc, 3)
+        if episodic:
+            states = spawn_batch(ks, env.cfg, num_envs)
+        states, traj = collect_fn(behavior_params, states, kg)
+        obs = traj["obs"].reshape(-1, traj["obs"].shape[-1])
+        act = traj["action"].reshape(-1, traj["action"].shape[-1])
+        for _ in range(bc_steps_per_shard):
+            ts, loss = step(ts, obs, act)
+            losses.append(loss)
+    return ts.params, policy.apply, np.asarray(losses)
+
+
 def fit(
     env: VisionEnv,
     data: dict,

@@ -97,16 +97,19 @@ def test_vision_single_env_gate_1e6():
 
 @requires_tpu
 def test_vision_reference_width_gates():
-    """VERDICT r1 #2: the reference's ACTUAL eye is 1024 px wide
-    (src/main.rs:694). Gate both the shipping scale (N=100, main.rs:654 —
-    measured ~1.4e6 agent-frames/s) and the wide-eye stress shape N=1,024
-    (measured ~4.4e5; the work is 16x BASELINE config 2's)."""
-    ref100 = _single_env_vision_rate(100, 1024, steps=100)
-    # the reference caps at ~500 frames/s (main.rs:837-845) = 5e4 agent-
-    # frames/s at N=100; 10x that is the floor here
-    assert ref100 >= 5e5, f"reference-100 vision rate {ref100:.3e} < 5e5"
+    """VERDICT r1 #2 + r2 #4: the reference's ACTUAL eye is 1024 px wide
+    (src/main.rs:694). The shipping scale (N=100, main.rs:654) clears the
+    BASELINE 1e6 agent-frames/s line through the small-m-wide streaming
+    route (measured 2.9e6 on v5e, slope-timed over a 400-step chain); the
+    wide-eye stress shape N=1,024 holds its measured 4.1e5 order (its work
+    is 16x BASELINE config 2's)."""
+    ref100 = _single_env_vision_rate(100, 1024, steps=400)
+    assert ref100 >= 1e6, f"reference-100 vision rate {ref100:.3e} < 1e6"
+    assert ref100 >= 2e6, (
+        f"regression: reference-100 rate {ref100:.3e} < 2e6 (was ~2.9e6)"
+    )
     wide = _single_env_vision_rate(1024, 1024, steps=20)
-    assert wide >= 2e5, f"N=1024/W=1024 vision rate {wide:.3e} < 2e5"
+    assert wide >= 3e5, f"N=1024/W=1024 vision rate {wide:.3e} < 3e5"
 
 
 @requires_tpu
@@ -258,6 +261,93 @@ def test_wireframe_kernel_gate():
     dt = _scan_time(body, (pos, vel), steps=50, sync=lambda c: c[0][:1])
     rate = 1024 / dt
     assert rate >= 3e5, f"wireframe kernel rate {rate:.3e} < 3e5 (was ~7e5)"
+
+
+def _wireframe_ref_rate(aa, texture, steps=400):
+    from nenbody_tpu.config import VisionConfig
+    from nenbody_tpu.ops import wireframe
+    from nenbody_tpu.vision.render import checker_texture
+
+    vcfg = VisionConfig(width=1024, sprite_mode="wireframe", antialias=aa)
+    tex = checker_texture(8, 2) if texture else None
+    kp, kv = jax.random.split(jax.random.key(13))
+    pos = jax.random.uniform(kp, (100, 2), minval=-100, maxval=100,
+                             dtype=jnp.float32)
+    vel = jax.random.uniform(kv, (100, 2), minval=-1, maxval=1,
+                             dtype=jnp.float32)
+
+    def body(c):
+        p, v = c
+        s = wireframe.render_rows_wireframe_tiled(p, v, vcfg, texture=tex)[0]
+        return p + 1e-7 * s[:, :2], v
+
+    dt = _scan_time(body, (pos, vel), steps=steps, sync=lambda c: c[0][:1], m=8)
+    return 100 / dt
+
+
+@requires_tpu
+def test_wireframe_reference_config_gates():
+    """VERDICT r2 #1: the FULL reference-parity vision config — the
+    1024-px (src/main.rs:694), wireframe-LineStrip-sprite (main.rs:130-139),
+    antialiased (main.rs:652), skin-textured (main.rs:322-356) eye at the
+    shipping N=100 — through the compacted-candidate kernel.
+
+    Measured on v5e (slope-timed, 400-step chains): plain 7.2e5, +AA
+    6.0e5, +AA+texture 5.6e5 agent-frames/s — 11-14x the reference's own
+    ~5e4 cap (500 frames/s at N=100, main.rs:837-845), 2.3x this repo's
+    streaming kernel at the same shape. The BASELINE 1e6 line is NOT met
+    at this single-env shape: ~50 us/step of prologue+dispatch floor plus
+    a VPU-issue-bound ~95-op AA tile core put the structure's floor near
+    140 us/step (DESIGN.md has the breakdown); gates hold the measured
+    order with ~40% margin."""
+    plain = _wireframe_ref_rate(aa=False, texture=False)
+    assert plain >= 4.5e5, f"wireframe n100/w1024 rate {plain:.3e} < 4.5e5"
+    aa = _wireframe_ref_rate(aa=True, texture=False)
+    assert aa >= 3.5e5, f"wireframe+AA n100/w1024 rate {aa:.3e} < 3.5e5"
+    aatex = _wireframe_ref_rate(aa=True, texture=True)
+    assert aatex >= 3.5e5, f"wireframe+AA+tex n100/w1024 rate {aatex:.3e} < 3.5e5"
+    # the "beats the reference at its own configuration" line: >= 5x its hw
+    assert aatex >= 5 * 5e4, f"full-parity rate {aatex:.3e} < 5x reference"
+
+
+@requires_tpu
+def test_wireframe_diff_gates():
+    """VERDICT r2 #6: differentiable exact-sprite perception (forward +
+    backward through the wireframe VJP kernel) holds its measured order.
+
+    Measured on v5e: 1.14e4 agent-frames/s at N=1024/W=64 and 1.23e4 at
+    N=100/W=1024 — i.e. ~85 us/eye at BOTH widths, so the backward's
+    TJ*WB <= 4096 tile cap does NOT collapse wide rows specifically; the
+    backward as a whole costs ~50x the forward (streaming-forced forward
+    + in-kernel jax.vjp pullback with winner rematching). Usable for
+    APG-scale research training; a fused backward is the known next lever."""
+    from nenbody_tpu.config import VisionConfig
+    from nenbody_tpu.ops import wireframe
+
+    for n, w, steps, floor in ((1024, 64, 20, 5e3), (100, 1024, 20, 5e3)):
+        vcfg = VisionConfig(width=w, sprite_mode="wireframe", antialias=True,
+                            far=200.0)
+        kp, kv = jax.random.split(jax.random.key(17))
+        pos = jax.random.uniform(kp, (n, 2), minval=-100, maxval=100,
+                                 dtype=jnp.float32)
+        vel = jax.random.uniform(kv, (n, 2), minval=-1, maxval=1,
+                                 dtype=jnp.float32)
+
+        def body(c, vcfg=vcfg, n=n):
+            p, v = c
+
+            def loss(pq):
+                s, d = wireframe.render_rows_wireframe_diff(pq, v, vcfg)
+                return jnp.sum(s * s) + 1e-3 * jnp.sum(d)
+
+            g = jax.grad(loss)(p)
+            return p + 1e-6 * g, v
+
+        dt = _scan_time(body, (pos, vel), steps=steps, sync=lambda c: c[0][:1])
+        rate = n / dt
+        assert rate >= floor, (
+            f"wireframe diff rate {rate:.3e} < {floor:.0e} at N={n}/W={w}"
+        )
 
 
 @requires_tpu
