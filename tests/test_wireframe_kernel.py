@@ -219,6 +219,17 @@ def test_compact_wide_row_matches_dense(aa, texture):
     _assert_rows_close(got, want, atol=1e-3)
 
 
+def test_compact_non_512_width_matches_dense():
+    """W=768 exercises the compact launcher's pixel-block fallback (wb=256:
+    the preferred 512 does not divide the width)."""
+    cfg = VisionConfig(width=768, sprite_mode="wireframe", antialias=True,
+                       far=200.0)
+    pos, vel = _spawnish(jax.random.key(37), 24)
+    want = render.render_rows(pos, vel, cfg)
+    got = wireframe.render_rows_wireframe_tiled(pos, vel, cfg)
+    _assert_rows_close(got, want, atol=1e-3)
+
+
 @pytest.mark.slow
 def test_compact_reference_shape_matches_dense():
     """The full reference-parity vision shape (N=100, W=1024, AA) through
