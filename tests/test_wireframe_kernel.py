@@ -37,7 +37,10 @@ def _assert_rows_close(got, want, atol=2e-4):
 
 
 @pytest.mark.parametrize(
-    "n,width", [(32, 64), (100, 128), (257, 64), (64, 256)]
+    # 137: odd non-multiple-of-128 target count exercises raster-path target
+    # padding (shrunk from 257 — same route and single j-tile either way per
+    # fit_tile, at half the interpret cost)
+    "n,width", [(32, 64), (100, 128), (137, 64), (64, 256)]
 )
 def test_kernel_matches_dense(n, width):
     cfg = VisionConfig(width=width, sprite_mode="wireframe", far=200.0)
@@ -224,7 +227,7 @@ def test_compact_non_512_width_matches_dense():
     the preferred 512 does not divide the width)."""
     cfg = VisionConfig(width=768, sprite_mode="wireframe", antialias=True,
                        far=200.0)
-    pos, vel = _spawnish(jax.random.key(37), 24)
+    pos, vel = _spawnish(jax.random.key(37), 16)
     want = render.render_rows(pos, vel, cfg)
     got = wireframe.render_rows_wireframe_tiled(pos, vel, cfg)
     _assert_rows_close(got, want, atol=1e-3)

@@ -36,7 +36,9 @@ def _scene(key, n, spread=40.0):
     # the large-clutter shape takes ~110 s on the CPU rig; the smaller
     # params cover the same code paths every run
     pytest.param(True, 64, 300, marks=pytest.mark.slow),
-    (True, 256, 40),
+    # width 128 / 40 targets still trips the TJ*WB <= 4096 backward tile
+    # cap (wb=128 -> TJ=32 -> 2 tiles) at half the cost of width 256
+    (True, 128, 40),
 ])
 def test_kernel_vjp_matches_dense_autodiff(antialias, width, n):
     """Exact gradient parity (positions AND velocities — sprites orient to
