@@ -95,6 +95,22 @@ def _slope_timed(fn, carry, *, sync_slice, steps, label="", m=4):
     raise last_err
 
 
+def _rate_or_zero(roll, carry, n_v, steps, label, m, compile_times):
+    """Slope-time `roll` and return n_v/dt; on persistent failure report 0
+    and keep the rest of the bench alive (one broken label must not zero
+    the whole BENCH artifact)."""
+    try:
+        dt_s, compile_times[label] = _slope_timed(
+            roll, carry, sync_slice=lambda c: c[0][:1], steps=steps,
+            label=label, m=m,
+        )
+    except Exception as e:  # noqa: BLE001 - report 0, keep the rest
+        print(f"[bench] {label}: FAILED ({e}); reporting 0",
+              file=sys.stderr, flush=True)
+        return 0.0
+    return n_v / dt_s
+
+
 def main():
     from nenbody_tpu.config import BoidsConfig, GravityConfig, VisionConfig
     from nenbody_tpu.ops import boids as boids_ops
@@ -307,11 +323,7 @@ def main():
             p, _ = jax.lax.scan(body, p, None, length=k)
             return p, v
 
-        dt_s, compile_times[label] = _slope_timed(
-            roll, (p2, v2), sync_slice=lambda c: c[0][:1], steps=k,
-            label=label, m=m,
-        )
-        return n_v / dt_s
+        return _rate_or_zero(roll, (p2, v2), n_v, k, label, m, compile_times)
 
     kref = 400 if on_tpu else 2
     vision_fps_wf_ref100 = wf_shape(
@@ -360,11 +372,7 @@ def main():
             p, _ = jax.lax.scan(body, p, None, length=k)
             return p, v
 
-        dt_s, compile_times[label] = _slope_timed(
-            roll, (p2, v2), sync_slice=lambda c: c[0][:1], steps=k,
-            label=label, m=m,
-        )
-        return n_v / dt_s
+        return _rate_or_zero(roll, (p2, v2), n_v, k, label, m, compile_times)
 
     vision_fps_wf_diff = wf_diff_shape(
         1024, 64, "vision-wireframe-diff-n1024-w64", 50 if on_tpu else 2
