@@ -171,12 +171,17 @@ def _pad_for_tiles(arrays, n, d, tile):
     return padded, nl
 
 
-def _rdma_pallas_call(kernel, n_in, nrows, nl_total, payload_rows, d):
-    """Shared pallas_call plumbing for the RDMA ring kernels: `n_in` column
-    inputs [nrows, 1] plus `payload_rows` lane-major payload rows [1,
-    nl_total], `n_out` outputs, double-buffered comm scratch + semaphore
-    set. No collective_id: the capacity handshake replaces the global
-    barrier, and Mosaic requires the id only for barrier semaphores."""
+def _rdma_pallas_call(kernel, n_in, nrows, nl_total, payload_rows, d,
+                      buf_rows=None, extra_scratch=()):
+    """Shared pallas_call plumbing for ALL the RDMA ring kernels (gravity,
+    boids, vision): `n_in` column inputs [nrows, 1] plus `payload_rows`
+    lane-major payload rows [1, nl_total], double-buffered comm scratch +
+    semaphore set. `buf_rows` overrides the comm buffer's row count when it
+    exceeds the payload inputs (boids pads 5 rows to an 8-sublane buffer);
+    `extra_scratch` VMEM shapes slot between the comm buffer and the
+    semaphores (the kernel's scratch order). No collective_id: the capacity
+    handshake replaces the global barrier, and Mosaic requires the id only
+    for barrier semaphores."""
     cspec = lambda r=1: pl.BlockSpec(
         (nrows, r), lambda k: (0, 0), memory_space=pltpu.VMEM
     )
@@ -184,7 +189,7 @@ def _rdma_pallas_call(kernel, n_in, nrows, nl_total, payload_rows, d):
         (1, nl_total), lambda k: (0, 0), memory_space=pltpu.VMEM
     )
     pay_specs = [rspec() for _ in range(payload_rows)]
-    buf = pltpu.VMEM((2, payload_rows, nl_total), jnp.float32)
+    buf = pltpu.VMEM((2, buf_rows or payload_rows, nl_total), jnp.float32)
     interp = interpret_mode()
     return functools.partial(
         pl.pallas_call,
@@ -193,6 +198,7 @@ def _rdma_pallas_call(kernel, n_in, nrows, nl_total, payload_rows, d):
         in_specs=[cspec() for _ in range(n_in)] + pay_specs,
         scratch_shapes=[
             buf,
+            *extra_scratch,
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.REGULAR,
@@ -436,27 +442,12 @@ def rdma_ring_boids_velocity(
         cspec_out = lambda: pl.BlockSpec(
             (nrows, 1), lambda k: (0, 0), memory_space=pltpu.VMEM
         )
-        rspec = lambda: pl.BlockSpec(
-            (1, nrows), lambda k: (0, 0), memory_space=pltpu.VMEM
-        )
-        outs = pl.pallas_call(
-            kernel,
-            grid=(d,),
-            in_specs=[cspec_out() for _ in range(5)] + [rspec()] * 5,
+        outs = _rdma_pallas_call(
+            kernel, n_in=5, nrows=nrows, nl_total=nrows, payload_rows=5,
+            d=d, buf_rows=8,  # 5 payload rows padded to an 8-sublane buffer
+        )(
             out_specs=[cspec_out() for _ in range(8)],
             out_shape=[jax.ShapeDtypeStruct((nrows, 1), jnp.float32)] * 8,
-            scratch_shapes=[
-                pltpu.VMEM((2, 8, nrows), jnp.float32),
-                pltpu.SemaphoreType.DMA((2,)),
-                pltpu.SemaphoreType.DMA((2,)),
-                pltpu.SemaphoreType.REGULAR,
-            ],
-            compiler_params=pltpu.CompilerParams(has_side_effects=True),
-            interpret=(
-                pltpu.InterpretParams(dma_execution_mode="eager")
-                if interpret_mode()
-                else False
-            ),
         )(*args)
         s1x, s1y, c1, rpx, rpy, s3x, s3y, c3 = outs
         from ..physics import dense
@@ -612,7 +603,12 @@ def rdma_ring_render_rows(
     mesh = mesh or default_mesh()
     d = mesh.shape[axis]
     n = pos.shape[-2]
-    (pos_p, vel_p), nl = _pad_for_tiles([pos, vel], n, d, min(tj, 256))
+    # the pad tile and the kernel tile MUST be the same value: padding to a
+    # multiple of min(tj, 256) while tiling with an unclamped tj > 256 left
+    # nl // tj dropping the trailing targets of every circulating block
+    # (e.g. tj=512, nl=768 -> one 512-tile, 256 rows never raycast)
+    tj = min(tj, 256)
+    (pos_p, vel_p), nl = _pad_for_tiles([pos, vel], n, d, tj)
     nb = pos_p.shape[0] if batched else 1
     tj_f = min(tj, nl)
     w = vcfg.width
@@ -625,35 +621,19 @@ def rdma_ring_render_rows(
     def local(pos_l, vel_l):
         flat_p = pos_l.reshape(-1, 2)
         dirs = camera.unit_heading(vel_l).reshape(-1, 2)
-        cspec = lambda r: pl.BlockSpec(
-            (nrows, r), lambda k: (0, 0), memory_space=pltpu.VMEM
-        )
         wspec = lambda: pl.BlockSpec(
             (nrows, w), lambda k: (0, 0), memory_space=pltpu.VMEM
         )
-        rspec = lambda: pl.BlockSpec(
-            (1, nrows), lambda k: (0, 0), memory_space=pltpu.VMEM
-        )
-        best_d, best_o2 = pl.pallas_call(
-            kernel,
-            grid=(d,),
-            in_specs=[cspec(1)] * 4 + [rspec(), rspec()],
+        best_d, best_o2 = _rdma_pallas_call(
+            kernel, n_in=4, nrows=nrows, nl_total=nrows, payload_rows=2,
+            d=d,
+            extra_scratch=(  # column-major staging of the current slot
+                pltpu.VMEM((nrows, 1), jnp.float32),
+                pltpu.VMEM((nrows, 1), jnp.float32),
+            ),
+        )(
             out_specs=[wspec(), wspec()],
             out_shape=[jax.ShapeDtypeStruct((nrows, w), jnp.float32)] * 2,
-            scratch_shapes=[
-                pltpu.VMEM((2, 2, nrows), jnp.float32),
-                pltpu.VMEM((nrows, 1), jnp.float32),
-                pltpu.VMEM((nrows, 1), jnp.float32),
-                pltpu.SemaphoreType.DMA((2,)),
-                pltpu.SemaphoreType.DMA((2,)),
-                pltpu.SemaphoreType.REGULAR,
-            ],
-            compiler_params=pltpu.CompilerParams(has_side_effects=True),
-            interpret=(
-                pltpu.InterpretParams(dma_execution_mode="eager")
-                if interpret_mode()
-                else False
-            ),
         )(
             flat_p[:, 0:1], flat_p[:, 1:2], dirs[:, 0:1], dirs[:, 1:2],
             flat_p[:, 0][None, :], flat_p[:, 1][None, :],

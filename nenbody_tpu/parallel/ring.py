@@ -222,9 +222,10 @@ def ring_render_rows(
     def partial_render(pi, vi, tgt, tvel):
         from ..ops.common import kernel_width_ok
 
-        # the wireframe kernel can't tile widths >256 off the 128-lane grid;
-        # those hops render dense (any width) instead of raising
-        if _use_pallas(partials) and (not wf or kernel_width_ok(vcfg.width)):
+        # NEITHER render kernel can tile widths >256 off the 128-lane grid
+        # (disc raycast and wireframe share the constraint); those hops
+        # render dense (any width) instead of raising
+        if _use_pallas(partials) and kernel_width_ok(vcfg.width):
             if wf:
                 from ..ops import wireframe
 
@@ -411,7 +412,11 @@ def ring_render_rows_diff(
 ) -> Tuple[jax.Array, jax.Array]:
     """ring_render_rows with gradients (see block comment above). Requires
     N divisible by the mesh axis (sentinel padding would need masked
-    cotangent plumbing; use divisible N for differentiable vision).
+    cotangent plumbing; use divisible N for differentiable vision), and —
+    for DISC sprites on TPU — a kernel-tileable width (<=256 or a
+    128-multiple): the disc per-hop backward is always the raycast backward
+    kernel, which raises on other widths (the forward ring falls back to
+    dense partials for them; wireframe has a dense backward edition).
 
     sprite_mode='wireframe' works too: on TPU both the forward partials
     and the per-hop backward run the wireframe Pallas kernels — forward

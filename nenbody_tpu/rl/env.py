@@ -50,7 +50,9 @@ def _render(pos: jax.Array, vel: jax.Array, cfg: SimConfig, backend: str):
         from ..vision import render
 
         return render.render_rows(pos, vel, cfg.vision)[0]
-    if backend == "pallas":
+    from ..ops.common import kernel_width_ok
+
+    if backend == "pallas" and kernel_width_ok(cfg.vision.width):
         from ..ops import raycast
 
         # custom-VJP wrapper: identical forward to render_rows_tiled, plus a

@@ -110,6 +110,8 @@ def _vision_route(cfg: SimConfig) -> str:
         if backend == "pallas" and kernel_width_ok(cfg.vision.width):
             return "pallas-wf"
         return "dense"
+    if backend == "pallas" and not kernel_width_ok(cfg.vision.width):
+        return "dense"  # the disc raycast kernel shares the width constraint
     if backend in ("pallas", "ring"):
         return backend
     return "dense"

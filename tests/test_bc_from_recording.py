@@ -94,3 +94,17 @@ def test_bc_from_nentraj_recording(tmp_path, native_lib):
     mse = float(jnp.mean((mean - jnp.asarray(act_f)) ** 2))
     var = float(np.var(act_f))
     assert mse < 0.35 * var, f"clone mse {mse:.5f} vs action var {var:.5f}"
+
+
+def test_dataset_rejects_strided_recordings(tmp_path, native_lib):
+    env = VisionEnv(
+        SimConfig(n=4, controller="gravity", vision=VisionConfig(width=8))
+    )
+    path = str(tmp_path / "strided.nentraj")
+    rec = native_lib.TrajectoryRecorder(path, 4)
+    z = np.zeros((4, 2), np.float32)
+    for t in (0, 5, 10):  # stride-5 recording: inverse dynamics ill-posed
+        rec.append(t, z, z)
+    rec.close()
+    with pytest.raises(ValueError, match="log-every 1"):
+        bc.dataset_from_trajectory(path, env)

@@ -119,3 +119,28 @@ def test_rdma_vision_batched_nondivisible_n():
     )
     np.testing.assert_allclose(gd, wd, rtol=1e-5, atol=1e-4)
     np.testing.assert_allclose(gs, ws, rtol=1e-5, atol=1e-4)
+
+
+@pytest.mark.slow
+def test_rdma_vision_large_tj_covers_all_targets():
+    """Regression (slow tier: the bug needs nl >= 768, ~45 s emulated):
+    padding to a multiple of min(tj, 256) while the kernel
+    tiled with an UNCLAMPED tj > 256 made nl // tj drop the trailing targets
+    of every circulating block (tj=512, nl=768 -> 256 rows never raycast).
+    The wrapper now clamps tj to the pad tile; all targets must render."""
+    from nenbody_tpu.config import VisionConfig
+    from nenbody_tpu.vision import render
+
+    vcfg = VisionConfig(width=8)
+    mesh = make_mesh(devices=jax.devices()[:2])
+    kp, kv = jax.random.split(jax.random.key(9))
+    # 1100 agents / 2 devices -> nl0=550, padded to 768 (a 256-multiple
+    # that is NOT a 512-multiple: the old-bug shape)
+    pos = jax.random.uniform(kp, (1100, 2), minval=-100.0, maxval=100.0)
+    vel = jax.random.uniform(kv, (1100, 2), minval=-1.0, maxval=1.0)
+    gs, gd = map(
+        np.asarray, rdma.rdma_ring_render_rows(pos, vel, vcfg, mesh=mesh, tj=512)
+    )
+    ws, wd = map(np.asarray, render.render_rows(pos, vel, vcfg))
+    np.testing.assert_allclose(gd, wd, rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(gs, ws, rtol=1e-5, atol=1e-4)

@@ -151,3 +151,33 @@ def test_vision_config_validation():
     ):
         with pytest.raises(ValueError):
             VisionConfig(**bad)
+
+
+def test_disc_odd_width_falls_back_to_dense():
+    """The disc raycast kernel shares the wireframe kernel's width
+    constraint (<=256 or a 128-multiple): untileable widths must route to
+    the dense renderer at every layer — Scene, the ring's per-hop partials,
+    and rl.env — instead of raising at observe time (the disc twin of the
+    round-2 wireframe advisor regression)."""
+    from nenbody_tpu.config import SimConfig, VisionConfig
+    from nenbody_tpu.scene import Scene, _vision_route
+    from nenbody_tpu.rl.env import VisionEnv
+
+    vcfg = VisionConfig(width=300, far=200.0)
+    cfg = SimConfig(n=16, controller="boids", backend="pallas", vision=vcfg)
+    assert _vision_route(cfg) == "dense"
+    scene = Scene(cfg)
+    st = scene.spawn(seed=0)
+    obs = scene.observe(st)
+    assert obs.shape == (16, 300)
+    # ring backend: route stays 'ring', per-hop partials render dense
+    rcfg = SimConfig(n=16, controller="boids", backend="ring", vision=vcfg)
+    assert _vision_route(rcfg) == "ring"
+    robs = Scene(rcfg).observe(st)
+    np.testing.assert_allclose(
+        np.asarray(robs), np.asarray(obs), rtol=1e-5, atol=1e-4
+    )
+    # rl.env: observe() falls back to the dense (autodiff-able) renderer
+    env = VisionEnv(cfg, max_accel=0.1)
+    eobs = env.observe(st)
+    assert eobs.shape[-1] >= 300 and bool(jnp.isfinite(eobs).all())
