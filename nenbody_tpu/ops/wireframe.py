@@ -121,24 +121,9 @@ def _edge_depth_tau_aa(u_p, t, hp, fa, la, fb, lb, cfg: VisionConfig):
     carry off-screen sentinels (+-4) when the edge is invalid."""
     df = fb - fa
     dl = lb - la
-    safe_df = jnp.where(jnp.abs(df) > 1e-30, df, 1e-30)
-    t_near = (cfg.near - fa) / safe_df
-    t_far = (cfg.far - fa) / safe_df
-    t_in = jnp.minimum(t_near, t_far)
-    t_out = jnp.maximum(t_near, t_far)
-    flat_edge = jnp.abs(df) <= 1e-30
-    tau_lo = jnp.where(flat_edge, 0.0, jnp.maximum(0.0, t_in))
-    tau_hi = jnp.where(flat_edge, 1.0, jnp.minimum(1.0, t_out))
-    in_slab = (fa > cfg.near) & (fa < cfg.far)
-    # boolean select as logic ops: Mosaic cannot lower select_n on i1
-    # vectors ("Unsupported target bitwidth for truncation")
-    valid = (flat_edge & in_slab) | (~flat_edge & (tau_lo < tau_hi))
-    f_lo = jnp.where(valid, fa + tau_lo * df, 1.0)
-    f_hi = jnp.where(valid, fa + tau_hi * df, 1.0)
-    u_a = (la + tau_lo * dl) / (t * jnp.maximum(f_lo, 1e-30))
-    u_b = (la + tau_hi * dl) / (t * jnp.maximum(f_hi, 1e-30))
-    e_lo_v = jnp.minimum(u_a, u_b)
-    e_hi_v = jnp.maximum(u_a, u_b)
+    valid, e_lo_v, e_hi_v, tau_lo, tau_hi = _edge_slab_interval(
+        fa, la, fb, lb, t, cfg
+    )
     big = jnp.float32(4.0)
     e_lo = jnp.where(valid, e_lo_v, big)
     e_hi = jnp.where(valid, e_hi_v, -big)
@@ -483,9 +468,11 @@ def _wireframe_stream_kernel(
 def _edge_slab_interval(fa, la, fb, lb, t, cfg: VisionConfig):
     """Per-target slab clip of one edge (the [near, far] x tau-in-[0,1]
     feasible sub-segment) and its screen extent — the per-TARGET half of
-    _edge_depth_tau_aa, shared by the interval kernel and the XLA culling
-    bounds. Returns (valid, e_lo_v, e_hi_v): raw clipped-endpoint screen
-    coords (garbage when ~valid — callers sentinel or gate)."""
+    _edge_depth_tau_aa (which CALLS this, so the compact prologue's culling
+    bounds can never diverge from the kernels' fragment evaluation).
+    Returns (valid, e_lo_v, e_hi_v, tau_lo, tau_hi): raw clipped-endpoint
+    screen coords + tau bounds (garbage when ~valid — callers sentinel or
+    gate)."""
     df = fb - fa
     dl = lb - la
     safe_df = jnp.where(jnp.abs(df) > 1e-30, df, 1e-30)
@@ -497,12 +484,15 @@ def _edge_slab_interval(fa, la, fb, lb, t, cfg: VisionConfig):
     tau_lo = jnp.where(flat_edge, 0.0, jnp.maximum(0.0, t_in))
     tau_hi = jnp.where(flat_edge, 1.0, jnp.minimum(1.0, t_out))
     in_slab = (fa > cfg.near) & (fa < cfg.far)
+    # boolean select as logic ops: Mosaic cannot lower select_n on i1
+    # vectors ("Unsupported target bitwidth for truncation")
     valid = (flat_edge & in_slab) | (~flat_edge & (tau_lo < tau_hi))
     f_lo = jnp.where(valid, fa + tau_lo * df, 1.0)
     f_hi = jnp.where(valid, fa + tau_hi * df, 1.0)
     u_a = (la + tau_lo * dl) / (t * jnp.maximum(f_lo, 1e-30))
     u_b = (la + tau_hi * dl) / (t * jnp.maximum(f_hi, 1e-30))
-    return valid, jnp.minimum(u_a, u_b), jnp.maximum(u_a, u_b)
+    return (valid, jnp.minimum(u_a, u_b), jnp.maximum(u_a, u_b),
+            tau_lo, tau_hi)
 
 
 COMPACT_WB = 512  # preferred pixel-block width; swept on v5e (128/256/512/1024)
@@ -912,8 +902,7 @@ def render_rows_wireframe_tiled(
 def _stream_outs(pos, dirs, tgt, hdg, cfg: VisionConfig, te, tj, wb, albedo,
                  n, m, n_pad_e, raw: bool):
     """The streaming pallas_call: pads inputs, returns the UNSLICED
-    [n_pad_e, W] output list (callers slice and texture-decode) — shared by
-    the streaming route and the compact route's overflow fallback branch."""
+    [n_pad_e, W] output list (callers slice and texture-decode)."""
     has_alb = albedo is not None
     n_pad_t = round_up(m, tj)
     ex = pad_axis(pos[:, 0], n_pad_e)
@@ -1001,7 +990,7 @@ def _compact_candidates(pos, dirs, tgt, hdg, cfg: VisionConfig, albedo,
         k_c = fa * dl - la * df
         ok_k = jnp.abs(k_c) > 1e-30
         inv_k = 1.0 / jnp.where(ok_k, k_c, 1.0)
-        valid, e_lo_v, e_hi_v = _edge_slab_interval(fa, la, fb, lb, t, cfg)
+        valid, e_lo_v, e_hi_v, _, _ = _edge_slab_interval(fa, la, fb, lb, t, cfg)
         gate = (ok_k & valid) if aa else ok_k
         zero = jnp.zeros_like(k_c)
         fields += [
@@ -1178,6 +1167,12 @@ def _render_compact(pos, dirs, tgt, hdg, cfg: VisionConfig, te, albedo,
 # strict d < far keeps misses out).
 
 BWD_EYES_PER_PROGRAM_WF = 8
+# vjp residual budget: TJ*WBLK element ceiling per tile (v5e-validated 4096;
+# 8k OOM'd the 16 MB scoped stack). WF_BWD_REMAT=True wraps the tile in
+# jax.checkpoint — residuals shrink to the tile INPUTS (recompute in the
+# transpose), the lever for raising the ceiling on hardware.
+WF_BWD_TILE_ELEMS = 1 << 12
+WF_BWD_REMAT = False
 
 
 def _wf_bwd_kernel(
@@ -1189,6 +1184,7 @@ def _wf_bwd_kernel(
     *,
     cfg: VisionConfig,
     tj: int,
+    trusted_depth: bool,
 ):
     te = ex_ref.shape[0]
     wb = dep_ref.shape[1]
@@ -1269,29 +1265,45 @@ def _wf_bwd_kernel(
 
             return j0, (txv, tyv, cthv, sthv), tile
 
-        # Pass 1: recompute THIS kernel's per-pixel min depth. Matching
-        # against it is exact (same math, same order, same kernel — bit-
-        # identical), so the winner is identified without a tolerance
-        # window; matching against the forward's saved depth instead left
-        # ~0.2% of pixels at near-ties routed to the wrong fragment (the
-        # raster-precompute forward follows a different fp route).
-        def dmin_body(k, best):
-            j0, args, tile = chunk_tile(k)
-            _, dm = tile(px, py, hx, hy, *args)
-            return jnp.minimum(best, jnp.min(dm, axis=0, keepdims=True))
+        if trusted_depth:
+            # the saved depth came from the streaming forward kernel (the
+            # diff path forces it): per-fragment depth is the same
+            # elementwise math on the same values and fp min is exactly
+            # associative, so dep_ref IS this kernel's min bit-for-bit —
+            # skip the pass-1 recompute entirely. The identity crosses two
+            # Mosaic lowerings (forward kernel vs vjp-traced backward); a
+            # contraction/reassociation divergence would silently drop the
+            # winner's cotangent, so tpu_tests pins trusted == untrusted
+            # gradients bit-exactly on hardware as the canary.
+            dloc = dpr
+            dpr_gate = dloc < cfg.far
+        else:
+            # Pass 1: recompute THIS kernel's per-pixel min depth. Matching
+            # against it is exact (same math, same order, same kernel — bit-
+            # identical), so the winner is identified without a tolerance
+            # window; matching against the forward's saved depth instead left
+            # ~0.2% of pixels at near-ties routed to the wrong fragment (the
+            # raster-precompute forward follows a different fp route).
+            def dmin_body(k, best):
+                j0, args, tile = chunk_tile(k)
+                _, dm = tile(px, py, hx, hy, *args)
+                return jnp.minimum(best, jnp.min(dm, axis=0, keepdims=True))
 
-        dloc = jax.lax.fori_loop(
-            0, num_chunks, dmin_body, jnp.full((1, wb), cfg.far, jnp.float32)
-        )
-        # cross-block gate: this kernel's min must BE the global winner
-        # (ring partials depth-merge across blocks; tolerance only here,
-        # where different devices' fp routes meet)
-        dpr_gate = (dloc < cfg.far) & (dloc <= dpr * (1.0 + 1e-5))
+            dloc = jax.lax.fori_loop(
+                0, num_chunks, dmin_body,
+                jnp.full((1, wb), cfg.far, jnp.float32),
+            )
+            # cross-block gate: this kernel's min must BE the global winner
+            # (ring partials depth-merge across blocks; tolerance only here,
+            # where different devices' fp routes meet)
+            dpr_gate = (dloc < cfg.far) & (dloc <= dpr * (1.0 + 1e-5))
 
         def body(k, carry, px=px, py=py, hx=hx, hy=hy,
                  usr=usr, udr=udr):
             axi, ayi, adx, ady, taken = carry
             j0, args, tile = chunk_tile(k)
+            if WF_BWD_REMAT:
+                tile = jax.checkpoint(tile)
             (sh, dm), pull = jax.vjp(tile, px, py, hx, hy, *args)
             # each pixel's cotangent is spent exactly once: exact match to
             # the recomputed min, first-match-wins across chunks (`taken`
@@ -1337,7 +1349,7 @@ def _wf_bwd_kernel(
     run_eyes_unrolled(eye_body, te, 1)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "te"))
+@functools.partial(jax.jit, static_argnames=("cfg", "te", "trusted_depth"))
 def render_rows_wireframe_vjp_cross(
     pos: jax.Array,
     dirs: jax.Array,
@@ -1348,6 +1360,7 @@ def render_rows_wireframe_vjp_cross(
     targets: jax.Array | None = None,
     target_hdg: jax.Array | None = None,
     te: int = BWD_EYES_PER_PROGRAM_WF,
+    trusted_depth: bool = False,
 ):
     """Pullback of the (cross-block) wireframe eye render: cotangents
     (us, ud) on (shade, depth) -> (d eye-pos [N,2], d eye-dirs [N,2],
@@ -1356,7 +1369,15 @@ def render_rows_wireframe_vjp_cross(
     raycast.render_rows_vjp_cross). Geometry-only: constant albedo, no
     texture. Sprites orient to their targets' headings, so the heading
     cotangent is a first-class output — pull it back through unit_heading
-    to reach velocities."""
+    to reach velocities.
+
+    `trusted_depth=True` asserts `depth` came from the STREAMING forward
+    kernel over the same inputs: bit-identical to the backward's
+    recomputation (same elementwise route; fp min is exactly associative
+    across any chunking), so the per-chunk pass-1 min-depth recompute is
+    skipped. Leave False when depth was merged across devices/blocks (the
+    ring's per-hop backward) or rendered by the raster-precompute forward
+    — different fp routes need the tolerance gate."""
     tgt = pos if targets is None else targets
     hdg = dirs if target_hdg is None else target_hdg
     n = pos.shape[0]
@@ -1379,7 +1400,7 @@ def render_rows_wireframe_vjp_cross(
             f"the wireframe backward kernel needs vision width <= 256 or a "
             f"multiple of 128, got {cfg.width}"
         )
-    tj = fit_tile(max(8, (1 << 12) // wblk), m, 8)
+    tj = fit_tile(max(8, WF_BWD_TILE_ELEMS // wblk), m, 8)
     n_pad_t = round_up(m, tj)
 
     ex = pad_axis(pos[:, 0], n_pad_e)
@@ -1396,7 +1417,9 @@ def render_rows_wireframe_vjp_cross(
     udp = pad_axis(ud, n_pad_e)
 
     grid = (n_pad_e // te, cfg.width // wblk)
-    kernel = functools.partial(_wf_bwd_kernel, cfg=cfg, tj=tj)
+    kernel = functools.partial(
+        _wf_bwd_kernel, cfg=cfg, tj=tj, trusted_depth=trusted_depth
+    )
     espec = lambda: pl.BlockSpec(
         (te, 1), lambda i, p: (i, 0), memory_space=pltpu.VMEM
     )
@@ -1461,8 +1484,14 @@ def _rrwd_bwd(cfg, res, cot):
     pos, vel, depth = res
     us, ud = cot
     dirs, pull_dirs = jax.vjp(camera.unit_heading, vel)
+    # trusted_depth=True would skip the backward's pass-1 depth recompute
+    # (~25-30% of its work): _rrwd_fwd forces the streaming forward, whose
+    # depth is bit-identical to the backward's recomputation in interpret
+    # mode. SHIPPED False until tpu_tests test_wireframe_trusted_depth_canary
+    # confirms the identity holds across the two MOSAIC lowerings on real
+    # silicon (a contraction divergence would silently drop cotangents).
     deye, ddirs, dtgt, dhdg = render_rows_wireframe_vjp_cross(
-        pos, dirs, depth, us, ud, cfg
+        pos, dirs, depth, us, ud, cfg, trusted_depth=False
     )
     # eyes look along AND sprites orient to the same unit_heading(vel)
     (dvel,) = pull_dirs(ddirs + dhdg)

@@ -142,3 +142,61 @@ def test_coincident_targets_single_count():
     np.testing.assert_allclose(gk[0], gd[0], rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(gk[1] + gk[2], gd[1] + gd[2],
                                rtol=1e-4, atol=1e-5)
+
+
+def test_remat_flag_compiles_and_grads_live():
+    """Fast sibling of the bit-equal pin below: the WF_BWD_REMAT branch
+    (jax.checkpoint around the vjp tile) compiles and produces finite,
+    nonzero gradients at a micro shape — one compile; exactness vs the
+    default path is the slow test's job."""
+    cfg = VisionConfig(width=16, sprite_mode="wireframe", antialias=True,
+                       far=200.0)
+    pos, vel = _scene(jax.random.key(11), 12)
+
+    def loss(p, v):
+        s, d = wireframe.render_rows_wireframe_diff(p, v, cfg)
+        return jnp.sum(s * s) + 1e-3 * jnp.sum(jnp.where(d < cfg.far, d, 0.0))
+
+    old = wireframe.WF_BWD_REMAT
+    try:
+        wireframe.WF_BWD_REMAT = True
+        jax.clear_caches()  # trace-time flag, not a jit key
+        gk = jax.grad(loss, argnums=(0, 1))(pos, vel)
+    finally:
+        wireframe.WF_BWD_REMAT = old
+        jax.clear_caches()
+    for a in gk:
+        a = np.asarray(a)
+        assert np.isfinite(a).all() and (np.abs(a) > 0).any()
+
+
+@pytest.mark.slow
+def test_remat_flag_gradients_bit_equal():
+    """WF_BWD_REMAT=True wraps the in-kernel vjp tile in jax.checkpoint
+    (residuals shrink to the tile inputs — the lever for raising
+    WF_BWD_TILE_ELEMS on hardware); the recompute follows the same fp
+    route, so gradients must be BIT-equal to the default path."""
+    cfg = VisionConfig(width=32, sprite_mode="wireframe", antialias=True,
+                       far=200.0)
+    kp, kv = jax.random.split(jax.random.key(3))
+    pos = jax.random.uniform(kp, (24, 2), minval=-30, maxval=30,
+                             dtype=jnp.float32)
+    vel = jax.random.uniform(kv, (24, 2), minval=-1, maxval=1,
+                             dtype=jnp.float32)
+
+    def loss(p, v):
+        s, d = wireframe.render_rows_wireframe_diff(p, v, cfg)
+        return jnp.sum(s * s) + 1e-3 * jnp.sum(jnp.where(d < cfg.far, d, 0.0))
+
+    g0 = jax.grad(loss, argnums=(0, 1))(pos, vel)
+    old = wireframe.WF_BWD_REMAT
+    try:
+        wireframe.WF_BWD_REMAT = True
+        jax.clear_caches()  # trace-time flag, not a jit key
+        g1 = jax.grad(loss, argnums=(0, 1))(pos, vel)
+    finally:
+        wireframe.WF_BWD_REMAT = old
+        jax.clear_caches()
+    for a, b in zip(g0, g1):
+        assert float(jnp.linalg.norm(a)) > 0
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -388,3 +388,45 @@ def test_rdma_ring_compiles_on_hardware():
     )
     np.testing.assert_allclose(vgot_d, vwant_d, rtol=1e-5, atol=1e-4)
     np.testing.assert_allclose(vgot_s, vwant_s, rtol=1e-5, atol=1e-4)
+
+
+@requires_tpu
+def test_wireframe_trusted_depth_canary():
+    """The diff path's backward skips its pass-1 depth recompute by trusting
+    the streaming forward's saved depth (ops/wireframe._wf_bwd_kernel
+    trusted_depth). That identity crosses TWO Mosaic lowerings (forward
+    kernel vs vjp-traced backward): a contraction/reassociation divergence
+    would silently drop winner cotangents. Canary: trusted and untrusted
+    gradients must match BIT-exactly on hardware. _rrwd_bwd ships
+    trusted_depth=False until this has passed on silicon; once it holds,
+    flip it True (and back to False on any future Mosaic break)."""
+    from nenbody_tpu.config import VisionConfig
+    from nenbody_tpu.ops import wireframe
+    from nenbody_tpu.vision import camera
+
+    for w, n in ((64, 256), (1024, 100)):
+        cfg = VisionConfig(width=w, sprite_mode="wireframe", antialias=True,
+                           far=200.0)
+        kp, kv, ku, kd = jax.random.split(jax.random.key(23), 4)
+        pos = jax.random.uniform(kp, (n, 2), minval=-100, maxval=100,
+                                 dtype=jnp.float32)
+        vel = jax.random.uniform(kv, (n, 2), minval=-1, maxval=1,
+                                 dtype=jnp.float32)
+        us = jax.random.normal(ku, (n, w), jnp.float32)
+        ud = 0.01 * jax.random.normal(kd, (n, w), jnp.float32)
+        dirs = camera.unit_heading(vel)
+        shade, depth = wireframe.render_rows_wireframe_tiled(
+            pos, vel, cfg, force_streaming=True
+        )
+        gt = wireframe.render_rows_wireframe_vjp_cross(
+            pos, dirs, depth, us, ud, cfg, trusted_depth=True
+        )
+        gu = wireframe.render_rows_wireframe_vjp_cross(
+            pos, dirs, depth, us, ud, cfg, trusted_depth=False
+        )
+        for a, b, name in zip(gt, gu, ("eye", "dirs", "tgt", "hdg")):
+            a, b = np.asarray(a), np.asarray(b)
+            assert np.abs(b).max() > 0, f"{name} grads all zero at w={w}"
+            np.testing.assert_array_equal(
+                a, b, err_msg=f"trusted!=untrusted {name} w={w}"
+            )
