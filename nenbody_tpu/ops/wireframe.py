@@ -498,6 +498,13 @@ def _edge_slab_interval(fa, la, fb, lb, t, cfg: VisionConfig):
 COMPACT_WB = 512  # preferred pixel-block width; swept on v5e (128/256/512/1024)
 COMPACT_SUB = 8
 COMPACT_UNROLL = 8
+# above COMPACT_SORT_MIN_M targets, the prologue compacts with one stable
+# multi-operand co-sort instead of the comparison-count rank + one-hot
+# contraction (O(n m^2) + O(n m K F), both measured fine at m <= 256 but
+# quadratic/cubic past it); COMPACT_SORT_MAX_M bounds the kernel's
+# all-candidates VMEM block (te*K per field column)
+COMPACT_SORT_MIN_M = 256
+COMPACT_SORT_MAX_M = 4096
 
 
 def _compact_field_count(aa: bool, has_alb: bool) -> int:
@@ -804,14 +811,22 @@ def render_rows_wireframe_tiled(
     # reference's N=100 x W=1024 eye the precompute path pads targets to
     # 128 lanes while streaming pads to 104 sublanes and amortizes the
     # per-chunk vertex projections over the full row.
-    small_m_wide = (
-        cfg.width >= 512
-        and cfg.width % 128 == 0
-        and round_up(m, 8) * min(cfg.width, 1024) <= (1 << 18)
+    wide_ok = cfg.width >= 512 and cfg.width % 128 == 0
+    small_m_wide = wide_ok and round_up(m, 8) * min(cfg.width, 1024) <= (
+        1 << 18
     )
-    if small_m_wide and not force_streaming:
-        # the compacted-candidate inverse-depth kernel owns this shape
-        # class; force_streaming (the diff path) stays on the streaming
+    # many-target wide rows (e.g. N=1024 x W=1024) ALSO compact: the
+    # sorted-prologue edition (one stable co-sort, bit-identical slots)
+    # replaces full-work raster/streaming with interval-culled groups;
+    # COMPACT_SORT_MAX_M bounds the kernel's all-candidates VMEM block
+    sorted_m_wide = (
+        wide_ok
+        and not small_m_wide
+        and round_up(m, 8) <= COMPACT_SORT_MAX_M
+    )
+    if (small_m_wide or sorted_m_wide) and not force_streaming:
+        # the compacted-candidate inverse-depth kernel owns these shape
+        # classes; force_streaming (the diff path) stays on the streaming
         # kernel, whose op order its backward recomputes
         return _render_compact(
             pos, dirs, tgt, hdg, cfg, te, albedo, texture, n, m
@@ -958,19 +973,22 @@ def _stream_outs(pos, dirs, tgt, hdg, cfg: VisionConfig, te, tj, wb, albedo,
 
 
 def _compact_candidates(pos, dirs, tgt, hdg, cfg: VisionConfig, albedo,
-                        n, m, n_pad_e: int, K: int, P: int, wb: int):
+                        n, m, n_pad_e: int, K: int, P: int, wb: int,
+                        use_sort: bool = False):
     """XLA prologue for _wireframe_compact_kernel (see its docstring).
 
     Per (eye, target): project the 3 sprite verts (_project_verts_all, the
     same fp route as the precompute path), derive the per-edge inverse-depth
     constants and slab-clipped screen intervals, rank the screen-VISIBLE
-    sprites by interval left edge (a comparison-count rank — no sort
-    primitive), and compact every per-candidate constant into K slots with
-    one one-hot contraction. Precision.HIGHEST makes that contraction an
-    EXACT selection (the operands' 3-term bf16 splits reconstruct f32
-    products with a 0/1 mask exactly); empty slots are rewritten to the
-    field's sentinel (0 for constants — q = 0 never hits — and the +-4
-    off-screen pair for intervals).
+    sprites by interval left edge, and compact every per-candidate constant
+    into K slots. Two bit-identical compaction editions: a comparison-count
+    rank + one-hot contraction (Precision.HIGHEST makes it an EXACT
+    selection — the operands' 3-term bf16 splits reconstruct f32 products
+    with a 0/1 mask exactly; the measured winner at m <= 256), and
+    `use_sort` — one stable multi-operand co-sort (scales past the rank's
+    O(n*m^2)). Empty slots are rewritten to the field's sentinel (0 for
+    constants — q = 0 never hits — and the +-4 off-screen pair for
+    intervals).
 
     Returns (fld [F, n_pad_e, K], ks, ke [n_pad_e, P] i32 group ranges)."""
     aa = cfg.antialias
@@ -1024,34 +1042,58 @@ def _compact_candidates(pos, dirs, tgt, hdg, cfg: VisionConfig, albedo,
     margin = 1.0 / cfg.width + 1e-3
     member = (sp_lo <= 1.0 + margin) & (sp_hi >= -1.0 - margin)  # [n, m]
 
-    # rank members by (interval left edge, index) via comparison counting —
-    # O(n*m^2) elementwise beats a sort primitive at this route's m <= 256
     key = jnp.where(member, sp_lo, 4.0)
-    idx = jnp.arange(m)
-    key_t = key[:, :, None]  # [n, t, 1]
-    key_j = key[:, None, :]  # [n, 1, j]
-    rank = jnp.sum(
-        (key_j < key_t)
-        | ((key_j == key_t) & (idx[None, None, :] < idx[None, :, None])),
-        axis=2,
-        dtype=jnp.int32,
-    )  # [n, m]
-    onehot = (
-        member[:, :, None] & (rank[:, :, None] == jnp.arange(K)[None, None, :])
-    ).astype(jnp.float32)  # [n, m, K]
+    if use_sort:
+        # one STABLE multi-operand co-sort moves every field column into
+        # screen order without gathers; stable + non-members keyed at the
+        # +4 sentinel reproduces the rank path's (key, index) order
+        # exactly, so the two prologues are bit-identical (pinned by
+        # tests/test_wireframe_kernel.py) — this path just scales past the
+        # rank's O(n*m^2) / the one-hot's O(n*m*K*F)
+        ops = jax.lax.sort(
+            [key] + fields + [member.astype(jnp.float32)],
+            dimension=1, is_stable=True, num_keys=1,
+        )
+        comp = jnp.stack(ops[1:-1], axis=0)  # [F+2, n, m] screen-ordered
+        filled = ops[-1] > 0.5  # [n, m]
+        if K != m:
+            comp = jnp.pad(comp, ((0, 0), (0, 0), (0, K - m)))
+            filled = jnp.pad(filled, ((0, 0), (0, K - m)))
+        comp = jnp.where(
+            filled[None, :, :], comp,
+            jnp.asarray(sent, jnp.float32)[:, None, None],
+        )
+    else:
+        # rank members by (interval left edge, index) via comparison
+        # counting — O(n*m^2) elementwise beats a sort primitive at this
+        # route's m <= 256
+        idx = jnp.arange(m)
+        key_t = key[:, :, None]  # [n, t, 1]
+        key_j = key[:, None, :]  # [n, 1, j]
+        rank = jnp.sum(
+            (key_j < key_t)
+            | ((key_j == key_t) & (idx[None, None, :] < idx[None, :, None])),
+            axis=2,
+            dtype=jnp.int32,
+        )  # [n, m]
+        onehot = (
+            member[:, :, None]
+            & (rank[:, :, None] == jnp.arange(K)[None, None, :])
+        ).astype(jnp.float32)  # [n, m, K]
 
-    fstack = jnp.stack(fields, axis=-1)  # [n, m, F+2]
-    comp = jnp.einsum(
-        "etk,etf->fek", onehot, fstack,
-        precision=jax.lax.Precision.HIGHEST,
-    )  # [F+2, n, K]: field-major, so the launcher's per-field kernel
-    # operands are CONTIGUOUS leading-dim slices (the [n, K, F] layout cost
-    # ~20 strided-copy kernels per step, measured as a flat ~50 us floor)
-    filled = jnp.sum(onehot, axis=1) > 0.5  # [n, K]
-    comp = jnp.where(
-        filled[None, :, :], comp,
-        jnp.asarray(sent, jnp.float32)[:, None, None],
-    )
+        fstack = jnp.stack(fields, axis=-1)  # [n, m, F+2]
+        comp = jnp.einsum(
+            "etk,etf->fek", onehot, fstack,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # [F+2, n, K]: field-major, so the launcher's per-field kernel
+        # operands are CONTIGUOUS leading-dim slices (the [n, K, F] layout
+        # cost ~20 strided-copy kernels per step, measured as a flat ~50 us
+        # floor)
+        filled = jnp.sum(onehot, axis=1) > 0.5  # [n, K]
+        comp = jnp.where(
+            filled[None, :, :], comp,
+            jnp.asarray(sent, jnp.float32)[:, None, None],
+        )
     spc_lo, spc_hi = comp[-2], comp[-1]
     fld = comp[:-2]
 
@@ -1098,7 +1140,8 @@ def _render_compact(pos, dirs, tgt, hdg, cfg: VisionConfig, te, albedo,
     F = _compact_field_count(aa, has_alb)
     n_out = _wf_num_outputs(raw, has_alb, aa)
     fld, ks, ke = _compact_candidates(
-        pos, dirs, tgt, hdg, cfg, albedo, n, m, n_pad_e, K, P, wb
+        pos, dirs, tgt, hdg, cfg, albedo, n, m, n_pad_e, K, P, wb,
+        use_sort=m > COMPACT_SORT_MIN_M,
     )
 
     kernel = functools.partial(

@@ -262,3 +262,54 @@ def test_antialias_far_plane_straddle_parity():
         np.testing.assert_array_equal(wd, gd)
         np.testing.assert_allclose(ws, gs, atol=2e-4)
         assert not ((wd == 200.0) & (np.abs(ws - cfg.background) > 1e-6)).any()
+
+
+def test_compact_sorted_prologue_bit_identical():
+    """The sorted-compaction edition (stable co-sort) must produce the SAME
+    slots, sentinels, and group ranges as the rank + one-hot edition — the
+    stable sort on the member-keyed column reproduces (key, index) order
+    and both move exact field values."""
+    from nenbody_tpu.vision import camera
+
+    cfg = VisionConfig(width=512, sprite_mode="wireframe", antialias=True,
+                       far=200.0)
+    pos, vel = _spawnish(jax.random.key(41), 24)
+    kt, kv = jax.random.split(jax.random.key(43))
+    tgt = jax.random.uniform(kt, (120, 2), minval=-80, maxval=80,
+                             dtype=jnp.float32)
+    tvel = jax.random.uniform(kv, (120, 2), minval=-1, maxval=1,
+                              dtype=jnp.float32)
+    dirs = camera.unit_heading(vel)
+    hdg = camera.unit_heading(tvel)
+    albedo = jax.random.uniform(jax.random.key(44), (120,), minval=0.3,
+                                maxval=1.0)
+    args = (pos, dirs, tgt, hdg, cfg, albedo, 24, 120, 24, 128, 1, 512)
+    fe, kse, kee = wireframe._compact_candidates(*args, use_sort=False)
+    fs, kss, kes = wireframe._compact_candidates(*args, use_sort=True)
+    np.testing.assert_array_equal(np.asarray(fe), np.asarray(fs))
+    np.testing.assert_array_equal(np.asarray(kse), np.asarray(kss))
+    np.testing.assert_array_equal(np.asarray(kee), np.asarray(kes))
+
+
+def test_compact_sorted_many_targets_matches_dense():
+    """m > COMPACT_SORT_MIN_M wide rows route to the compact kernel through
+    the sorted prologue (they previously ran the full-work raster/streaming
+    paths — the N=1024 x W=1024 stress shape's class); pin to the dense
+    oracle with AA + per-target albedo."""
+    cfg = VisionConfig(width=512, sprite_mode="wireframe", antialias=True,
+                       far=200.0)
+    pos, vel = _spawnish(jax.random.key(47), 16)
+    kt, kv = jax.random.split(jax.random.key(48))
+    m = 300  # > COMPACT_SORT_MIN_M, not a multiple of 8 (slot padding)
+    tgt = jax.random.uniform(kt, (m, 2), minval=-100, maxval=100,
+                             dtype=jnp.float32)
+    tvel = jax.random.uniform(kv, (m, 2), minval=-1, maxval=1,
+                              dtype=jnp.float32)
+    albedo = jax.random.uniform(jax.random.key(49), (m,), minval=0.3,
+                                maxval=1.0)
+    want = render.render_rows(pos, vel, cfg, targets=tgt, target_vel=tvel,
+                              albedo=albedo)
+    got = wireframe.render_rows_wireframe_tiled(
+        pos, vel, cfg, targets=tgt, target_vel=tvel, albedo=albedo
+    )
+    _assert_rows_close(got, want, atol=1e-3)
