@@ -505,6 +505,18 @@ COMPACT_UNROLL = 8
 # all-candidates VMEM block (te*K per field column)
 COMPACT_SORT_MIN_M = 256
 COMPACT_SORT_MAX_M = 4096
+# operand layout A/B (hardware sweep via _wf_quick.py):
+# PACKED_FIELDS=True feeds the kernel ONE [TE*K, F] candidate-major operand
+# (a single contiguous reshape in the prologue) instead of F per-field
+# [TE*K, 1] columns (~20 slice-copy fusions per step — the measured ~30 us
+# XLA launch floor at N=100/W=1024). WHOLE_BLOCK=True additionally loads one
+# (sub, F) block per group iteration and extracts fields with STATIC lane
+# slices; False keeps per-field dynamic (sub, 1) loads from the packed
+# operand. CAUTION: an earlier [TE, K, F]-packed lane-sliced variant
+# measured 3x SLOWER end-to-end — this one loads each block once and slices
+# in registers, but keep the flags until silicon confirms.
+COMPACT_PACKED_FIELDS = True
+COMPACT_WHOLE_BLOCK = True
 
 
 def _compact_field_count(aa: bool, has_alb: bool) -> int:
@@ -564,8 +576,13 @@ def _wireframe_compact_kernel(
     observable semantics as the streaming kernel (plain + AA + raw
     texture + albedo), tolerance-level fp differences only."""
     aa = cfg.antialias
-    fld_refs = rest[:n_fields]
-    out_refs = rest[n_fields:]
+    if COMPACT_PACKED_FIELDS:
+        fld_refs = rest[:1]
+        out_refs = rest[1:]
+        assert fld_refs[0].shape[1] == n_fields, "packed-field operand mismatch"
+    else:
+        fld_refs = rest[:n_fields]
+        out_refs = rest[n_fields:]
     te = fld_refs[0].shape[0] // K
     wb = out_refs[0].shape[1]
     hp = 1.0 / cfg.width
@@ -591,28 +608,43 @@ def _wireframe_compact_kernel(
     u_hi_px = u_p + hp
 
     def eye_body(e, _):
-        def fld(fi, g0, e=e):
-            # (sub, 1) constant column at a dynamic 8-aligned sublane
-            # offset in the eye-major field column — the exact load
-            # pattern the streaming kernel's target chunks use (a packed
-            # [TE, K, F] block with per-field lane slicing measured ~3x
-            # slower end-to-end)
-            off = pl.multiple_of(e * K + g0, sub)
-            return fld_refs[fi][pl.ds(off, sub), :]
-
         def grp(g, carry):
             best_q, best_p = carry
             g0 = pl.multiple_of(g * sub, sub)
+            # every load pattern keeps the (sub, 1)-per-field value shape at
+            # a dynamic 8-aligned sublane offset; only the FETCH differs:
+            off = pl.multiple_of(e * K + g0, sub)
+            if COMPACT_PACKED_FIELDS and COMPACT_WHOLE_BLOCK:
+                # one dynamic-sublane load of the whole (sub, F) constant
+                # block per group iteration; per-field extraction is a
+                # STATIC lane slice on the loaded value
+                blk = fld_refs[0][pl.ds(off, sub), :]
+
+                def fld(fi):
+                    return jax.lax.slice_in_dim(blk, fi, fi + 1, axis=1)
+
+            elif COMPACT_PACKED_FIELDS:
+                # per-field dynamic (sub, 1) loads from the packed operand
+                # (the sweep fallback if the block load lowers worse)
+                def fld(fi):
+                    return fld_refs[0][pl.ds(off, sub), pl.ds(fi, 1)]
+
+            else:
+                # separate eye-major field columns — the exact load pattern
+                # the streaming kernel's target chunks use
+                def fld(fi):
+                    return fld_refs[fi][pl.ds(off, sub), :]
+
             q_m = p_m = None
             sp_lo = sp_hi = None
             for ei, (quad, (uva, duv)) in enumerate(zip(_EDGE_QUAD, _EDGE_UV)):
-                av = fld(4 * ei + 0, g0)
-                bu = fld(4 * ei + 1, g0)
-                cv = fld(4 * ei + 2, g0)
-                du = fld(4 * ei + 3, g0)
+                av = fld(4 * ei + 0)
+                bu = fld(4 * ei + 1)
+                cv = fld(4 * ei + 2)
+                du = fld(4 * ei + 3)
                 if aa:
-                    elv = fld(12 + 2 * ei + 0, g0)
-                    ehv = fld(12 + 2 * ei + 1, g0)
+                    elv = fld(12 + 2 * ei + 0)
+                    ehv = fld(12 + 2 * ei + 1)
                     u_c = jnp.clip(u_p, elv, ehv)  # (sub, WB)
                     q = av + bu * u_c
                     tq = cv + du * u_c
@@ -640,7 +672,7 @@ def _wireframe_compact_kernel(
                     q_m = jnp.maximum(q_m, qg)
             pays = p_m
             if has_alb:
-                pays = pays + (fld(alb_idx, g0),)  # (sub, 1): broadcasts
+                pays = pays + (fld(alb_idx),)  # (sub, 1): broadcasts
             if aa:
                 cov = jnp.clip(
                     (
@@ -990,7 +1022,10 @@ def _compact_candidates(pos, dirs, tgt, hdg, cfg: VisionConfig, albedo,
     constants — q = 0 never hits — and the +-4 off-screen pair for
     intervals).
 
-    Returns (fld [F, n_pad_e, K], ks, ke [n_pad_e, P] i32 group ranges)."""
+    Returns (fld, ks, ke [n_pad_e, P] i32 group ranges); fld is the packed
+    candidate-major [n_pad_e*K, F] constant array when COMPACT_PACKED_FIELDS
+    (one contiguous reshape — no per-field slice copies) else field-major
+    [F, n_pad_e, K] (contiguous leading-dim slices for per-field operands)."""
     aa = cfg.antialias
     has_alb = albedo is not None
     sub = COMPACT_SUB
@@ -1054,15 +1089,24 @@ def _compact_candidates(pos, dirs, tgt, hdg, cfg: VisionConfig, albedo,
             [key] + fields + [member.astype(jnp.float32)],
             dimension=1, is_stable=True, num_keys=1,
         )
-        comp = jnp.stack(ops[1:-1], axis=0)  # [F+2, n, m] screen-ordered
         filled = ops[-1] > 0.5  # [n, m]
-        if K != m:
-            comp = jnp.pad(comp, ((0, 0), (0, 0), (0, K - m)))
-            filled = jnp.pad(filled, ((0, 0), (0, K - m)))
-        comp = jnp.where(
-            filled[None, :, :], comp,
-            jnp.asarray(sent, jnp.float32)[:, None, None],
-        )
+        if COMPACT_PACKED_FIELDS:
+            comp = jnp.stack(ops[1:-1], axis=-1)  # [n, m, F+2] screen-ordered
+            if K != m:
+                comp = jnp.pad(comp, ((0, 0), (0, K - m), (0, 0)))
+                filled = jnp.pad(filled, ((0, 0), (0, K - m)))
+            comp = jnp.where(
+                filled[:, :, None], comp, jnp.asarray(sent, jnp.float32)
+            )
+        else:
+            comp = jnp.stack(ops[1:-1], axis=0)  # [F+2, n, m] screen-ordered
+            if K != m:
+                comp = jnp.pad(comp, ((0, 0), (0, 0), (0, K - m)))
+                filled = jnp.pad(filled, ((0, 0), (0, K - m)))
+            comp = jnp.where(
+                filled[None, :, :], comp,
+                jnp.asarray(sent, jnp.float32)[:, None, None],
+            )
     else:
         # rank members by (interval left edge, index) via comparison
         # counting — O(n*m^2) elementwise beats a sort primitive at this
@@ -1082,20 +1126,32 @@ def _compact_candidates(pos, dirs, tgt, hdg, cfg: VisionConfig, albedo,
         ).astype(jnp.float32)  # [n, m, K]
 
         fstack = jnp.stack(fields, axis=-1)  # [n, m, F+2]
-        comp = jnp.einsum(
-            "etk,etf->fek", onehot, fstack,
-            precision=jax.lax.Precision.HIGHEST,
-        )  # [F+2, n, K]: field-major, so the launcher's per-field kernel
-        # operands are CONTIGUOUS leading-dim slices (the [n, K, F] layout
-        # cost ~20 strided-copy kernels per step, measured as a flat ~50 us
-        # floor)
         filled = jnp.sum(onehot, axis=1) > 0.5  # [n, K]
-        comp = jnp.where(
-            filled[None, :, :], comp,
-            jnp.asarray(sent, jnp.float32)[:, None, None],
-        )
-    spc_lo, spc_hi = comp[-2], comp[-1]
-    fld = comp[:-2]
+        if COMPACT_PACKED_FIELDS:
+            comp = jnp.einsum(
+                "etk,etf->ekf", onehot, fstack,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # [n, K, F+2]: candidate-major — the kernel's single packed
+            # operand is ONE contiguous reshape away
+            comp = jnp.where(
+                filled[:, :, None], comp, jnp.asarray(sent, jnp.float32)
+            )
+        else:
+            comp = jnp.einsum(
+                "etk,etf->fek", onehot, fstack,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # [F+2, n, K]: field-major, so the launcher's per-field
+            # kernel operands are CONTIGUOUS leading-dim slices
+            comp = jnp.where(
+                filled[None, :, :], comp,
+                jnp.asarray(sent, jnp.float32)[:, None, None],
+            )
+    if COMPACT_PACKED_FIELDS:
+        spc_lo, spc_hi = comp[:, :, -2], comp[:, :, -1]
+        fld = comp[:, :, :-2]  # [n, K, F]
+    else:
+        spc_lo, spc_hi = comp[-2], comp[-1]
+        fld = comp[:-2]
 
     # per-(eye, pixel-block) group ranges: candidate groups are screen-local
     # after sorting, so the overlapping range is ~1-2 groups per block
@@ -1114,9 +1170,11 @@ def _compact_candidates(pos, dirs, tgt, hdg, cfg: VisionConfig, albedo,
     ke = jnp.max(jnp.where(ov, gi + 1, 0), axis=1)
 
     if n_pad_e != n:
-        fld = pad_axis(fld, n_pad_e, axis=1)
+        fld = pad_axis(fld, n_pad_e, axis=1 if not COMPACT_PACKED_FIELDS else 0)
         ks = pad_axis(ks, n_pad_e)  # pad eyes: ks=ke=0 -> empty group loop
         ke = pad_axis(ke, n_pad_e)
+    if COMPACT_PACKED_FIELDS:
+        return fld.reshape(n_pad_e * K, fld.shape[-1]), ks, ke
     return fld, ks, ke
 
 
@@ -1148,7 +1206,23 @@ def _render_compact(pos, dirs, tgt, hdg, cfg: VisionConfig, te, albedo,
         _wireframe_compact_kernel, cfg=cfg, n_fields=F, K=K,
         has_alb=has_alb, raw=raw,
     )
-    fld_cols = [fld[f].reshape(-1, 1) for f in range(F)]
+    if COMPACT_PACKED_FIELDS:
+        # one packed operand; its F lanes equal the array's lane count
+        # (allowed without 128-padding) and sublanes te*K are 8-multiple
+        fld_ops = [fld]
+        fld_specs = [
+            pl.BlockSpec(
+                (te * K, F), lambda i, p: (i, 0), memory_space=pltpu.VMEM
+            )
+        ]
+    else:
+        fld_ops = [fld[f].reshape(-1, 1) for f in range(F)]
+        fld_specs = [
+            pl.BlockSpec(
+                (te * K, 1), lambda i, p: (i, 0), memory_space=pltpu.VMEM
+            )
+            for _ in range(F)
+        ]
     outs = pl.pallas_call(
         kernel,
         grid=(n_pad_e // te, P),
@@ -1162,12 +1236,7 @@ def _render_compact(pos, dirs, tgt, hdg, cfg: VisionConfig, te, albedo,
                 (te, P), lambda i, p: (i, 0), memory_space=pltpu.SMEM
             ),
         ]
-        + [
-            pl.BlockSpec(
-                (te * K, 1), lambda i, p: (i, 0), memory_space=pltpu.VMEM
-            )
-            for _ in range(F)
-        ],
+        + fld_specs,
         out_specs=[
             pl.BlockSpec(
                 (te, wb), lambda i, p: (i, p), memory_space=pltpu.VMEM
@@ -1185,7 +1254,7 @@ def _render_compact(pos, dirs, tgt, hdg, cfg: VisionConfig, te, albedo,
             transcendentals=0,
         ),
         interpret=interpret_mode(),
-    )(ks, ke, *fld_cols)
+    )(ks, ke, *fld_ops)
     outs = [o[:n] for o in outs]
     if raw:
         return _decode_textured_wf(outs, cfg, texture, has_alb, aa=aa)

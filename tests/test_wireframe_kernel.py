@@ -222,6 +222,44 @@ def test_compact_wide_row_matches_dense(aa, texture):
     _assert_rows_close(got, want, atol=1e-3)
 
 
+@pytest.mark.slow
+def test_compact_operand_layout_variants_bit_identical():
+    """The compact kernel's operand-layout A/B flags (COMPACT_PACKED_FIELDS:
+    one [TE*K, F] candidate-major operand vs F per-field columns;
+    COMPACT_WHOLE_BLOCK: one (sub, F) block load + static lane slices vs
+    per-field dynamic loads) are pure data-movement alternatives — all three
+    variants must produce BIT-identical rows (same fp ops in the same
+    order), so the hardware sweep can flip them freely."""
+    cfg = VisionConfig(width=512, sprite_mode="wireframe", antialias=True,
+                       far=200.0)
+    pos, vel = _spawnish(jax.random.key(51), 16)
+    kt, kv = jax.random.split(jax.random.key(52))
+    tgt = jax.random.uniform(kt, (60, 2), minval=-80, maxval=80,
+                             dtype=jnp.float32)
+    tvel = jax.random.uniform(kv, (60, 2), minval=-1, maxval=1,
+                              dtype=jnp.float32)
+    albedo = jax.random.uniform(jax.random.key(53), (60,), minval=0.3,
+                                maxval=1.0)
+    saved = (wireframe.COMPACT_PACKED_FIELDS, wireframe.COMPACT_WHOLE_BLOCK)
+    outs = {}
+    try:
+        for packed, whole in ((True, True), (True, False), (False, False)):
+            wireframe.COMPACT_PACKED_FIELDS = packed
+            wireframe.COMPACT_WHOLE_BLOCK = whole
+            jax.clear_caches()  # trace-time globals, not jit keys
+            s, d = wireframe.render_rows_wireframe_tiled(
+                pos, vel, cfg, targets=tgt, target_vel=tvel, albedo=albedo)
+            outs[(packed, whole)] = (np.asarray(s), np.asarray(d))
+    finally:
+        wireframe.COMPACT_PACKED_FIELDS = saved[0]
+        wireframe.COMPACT_WHOLE_BLOCK = saved[1]
+        jax.clear_caches()
+    base = outs[(False, False)]
+    for k, v in outs.items():
+        np.testing.assert_array_equal(v[0], base[0], err_msg=str(k))
+        np.testing.assert_array_equal(v[1], base[1], err_msg=str(k))
+
+
 def test_compact_non_512_width_matches_dense():
     """W=768 exercises the compact launcher's pixel-block fallback (wb=256:
     the preferred 512 does not divide the width)."""
