@@ -531,6 +531,76 @@ def _compact_alb_idx(aa: bool) -> int:
     return 12 + (6 if aa else 0)
 
 
+def _compact_group_eval(fld, u_p, u_lo_px, u_hi_px, cfg: VisionConfig,
+                        raw: bool, has_alb: bool, q_only: bool = False):
+    """Per-candidate fragment evaluation over one 8-candidate group — the
+    compact kernel's inner loop body, shared by the forward kernel and the
+    backward kernel (which pulls it back with jax.vjp and must recompute
+    the SAME fp route for exact winner matching). `fld(fi) -> (sub, 1)`
+    abstracts the operand layout. Returns (q_m (sub, WB) merged homogenized
+    depth, pays tuple of (sub, WB) winner payloads); `q_only` skips the
+    payload selects (the backward's cheap pass-1 winner recompute)."""
+    aa = cfg.antialias
+    qfar = 1.0 / cfg.far
+    qnear = 1.0 / cfg.near
+    hp = 1.0 / cfg.width
+    q_m = p_m = None
+    sp_lo = sp_hi = None
+    for ei, (quad, (uva, duv)) in enumerate(zip(_EDGE_QUAD, _EDGE_UV)):
+        av = fld(4 * ei + 0)
+        bu = fld(4 * ei + 1)
+        cv = fld(4 * ei + 2)
+        du = fld(4 * ei + 3)
+        if aa:
+            elv = fld(12 + 2 * ei + 0)
+            ehv = fld(12 + 2 * ei + 1)
+            u_c = jnp.clip(u_p, elv, ehv)  # (sub, WB)
+            q = av + bu * u_c
+            tq = cv + du * u_c
+            cov_e = (ehv > u_lo_px) & (elv < u_hi_px)
+            qg = jnp.where(cov_e & (q > qfar), q, 0.0)
+            sp_lo = elv if sp_lo is None else jnp.minimum(sp_lo, elv)
+            sp_hi = ehv if sp_hi is None else jnp.maximum(sp_hi, ehv)
+        else:
+            q = av + bu * u_p  # (sub, WB)
+            tq = cv + du * u_p
+            hit = (q > qfar) & (q < qnear) & (tq >= 0.0) & (tq <= q)
+            qg = jnp.where(hit, q, 0.0)
+        if q_only:
+            q_m = qg if q_m is None else jnp.maximum(q_m, qg)
+            continue
+        if raw:
+            p_e = (uva[0] * q + tq * duv[0], uva[1] * q + tq * duv[1])
+        else:
+            c0, c1, c2 = quad
+            p_e = ((c0 * q + c1 * tq) * q + c2 * tq * tq,)
+        if q_m is None:
+            q_m, p_m = qg, p_e
+        else:
+            take = qg > q_m
+            p_m = tuple(
+                jnp.where(take, pe, pm) for pe, pm in zip(p_e, p_m)
+            )
+            q_m = jnp.maximum(q_m, qg)
+    if q_only:
+        return q_m, ()
+    pays = p_m
+    if has_alb:
+        pays = pays + (fld(_compact_alb_idx(aa)),)  # (sub, 1): broadcasts
+    if aa:
+        cov = jnp.clip(
+            (
+                jnp.minimum(sp_hi, u_hi_px)
+                - jnp.maximum(sp_lo, u_lo_px)
+            )
+            * (0.5 / hp),
+            0.0,
+            1.0,
+        )
+        pays = pays + (cov,)
+    return q_m, pays
+
+
 def _wireframe_compact_kernel(
     ks_ref, ke_ref,  # [TE, P] SMEM: per-(eye, pixel-block) group range
     *rest,  # F field refs ([TE*K, 1] eye-major constant columns) + out refs
@@ -587,10 +657,8 @@ def _wireframe_compact_kernel(
     wb = out_refs[0].shape[1]
     hp = 1.0 / cfg.width
     qfar = 1.0 / cfg.far
-    qnear = 1.0 / cfg.near
     sub = COMPACT_SUB
     n_pay = (2 if raw else 1) + (1 if has_alb else 0) + (1 if aa else 0)
-    alb_idx = _compact_alb_idx(aa)
     p = pl.program_id(1)
 
     p0 = p * wb
@@ -635,55 +703,9 @@ def _wireframe_compact_kernel(
                 def fld(fi):
                     return fld_refs[fi][pl.ds(off, sub), :]
 
-            q_m = p_m = None
-            sp_lo = sp_hi = None
-            for ei, (quad, (uva, duv)) in enumerate(zip(_EDGE_QUAD, _EDGE_UV)):
-                av = fld(4 * ei + 0)
-                bu = fld(4 * ei + 1)
-                cv = fld(4 * ei + 2)
-                du = fld(4 * ei + 3)
-                if aa:
-                    elv = fld(12 + 2 * ei + 0)
-                    ehv = fld(12 + 2 * ei + 1)
-                    u_c = jnp.clip(u_p, elv, ehv)  # (sub, WB)
-                    q = av + bu * u_c
-                    tq = cv + du * u_c
-                    cov_e = (ehv > u_lo_px) & (elv < u_hi_px)
-                    qg = jnp.where(cov_e & (q > qfar), q, 0.0)
-                    sp_lo = elv if sp_lo is None else jnp.minimum(sp_lo, elv)
-                    sp_hi = ehv if sp_hi is None else jnp.maximum(sp_hi, ehv)
-                else:
-                    q = av + bu * u_p  # (sub, WB)
-                    tq = cv + du * u_p
-                    hit = (q > qfar) & (q < qnear) & (tq >= 0.0) & (tq <= q)
-                    qg = jnp.where(hit, q, 0.0)
-                if raw:
-                    p_e = (uva[0] * q + tq * duv[0], uva[1] * q + tq * duv[1])
-                else:
-                    c0, c1, c2 = quad
-                    p_e = ((c0 * q + c1 * tq) * q + c2 * tq * tq,)
-                if q_m is None:
-                    q_m, p_m = qg, p_e
-                else:
-                    take = qg > q_m
-                    p_m = tuple(
-                        jnp.where(take, pe, pm) for pe, pm in zip(p_e, p_m)
-                    )
-                    q_m = jnp.maximum(q_m, qg)
-            pays = p_m
-            if has_alb:
-                pays = pays + (fld(alb_idx),)  # (sub, 1): broadcasts
-            if aa:
-                cov = jnp.clip(
-                    (
-                        jnp.minimum(sp_hi, u_hi_px)
-                        - jnp.maximum(sp_lo, u_lo_px)
-                    )
-                    * (0.5 / hp),
-                    0.0,
-                    1.0,
-                )
-                pays = pays + (cov,)
+            q_m, pays = _compact_group_eval(
+                fld, u_p, u_lo_px, u_hi_px, cfg, raw, has_alb
+            )
             # DEFERRED winner reduce: groups merge elementwise into a
             # (sub, WB) accumulator (depth-max is associative across any
             # candidate partition) and the cross-sublane reduce runs ONCE
@@ -1006,7 +1028,7 @@ def _stream_outs(pos, dirs, tgt, hdg, cfg: VisionConfig, te, tj, wb, albedo,
 
 def _compact_candidates(pos, dirs, tgt, hdg, cfg: VisionConfig, albedo,
                         n, m, n_pad_e: int, K: int, P: int, wb: int,
-                        use_sort: bool = False):
+                        use_sort: bool = False, packed: bool | None = None):
     """XLA prologue for _wireframe_compact_kernel (see its docstring).
 
     Per (eye, target): project the 3 sprite verts (_project_verts_all, the
@@ -1025,7 +1047,11 @@ def _compact_candidates(pos, dirs, tgt, hdg, cfg: VisionConfig, albedo,
     Returns (fld, ks, ke [n_pad_e, P] i32 group ranges); fld is the packed
     candidate-major [n_pad_e*K, F] constant array when COMPACT_PACKED_FIELDS
     (one contiguous reshape — no per-field slice copies) else field-major
-    [F, n_pad_e, K] (contiguous leading-dim slices for per-field operands)."""
+    [F, n_pad_e, K] (contiguous leading-dim slices for per-field operands).
+    `packed` overrides the global (the diff route forces packed=True — its
+    backward kernel only speaks that layout)."""
+    if packed is None:
+        packed = COMPACT_PACKED_FIELDS
     aa = cfg.antialias
     has_alb = albedo is not None
     sub = COMPACT_SUB
@@ -1090,7 +1116,7 @@ def _compact_candidates(pos, dirs, tgt, hdg, cfg: VisionConfig, albedo,
             dimension=1, is_stable=True, num_keys=1,
         )
         filled = ops[-1] > 0.5  # [n, m]
-        if COMPACT_PACKED_FIELDS:
+        if packed:
             comp = jnp.stack(ops[1:-1], axis=-1)  # [n, m, F+2] screen-ordered
             if K != m:
                 comp = jnp.pad(comp, ((0, 0), (0, K - m), (0, 0)))
@@ -1127,7 +1153,7 @@ def _compact_candidates(pos, dirs, tgt, hdg, cfg: VisionConfig, albedo,
 
         fstack = jnp.stack(fields, axis=-1)  # [n, m, F+2]
         filled = jnp.sum(onehot, axis=1) > 0.5  # [n, K]
-        if COMPACT_PACKED_FIELDS:
+        if packed:
             comp = jnp.einsum(
                 "etk,etf->ekf", onehot, fstack,
                 precision=jax.lax.Precision.HIGHEST,
@@ -1146,7 +1172,7 @@ def _compact_candidates(pos, dirs, tgt, hdg, cfg: VisionConfig, albedo,
                 filled[None, :, :], comp,
                 jnp.asarray(sent, jnp.float32)[:, None, None],
             )
-    if COMPACT_PACKED_FIELDS:
+    if packed:
         spc_lo, spc_hi = comp[:, :, -2], comp[:, :, -1]
         fld = comp[:, :, :-2]  # [n, K, F]
     else:
@@ -1170,10 +1196,10 @@ def _compact_candidates(pos, dirs, tgt, hdg, cfg: VisionConfig, albedo,
     ke = jnp.max(jnp.where(ov, gi + 1, 0), axis=1)
 
     if n_pad_e != n:
-        fld = pad_axis(fld, n_pad_e, axis=1 if not COMPACT_PACKED_FIELDS else 0)
+        fld = pad_axis(fld, n_pad_e, axis=0 if packed else 1)
         ks = pad_axis(ks, n_pad_e)  # pad eyes: ks=ke=0 -> empty group loop
         ke = pad_axis(ke, n_pad_e)
-    if COMPACT_PACKED_FIELDS:
+    if packed:
         return fld.reshape(n_pad_e * K, fld.shape[-1]), ks, ke
     return fld, ks, ke
 
@@ -1259,6 +1285,240 @@ def _render_compact(pos, dirs, tgt, hdg, cfg: VisionConfig, te, albedo,
     if raw:
         return _decode_textured_wf(outs, cfg, texture, has_alb, aa=aa)
     return outs[0], outs[1]
+
+
+# -- compact-route backward (culled differentiable wide rows) -----------------
+#
+# The streaming backward (_wf_bwd_kernel below) runs FULL n x m work — every
+# chunk's projection + _merge_edges vjp at every pixel — which is why
+# fwd+bwd measured ~50x the forward. At the compact-eligible shapes (wide
+# rows, the reference's own N=100 x W=1024 eye) the forward already showed
+# the work is >97% far-misses; this backward inherits the SAME two cuts:
+# the per-(eye, pixel-block) group ranges (only screen-overlapping candidate
+# groups are pulled back) and the inverse-depth op diet (2 FMAs per edge, no
+# per-pixel divisions in the recompute). Structure: the per-candidate group
+# evaluation (_compact_group_eval — shared with the forward kernel, so the
+# recomputed q matches the forward bit-for-bit) plus the per-candidate
+# epilogue is pulled back with jax.vjp per group tile, seeded only at
+# pixels the candidate WON; cotangents accumulate into a packed [TE*K, F]
+# dfld output, and the (differentiable) XLA prologue's own vjp carries dfld
+# back to (pos, vel) — including the one-hot/sort compaction (linear in the
+# field values) and the projection math, with no hand-derived transpose
+# anywhere. Residual budget per tile is (sub=8, WB) elements — far under
+# the streaming backward's 4096-element ceiling, so no remat is needed.
+
+
+def _compact_bwd_kernel(
+    ks_ref, ke_ref,  # [TE, P] SMEM group ranges
+    fld_ref,  # [TE*K, F] packed candidate constants
+    dep_ref, us_ref, ud_ref,  # [TE, WB] forward depth + cotangents
+    dfld_ref,  # [TE*K, F] out: field cotangents (accumulated over P)
+    *,
+    cfg: VisionConfig,
+    n_fields: int,
+    K: int,
+):
+    aa = cfg.antialias
+    assert fld_ref.shape[1] == n_fields
+    te = fld_ref.shape[0] // K
+    wb = dep_ref.shape[1]
+    hp = 1.0 / cfg.width
+    qfar = 1.0 / cfg.far
+    sub = COMPACT_SUB
+    p = pl.program_id(1)
+
+    @pl.when(p == 0)
+    def _init():
+        dfld_ref[:] = jnp.zeros_like(dfld_ref)
+
+    p0 = p * wb
+    u_p = (
+        2.0
+        * (
+            p0
+            + jax.lax.broadcasted_iota(jnp.int32, (1, wb), 1).astype(jnp.float32)
+            + 0.5
+        )
+        / cfg.width
+        - 1.0
+    )  # (1, WB)
+    u_lo_px = u_p - hp
+    u_hi_px = u_p + hp
+
+    def eye_body(e, _):
+        dpr = dep_ref[pl.ds(e, 1), :]  # (1, WB)
+        usr = us_ref[pl.ds(e, 1), :]
+        udr = ud_ref[pl.ds(e, 1), :]
+        g_lo = ks_ref[e, p]
+        g_hi = ke_ref[e, p]
+
+        def blk_at(g):
+            off = pl.multiple_of(e * K + pl.multiple_of(g * sub, sub), sub)
+            return off, fld_ref[pl.ds(off, sub), :]
+
+        # pass 1: recompute THIS kernel's per-pixel winner q (q-only diet:
+        # 2 FMAs + compares per edge). Matching against it is exact — same
+        # helper, same kernel, same lowering — so no tolerance window; the
+        # saved forward depth only GATES (a hit must exist on both routes).
+        def qmax_body(g, best):
+            _, blk = blk_at(g)
+
+            def fld(fi):
+                return jax.lax.slice_in_dim(blk, fi, fi + 1, axis=1)
+
+            q_g, _ = _compact_group_eval(
+                fld, u_p, u_lo_px, u_hi_px, cfg, False, False, q_only=True
+            )
+            return jnp.maximum(best, jnp.max(q_g, axis=0, keepdims=True))
+
+        qloc = jax.lax.fori_loop(
+            g_lo, g_hi, qmax_body, jnp.zeros((1, wb), jnp.float32)
+        )
+        gate = (qloc > qfar) & (dpr < cfg.far)
+
+        # pass 2: per-candidate forward + epilogue, pulled back per group,
+        # seeded only at won pixels (first-match-wins: lowest row within a
+        # group via iota, `taken` carry across groups — coincident sprites
+        # tie exactly and would otherwise each receive the full cotangent)
+        def body(g, taken):
+            off, blk = blk_at(g)
+
+            def tile(blk):
+                def fld(fi):
+                    return jax.lax.slice_in_dim(blk, fi, fi + 1, axis=1)
+
+                q_m, pays = _compact_group_eval(
+                    fld, u_p, u_lo_px, u_hi_px, cfg, False, False
+                )
+                # the forward kernel's epilogue, per CANDIDATE: on pixels
+                # this candidate won, its own q IS the cross-candidate
+                # best, so these equal the forward's outputs there
+                hit = q_m > qfar
+                f = 1.0 / jnp.where(hit, q_m, 1.0)
+                depth_c = jnp.where(hit, f, cfg.far)
+                mag2 = pays[0] * f * f
+                val = cfg.sprite_albedo * (1.0 - mag2)
+                if aa:
+                    val = cfg.background + pays[-1] * (val - cfg.background)
+                shade_c = jnp.where(hit, val, cfg.background)
+                return shade_c, depth_c, q_m
+
+            (_, _, q_c), pull = jax.vjp(tile, blk)
+            match = gate & (q_c == qloc) & (taken < 0.5)
+            ridx = jax.lax.broadcasted_iota(
+                jnp.int32, (sub, wb), 0
+            ).astype(jnp.float32)
+            first = jnp.min(jnp.where(match, ridx, float(sub)), axis=0,
+                            keepdims=True)
+            win = match & (ridx <= first)
+            zero = jnp.zeros_like(q_c)
+            (dblk,) = pull(
+                (jnp.where(win, usr, zero), jnp.where(win, udr, zero), zero)
+            )
+            dfld_ref[pl.ds(off, sub), :] += dblk
+            return jnp.maximum(
+                taken,
+                jnp.max(jnp.where(win, 1.0, 0.0), axis=0, keepdims=True),
+            )
+
+        jax.lax.fori_loop(g_lo, g_hi, body, jnp.zeros((1, wb), jnp.float32))
+        return 0
+
+    # the vjp roughly triples the live tile set — no eye unrolling
+    run_eyes_unrolled(eye_body, te, 1)
+
+
+def _compact_bwd_call(fld, ks, ke, depth, us, ud, cfg: VisionConfig,
+                      K: int, te: int):
+    """Launch _compact_bwd_kernel: (packed fld, group ranges, forward depth,
+    row cotangents) -> dfld [n_pad_e*K, F]."""
+    F = _compact_field_count(cfg.antialias, False)
+    wb = next(d for d in (COMPACT_WB, 256, 128) if cfg.width % d == 0)
+    P = cfg.width // wb
+    n_pad_e = fld.shape[0] // K
+    dep = pad_axis(depth, n_pad_e)
+    usp = pad_axis(us, n_pad_e)  # zero cotangents on padded eyes
+    udp = pad_axis(ud, n_pad_e)
+    kernel = functools.partial(
+        _compact_bwd_kernel, cfg=cfg, n_fields=F, K=K
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(n_pad_e // te, P),
+        in_specs=[
+            pl.BlockSpec(
+                (te, P), lambda i, p: (i, 0), memory_space=pltpu.SMEM
+            ),
+            pl.BlockSpec(
+                (te, P), lambda i, p: (i, 0), memory_space=pltpu.SMEM
+            ),
+            pl.BlockSpec(
+                (te * K, F), lambda i, p: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (te, wb), lambda i, p: (i, p), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (te, wb), lambda i, p: (i, p), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (te, wb), lambda i, p: (i, p), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (te * K, F), lambda i, p: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_pad_e * K, F), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=240 * n_pad_e * K * cfg.width,
+            bytes_accessed=(2 * n_pad_e * K * F
+                            + 3 * n_pad_e * cfg.width) * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret_mode(),
+    )(ks, ke, fld, dep, usp, udp)
+
+
+def _compact_route_ok(cfg: VisionConfig, m: int) -> bool:
+    """Mirror of render_rows_wireframe_tiled's compact-route condition —
+    the diff path's fwd and bwd must agree on the route (the backward
+    recomputes the winner on the compact fp route)."""
+    wide_ok = cfg.width >= 512 and cfg.width % 128 == 0
+    small_m_wide = wide_ok and round_up(m, 8) * min(cfg.width, 1024) <= (
+        1 << 18
+    )
+    sorted_m_wide = (
+        wide_ok
+        and not small_m_wide
+        and round_up(m, 8) <= COMPACT_SORT_MAX_M
+    )
+    return small_m_wide or sorted_m_wide
+
+
+def _rrwd_bwd_compact(cfg, pos, vel, depth, us, ud):
+    """Compact-route pullback of render_rows_wireframe_diff: the bwd kernel
+    produces packed field cotangents; plain jax autodiff through the
+    (differentiable) compaction prologue — the one-hot/sort selection is
+    linear in the field values, the projection/slab math is guarded
+    elementwise — carries them to (pos, vel). No hand-derived transpose."""
+    n = pos.shape[0]
+    te = fit_tile(BWD_EYES_PER_PROGRAM_WF, n, 8)
+    n_pad_e = round_up(n, te)
+    K = round_up(n, COMPACT_SUB)
+    wb = next(d for d in (COMPACT_WB, 256, 128) if cfg.width % d == 0)
+    P = cfg.width // wb
+
+    def build(pos, vel):
+        dirs = camera.unit_heading(vel)
+        fld, ks, ke = _compact_candidates(
+            pos, dirs, pos, dirs, cfg, None, n, n, n_pad_e, K, P, wb,
+            use_sort=n > COMPACT_SORT_MIN_M, packed=True,
+        )
+        return fld, (ks, ke)
+
+    fld, pull, (ks, ke) = jax.vjp(build, pos, vel, has_aux=True)
+    dfld = _compact_bwd_call(fld, ks, ke, depth, us, ud, cfg, K, te)
+    return pull(dfld)
 
 
 # -- backward kernel (differentiable exact-sprite perception) -----------------
@@ -1583,11 +1843,13 @@ def render_rows_wireframe_diff(pos: jax.Array, vel: jax.Array,
 
 
 def _rrwd_fwd(pos, vel, cfg):
-    # streaming forward: bit-consistent with the backward kernel's
-    # recomputation (same projection op order), so the gradient always
-    # corresponds to the fragment the forward actually rendered
+    # compact-eligible shapes run the compact forward and its culled
+    # backward (both recompute winners on the compact fp route); everything
+    # else forces the streaming forward, bit-consistent with the streaming
+    # backward kernel's recomputation (same projection op order), so the
+    # gradient always corresponds to the fragment the forward rendered
     shade, depth = render_rows_wireframe_tiled(
-        pos, vel, cfg, force_streaming=True
+        pos, vel, cfg, force_streaming=not _compact_route_ok(cfg, pos.shape[0])
     )
     return (shade, depth), (pos, vel, depth)
 
@@ -1595,6 +1857,8 @@ def _rrwd_fwd(pos, vel, cfg):
 def _rrwd_bwd(cfg, res, cot):
     pos, vel, depth = res
     us, ud = cot
+    if _compact_route_ok(cfg, pos.shape[0]):
+        return _rrwd_bwd_compact(cfg, pos, vel, depth, us, ud)
     dirs, pull_dirs = jax.vjp(camera.unit_heading, vel)
     # trusted_depth=True would skip the backward's pass-1 depth recompute
     # (~25-30% of its work): _rrwd_fwd forces the streaming forward, whose

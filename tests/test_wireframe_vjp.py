@@ -144,6 +144,116 @@ def test_coincident_targets_single_count():
                                rtol=1e-4, atol=1e-5)
 
 
+def test_compact_diff_matches_dense_autodiff():
+    """Compact-eligible wide rows (W >= 512) route the diff path through
+    the culled compact backward (_rrwd_bwd_compact: the per-candidate
+    group evaluation pulled back per group tile + plain autodiff through
+    the compaction prologue) — gradient parity with the dense oracle, same
+    tolerances as the streaming backward's pin."""
+    cfg = VisionConfig(width=512, sprite_mode="wireframe", antialias=True,
+                       far=200.0)
+    assert wireframe._compact_route_ok(cfg, 24)
+    pos, vel = _scene(jax.random.key(3), 24)
+    ku, kd = jax.random.split(jax.random.key(9))
+    cu = jax.random.normal(ku, (24, cfg.width), jnp.float32)
+    cd = 0.01 * jax.random.normal(kd, (24, cfg.width), jnp.float32)
+
+    def loss_k(p, v):
+        sh, dep = wireframe.render_rows_wireframe_diff(p, v, cfg)
+        return jnp.sum(sh * cu) + jnp.sum(dep * cd)
+
+    def loss_d(p, v):
+        sh, dep = render.render_rows(p, v, cfg)
+        return jnp.sum(sh * cu) + jnp.sum(dep * cd)
+
+    gk = jax.grad(loss_k, argnums=(0, 1))(pos, vel)
+    gd = jax.grad(loss_d, argnums=(0, 1))(pos, vel)
+    for a, b, name in zip(gk, gd, ("pos", "vel")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4, err_msg=name)
+    assert (np.abs(np.asarray(gk[1])) > 0).any()
+
+
+@pytest.mark.slow
+def test_compact_diff_sorted_prologue_gradients_bit_equal():
+    """The sorted-compaction prologue must be differentiable (lax.sort's
+    permutation vjp) and produce the SAME gradients as the rank + one-hot
+    prologue — both select exact field values, so the pullbacks route the
+    same cotangents to the same slots."""
+    cfg = VisionConfig(width=512, sprite_mode="wireframe", antialias=True,
+                       far=200.0)
+    pos, vel = _scene(jax.random.key(13), 16)
+    ku, kd = jax.random.split(jax.random.key(9))
+    cu = jax.random.normal(ku, (16, cfg.width), jnp.float32)
+    cd = 0.01 * jax.random.normal(kd, (16, cfg.width), jnp.float32)
+
+    def loss(p, v):
+        sh, dep = wireframe.render_rows_wireframe_diff(p, v, cfg)
+        return jnp.sum(sh * cu) + jnp.sum(dep * cd)
+
+    g_rank = jax.grad(loss, argnums=(0, 1))(pos, vel)
+    old = wireframe.COMPACT_SORT_MIN_M
+    try:
+        wireframe.COMPACT_SORT_MIN_M = 8  # force use_sort at m=16
+        jax.clear_caches()  # trace-time global, not a jit key
+        g_sort = jax.grad(loss, argnums=(0, 1))(pos, vel)
+    finally:
+        wireframe.COMPACT_SORT_MIN_M = old
+        jax.clear_caches()
+    for a, b in zip(g_rank, g_sort):
+        assert float(jnp.linalg.norm(a)) > 0
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_fd_check_through_compact_diff():
+    """Finite differences through the compact backward at a jump-free
+    wide-row scene."""
+    cfg = VisionConfig(width=512, sprite_mode="wireframe", antialias=True,
+                       far=200.0)
+    pos = jnp.array([[0.0, 0.0], [7.3, 1.2], [15.0, 6.0]], jnp.float32)
+    vel = jnp.array([[1.0, 0.0], [0.3, 0.8], [-0.5, 0.5]], jnp.float32)
+
+    def loss(p):
+        return jnp.sum(wireframe.render_rows_wireframe_diff(p, vel, cfg)[0] ** 2)
+
+    g = np.asarray(jax.grad(loss)(pos))
+    eps = 1e-3
+    for idx in ((1, 0), (1, 1), (2, 0)):
+        hi = float(loss(pos.at[idx].set(pos[idx] + eps)))
+        lo = float(loss(pos.at[idx].set(pos[idx] - eps)))
+        np.testing.assert_allclose(g[idx], (hi - lo) / (2 * eps),
+                                   rtol=2e-2, atol=1e-3)
+
+
+@pytest.mark.slow
+def test_compact_diff_vmap_matches_dense():
+    """Batched-env trainers vmap the diff path (rl/env.VisionEnv); the
+    compact backward must batch — pallas adds the env axis as the
+    outermost grid dim, and the dfld accumulator inits per (env, eye-tile)
+    revisit. Pin vmapped gradients to the dense oracle."""
+    cfg = VisionConfig(width=512, sprite_mode="wireframe", antialias=True,
+                       far=200.0)
+    kp, kv = jax.random.split(jax.random.key(3))
+    pos = jax.random.uniform(kp, (2, 12, 2), minval=-40, maxval=40,
+                             dtype=jnp.float32)
+    vel = jax.random.uniform(kv, (2, 12, 2), minval=-1, maxval=1,
+                             dtype=jnp.float32)
+
+    def mk(loss_render):
+        def loss(p, v):
+            sh, dep = loss_render(p, v, cfg)
+            return jnp.sum(sh * sh) + 1e-3 * jnp.sum(
+                jnp.where(dep < cfg.far, dep, 0.0)
+            )
+        return jax.vmap(jax.grad(loss, argnums=(0, 1)))
+
+    gk = mk(wireframe.render_rows_wireframe_diff)(pos, vel)
+    gd = mk(render.render_rows)(pos, vel)
+    for a, b, name in zip(gk, gd, ("pos", "vel")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-4, err_msg=name)
+
+
 def test_remat_flag_compiles_and_grads_live():
     """Fast sibling of the bit-equal pin below: the WF_BWD_REMAT branch
     (jax.checkpoint around the vjp tile) compiles and produces finite,
