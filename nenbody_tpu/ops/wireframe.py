@@ -1374,7 +1374,13 @@ def _compact_bwd_kernel(
         qloc = jax.lax.fori_loop(
             g_lo, g_hi, qmax_body, jnp.zeros((1, wb), jnp.float32)
         )
-        gate = (qloc > qfar) & (dpr < cfg.far)
+        # the local winner must BE the global winner: dpr is the FINAL
+        # merged depth (single device: equal to 1/qloc modulo the 1/x
+        # round trip, absorbed by the tolerance; ring hops: other blocks'
+        # targets may have won the pixel — their hops spend the cotangent)
+        hit = qloc > qfar
+        dloc = 1.0 / jnp.where(hit, qloc, 1.0)
+        gate = hit & (dpr < cfg.far) & (dloc <= dpr * (1.0 + 1e-5))
 
         # pass 2: per-candidate forward + epilogue, pulled back per group,
         # seeded only at won pixels (first-match-wins: lowest row within a
@@ -1519,6 +1525,36 @@ def _rrwd_bwd_compact(cfg, pos, vel, depth, us, ud):
     fld, pull, (ks, ke) = jax.vjp(build, pos, vel, has_aux=True)
     dfld = _compact_bwd_call(fld, ks, ke, depth, us, ud, cfg, K, te)
     return pull(dfld)
+
+
+def render_rows_wireframe_vjp_cross_compact(pos, dirs, depth, us, ud,
+                                            cfg: VisionConfig, targets,
+                                            target_hdg):
+    """Cross-block edition of the compact backward (the ring's per-hop
+    pullback at compact-eligible shapes): same signature semantics as
+    render_rows_wireframe_vjp_cross — `depth` is the FINAL merged rows,
+    and the kernel's local-winner-is-global-winner gate keeps cotangents
+    off pixels another block's target won."""
+    n = pos.shape[0]
+    m = targets.shape[0]
+    te = fit_tile(BWD_EYES_PER_PROGRAM_WF, n, 8)
+    n_pad_e = round_up(n, te)
+    K = round_up(m, COMPACT_SUB)
+    wb = next(d for d in (COMPACT_WB, 256, 128) if cfg.width % d == 0)
+    P = cfg.width // wb
+
+    def build(pos, dirs, tgt, hdg):
+        fld, ks, ke = _compact_candidates(
+            pos, dirs, tgt, hdg, cfg, None, n, m, n_pad_e, K, P, wb,
+            use_sort=m > COMPACT_SORT_MIN_M, packed=True,
+        )
+        return fld, (ks, ke)
+
+    fld, pull, (ks, ke) = jax.vjp(
+        build, pos, dirs, targets, target_hdg, has_aux=True
+    )
+    dfld = _compact_bwd_call(fld, ks, ke, depth, us, ud, cfg, K, te)
+    return pull(dfld)  # (deye, ddirs, dtgt, dhdg)
 
 
 # -- backward kernel (differentiable exact-sprite perception) -----------------

@@ -377,19 +377,24 @@ def _ring_render_bwd_local_wf(pos_l, vel_l, depth_l, us_l, ud_l, vcfg, d, axis):
 
 
 def _ring_render_bwd_local_wf_kernel(
-    pos_l, vel_l, depth_l, us_l, ud_l, vcfg, d, axis
+    pos_l, vel_l, depth_l, us_l, ud_l, vcfg, d, axis, compact=False
 ):
     """Kernel edition of the wireframe backward ring: each hop is the
     wireframe backward Pallas kernel (ops.wireframe.render_rows_wireframe_
-    vjp_cross) instead of a dense autodiff transpose. Target HEADINGS
-    circulate (the kernel takes unit headings directly); their cotangents
-    ride home with the block and pull back through unit_heading there."""
+    vjp_cross, or its compact-route edition when the hop shape qualifies —
+    wide rows inherit the group-range culling and inverse-depth op diet in
+    the per-hop pullback too) instead of a dense autodiff transpose.
+    Target HEADINGS circulate (the kernels take unit headings directly);
+    their cotangents ride home with the block and pull back through
+    unit_heading there."""
     from ..ops import wireframe as wf_ops
 
     dirs_l, pull_dirs = jax.vjp(_unit_heading, vel_l)
+    vjp_cross = (wf_ops.render_rows_wireframe_vjp_cross_compact if compact
+                 else wf_ops.render_rows_wireframe_vjp_cross)
 
     def hop(p, dd, dep, us, ud, t, th):
-        deye, ddir, dtgt, dhdg = wf_ops.render_rows_wireframe_vjp_cross(
+        deye, ddir, dtgt, dhdg = vjp_cross(
             p, dd, dep, us, ud, vcfg, targets=t, target_hdg=th
         )
         return (deye, ddir), (dtgt, dhdg)
@@ -422,8 +427,11 @@ def ring_render_rows_diff(
     and the per-hop backward run the wireframe Pallas kernels — forward
     hops FORCE the streaming variant so the backward's recomputed-min
     winner identification follows the same fp route (cross-block
-    near-ties remain the only residual-matching caveat, as for the disc);
-    off-TPU the per-hop backward is the dense autodiff pullback
+    near-ties remain the only residual-matching caveat, as for the disc),
+    except at compact-eligible hop shapes (wide rows), where the hop
+    forward runs the compact kernel and the hop backward its culled
+    compact cross pullback — again one fp route for the pair; off-TPU the
+    per-hop backward is the dense autodiff pullback
     (_ring_render_bwd_local_wf) over dense partials."""
     from ..ops.common import kernel_width_ok
 
@@ -432,6 +440,13 @@ def ring_render_rows_diff(
     wf_kernel = wf and _use_pallas("auto") and kernel_width_ok(vcfg.width)
     n = pos.shape[-2]
     d = mesh.shape[axis]
+    # compact-eligible HOP shapes (wide rows; m is the circulating block)
+    # run the compact forward per hop and its culled cross backward — the
+    # fwd/bwd pair recomputes winners on one fp route, exactly as the
+    # streaming pair below does
+    from ..ops import wireframe as _wf_ops
+
+    wf_compact = wf_kernel and _wf_ops._compact_route_ok(vcfg, n // d)
     if n % d:
         raise ValueError(
             f"ring_render_rows_diff needs agent count {n} divisible by mesh "
@@ -448,7 +463,8 @@ def ring_render_rows_diff(
                                 data_axis=data_axis,
                                 partials="dense" if (wf and not wf_kernel)
                                 else "auto",
-                                wf_force_streaming=wf_kernel)
+                                wf_force_streaming=wf_kernel
+                                and not wf_compact)
 
     def _fwd(p, v):
         shade, depth = _render(p, v)
@@ -458,8 +474,13 @@ def ring_render_rows_diff(
         p, v, depth = res
         us, ud = cot
         if wf:
-            bwd_local = (_ring_render_bwd_local_wf_kernel if wf_kernel
-                         else _ring_render_bwd_local_wf)
+            bwd_local = (
+                functools.partial(
+                    _ring_render_bwd_local_wf_kernel, compact=wf_compact
+                )
+                if wf_kernel
+                else _ring_render_bwd_local_wf
+            )
         else:
             bwd_local = _ring_render_bwd_local
 

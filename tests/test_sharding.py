@@ -360,3 +360,45 @@ def test_ring_diff_wireframe_kernel_edition(monkeypatch):
     np.testing.assert_allclose(np.asarray(gv_r), np.asarray(gv_d),
                                rtol=1e-4, atol=1e-5)
     assert (np.abs(np.asarray(gv_r)) > 0).any()
+
+
+@pytest.mark.slow
+def test_ring_diff_wireframe_compact_hops(monkeypatch):
+    """Compact-eligible hop shapes (wide rows) route each hop's forward
+    through the compact kernel and its backward through the compact cross
+    pullback (render_rows_wireframe_vjp_cross_compact) — the local-winner-
+    is-global-winner gate must keep cotangents off pixels another block's
+    target won. Slow tier: the W=512 per-hop compile dominates; the W=16
+    kernel-edition sibling covers the circulation plumbing every run."""
+    monkeypatch.setattr(ring, "_use_pallas", lambda backend: True)
+    from nenbody_tpu.ops import wireframe
+
+    mesh4 = mesh_lib.make_mesh({"agents": 4}, devices=jax.devices()[:4])
+    n = 16
+    st = _state(n, seed=8)
+    key = jax.random.key(13)
+    st = st.replace(
+        vel=jax.random.uniform(key, (n, 2), minval=-1, maxval=1,
+                               dtype=jnp.float32)
+    )
+    vcfg = VisionConfig(width=512, sprite_mode="wireframe", antialias=True,
+                        far=200.0)
+    assert wireframe._compact_route_ok(vcfg, n // 4)
+    ku, kd = jax.random.split(jax.random.key(7))
+    cu = jax.random.normal(ku, (n, 512), jnp.float32)
+    cd = 0.01 * jax.random.normal(kd, (n, 512), jnp.float32)
+
+    def loss_ring(p, v):
+        sh, dep = ring.ring_render_rows_diff(p, v, vcfg, mesh=mesh4)
+        return jnp.sum(sh * cu) + jnp.sum(dep * cd)
+
+    def loss_dense(p, v):
+        sh, dep = render.render_rows(p, v, vcfg)
+        return jnp.sum(sh * cu) + jnp.sum(dep * cd)
+
+    gr = jax.grad(loss_ring, argnums=(0, 1))(st.pos, st.vel)
+    gd = jax.grad(loss_dense, argnums=(0, 1))(st.pos, st.vel)
+    for a, b, name in zip(gr, gd, ("pos", "vel")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4, err_msg=name)
+    assert (np.abs(np.asarray(gr[1])) > 0).any()
