@@ -205,9 +205,13 @@ def test_compact_diff_sorted_prologue_gradients_bit_equal():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_fd_check_through_compact_diff():
     """Finite differences through the compact backward at a jump-free
-    wide-row scene."""
+    wide-row scene. Slow tier: the default tier already pins the compact
+    backward against dense autodiff (test_compact_diff_matches_dense_
+    autodiff), and FD-vs-autodiff itself is pinned on the streaming route
+    every run."""
     cfg = VisionConfig(width=512, sprite_mode="wireframe", antialias=True,
                        far=200.0)
     pos = jnp.array([[0.0, 0.0], [7.3, 1.2], [15.0, 6.0]], jnp.float32)

@@ -313,14 +313,15 @@ def test_wireframe_reference_config_gates():
 @requires_tpu
 def test_wireframe_diff_gates():
     """VERDICT r2 #6: differentiable exact-sprite perception (forward +
-    backward through the wireframe VJP kernel) holds its measured order.
+    backward through the wireframe VJP kernels) holds its measured order.
 
-    Measured on v5e: 1.14e4 agent-frames/s at N=1024/W=64 and 1.23e4 at
-    N=100/W=1024 — i.e. ~85 us/eye at BOTH widths, so the backward's
-    TJ*WB <= 4096 tile cap does NOT collapse wide rows specifically; the
-    backward as a whole costs ~50x the forward (streaming-forced forward
-    + in-kernel jax.vjp pullback with winner rematching). Usable for
-    APG-scale research training; a fused backward is the known next lever."""
+    Measured on v5e (r2, both shapes then streaming): 1.14e4
+    agent-frames/s at N=1024/W=64 and 1.23e4 at N=100/W=1024 — ~85 us/eye,
+    ~50x the forward. Since then the N=100/W=1024 shape routes the COMPACT
+    backward (group-range culling + inverse-depth diet; r3, unmeasured on
+    hardware when written) — re-measure with _wf_diff_quick.py and LIFT its
+    floor once the compact number is on record; N=1024/W=64 still pins the
+    streaming backward and its TJ*WB <= 4096 tile cap."""
     from nenbody_tpu.config import VisionConfig
     from nenbody_tpu.ops import wireframe
 
@@ -430,3 +431,50 @@ def test_wireframe_trusted_depth_canary():
             np.testing.assert_array_equal(
                 a, b, err_msg=f"trusted!=untrusted {name} w={w}"
             )
+
+
+@requires_tpu
+def test_wireframe_compact_diff_silicon_parity():
+    """The compact backward's winner matching crosses two Mosaic lowerings
+    (the forward compact kernel's best_q vs the backward's
+    _compact_group_eval recompute) plus the 1/x depth round trip absorbed
+    by the 1e-5 gate — all validated in interpret mode, but reassociation
+    on real silicon could shift near-tie pixels. Pin gradient parity vs
+    the dense autodiff oracle at the reference diff shape, the same
+    tolerances as the CPU pins (tests/test_wireframe_vjp.py)."""
+    from nenbody_tpu.config import VisionConfig
+    from nenbody_tpu.ops import wireframe
+    from nenbody_tpu.vision import render
+
+    cfg = VisionConfig(width=1024, sprite_mode="wireframe", antialias=True,
+                       far=200.0)
+    n = 100
+    assert wireframe._compact_route_ok(cfg, n)
+    kp, kv, ku, kd = jax.random.split(jax.random.key(29), 4)
+    pos = jax.random.uniform(kp, (n, 2), minval=-100, maxval=100,
+                             dtype=jnp.float32)
+    vel = jax.random.uniform(kv, (n, 2), minval=-1, maxval=1,
+                             dtype=jnp.float32)
+    cu = jax.random.normal(ku, (n, cfg.width), jnp.float32)
+    cd = 0.01 * jax.random.normal(kd, (n, cfg.width), jnp.float32)
+
+    def loss_k(p, v):
+        sh, dep = wireframe.render_rows_wireframe_diff(p, v, cfg)
+        return jnp.sum(sh * cu) + jnp.sum(dep * cd)
+
+    def loss_d(p, v):
+        sh, dep = render.render_rows(p, v, cfg)
+        return jnp.sum(sh * cu) + jnp.sum(dep * cd)
+
+    gk = jax.grad(loss_k, argnums=(0, 1))(pos, vel)
+    gd = jax.grad(loss_d, argnums=(0, 1))(pos, vel)
+    for a, b, name in zip(gk, gd, ("pos", "vel")):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.abs(a).max() > 0, f"{name} grads all zero"
+        # clutter at N=100 random spawns can put a handful of
+        # coverage-boundary pixels on different sprites across the two fp
+        # routes; require near-total agreement, never systematic drift
+        close = np.isclose(a, b, rtol=2e-4, atol=2e-4)
+        assert close.mean() >= 0.995, (
+            f"{name}: {(~close).mean():.3%} gradient entries mismatched"
+        )
