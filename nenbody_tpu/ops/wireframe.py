@@ -805,6 +805,36 @@ def _wf_num_outputs(raw: bool, has_alb: bool, aa: bool) -> int:
     return 3 + (1 if has_alb else 0) + (1 if aa else 0)
 
 
+def _compact_small_m_wide(cfg: VisionConfig, m: int) -> bool:
+    """Few-target wide rows (the reference's own N=100 x W=1024 eye): the
+    r3-swept rule shared with the disc kernel (ops/raycast.py)."""
+    return (
+        cfg.width >= 512
+        and cfg.width % 128 == 0
+        and round_up(m, 8) * min(cfg.width, 1024) <= (1 << 18)
+    )
+
+
+def _compact_route_ok(cfg: VisionConfig, m: int) -> bool:
+    """THE compact-route predicate — render_rows_wireframe_tiled's router,
+    the diff path's fwd/bwd pair, and the ring's per-hop routing all call
+    this one function (fwd and bwd must agree on the route: the backward
+    recomputes the winner on the compact fp route). Covers both the
+    small-m and the sorted-prologue many-target editions;
+    COMPACT_SORT_MAX_M bounds the kernel's all-candidates VMEM block."""
+    wide_ok = cfg.width >= 512 and cfg.width % 128 == 0
+    return _compact_small_m_wide(cfg, m) or (
+        wide_ok and round_up(m, 8) <= COMPACT_SORT_MAX_M
+    )
+
+
+def _compact_wb(cfg: VisionConfig) -> int:
+    """Pixel-block width ladder, shared by the compact forward launcher,
+    the compact backward launcher, and the prologue group-range builders —
+    ks/ke bake in P = width // wb, so every site must agree."""
+    return next(d for d in (COMPACT_WB, 256, 128) if cfg.width % d == 0)
+
+
 @functools.partial(
     jax.jit, static_argnames=("cfg", "te", "tj", "force_streaming")
 )
@@ -859,29 +889,12 @@ def render_rows_wireframe_tiled(
     n_pad_e = round_up(n, te)
     has_alb = albedo is not None
 
-    # Few-target wide-row shapes route to streaming with a single-chunk
-    # 8-granular target tile and a whole-row pixel block — the same r3-swept
-    # rule as the disc kernel (ops/raycast.py `small_m_wide`): at the
-    # reference's N=100 x W=1024 eye the precompute path pads targets to
-    # 128 lanes while streaming pads to 104 sublanes and amortizes the
-    # per-chunk vertex projections over the full row.
-    wide_ok = cfg.width >= 512 and cfg.width % 128 == 0
-    small_m_wide = wide_ok and round_up(m, 8) * min(cfg.width, 1024) <= (
-        1 << 18
-    )
-    # many-target wide rows (e.g. N=1024 x W=1024) ALSO compact: the
-    # sorted-prologue edition (one stable co-sort, bit-identical slots)
-    # replaces full-work raster/streaming with interval-culled groups;
-    # COMPACT_SORT_MAX_M bounds the kernel's all-candidates VMEM block
-    sorted_m_wide = (
-        wide_ok
-        and not small_m_wide
-        and round_up(m, 8) <= COMPACT_SORT_MAX_M
-    )
-    if (small_m_wide or sorted_m_wide) and not force_streaming:
-        # the compacted-candidate inverse-depth kernel owns these shape
-        # classes; force_streaming (the diff path) stays on the streaming
-        # kernel, whose op order its backward recomputes
+    # wide-row shapes (few-target small-m AND sorted-prologue many-target
+    # editions) route to the compacted-candidate inverse-depth kernel;
+    # force_streaming (the narrow-shape diff path) stays on the streaming
+    # kernel, whose op order its backward recomputes
+    small_m_wide = _compact_small_m_wide(cfg, m)
+    if _compact_route_ok(cfg, m) and not force_streaming:
         return _render_compact(
             pos, dirs, tgt, hdg, cfg, te, albedo, texture, n, m
         )
@@ -1217,7 +1230,7 @@ def _render_compact(pos, dirs, tgt, hdg, cfg: VisionConfig, te, albedo,
     raw = texture is not None
     has_alb = albedo is not None
     aa = cfg.antialias
-    wb = next(d for d in (COMPACT_WB, 256, 128) if cfg.width % d == 0)
+    wb = _compact_wb(cfg)
     P = cfg.width // wb
     n_pad_e = round_up(n, te)
     K = round_up(m, COMPACT_SUB)
@@ -1385,7 +1398,12 @@ def _compact_bwd_kernel(
         # pass 2: per-candidate forward + epilogue, pulled back per group,
         # seeded only at won pixels (first-match-wins: lowest row within a
         # group via iota, `taken` carry across groups — coincident sprites
-        # tie exactly and would otherwise each receive the full cotangent)
+        # tie exactly and would otherwise each receive the full cotangent).
+        # Known edge: on an exact q tie between DISTINCT sprites the
+        # forward min-reduces each payload stream over the tying rows
+        # (possibly mixing candidates) while this seeds the whole cotangent
+        # on the first row — measure-zero for fp32 scenes and the same
+        # subgradient class as the streaming backward's lowest-row rule
         def body(g, taken):
             off, blk = blk_at(g)
 
@@ -1435,11 +1453,11 @@ def _compact_bwd_kernel(
 
 
 def _compact_bwd_call(fld, ks, ke, depth, us, ud, cfg: VisionConfig,
-                      K: int, te: int):
+                      K: int, te: int, wb: int):
     """Launch _compact_bwd_kernel: (packed fld, group ranges, forward depth,
-    row cotangents) -> dfld [n_pad_e*K, F]."""
+    row cotangents) -> dfld [n_pad_e*K, F]. `wb` MUST be the pixel-block
+    width the prologue baked into ks/ke (callers pass their _compact_wb)."""
     F = _compact_field_count(cfg.antialias, False)
-    wb = next(d for d in (COMPACT_WB, 256, 128) if cfg.width % d == 0)
     P = cfg.width // wb
     n_pad_e = fld.shape[0] // K
     dep = pad_axis(depth, n_pad_e)
@@ -1485,22 +1503,6 @@ def _compact_bwd_call(fld, ks, ke, depth, us, ud, cfg: VisionConfig,
     )(ks, ke, fld, dep, usp, udp)
 
 
-def _compact_route_ok(cfg: VisionConfig, m: int) -> bool:
-    """Mirror of render_rows_wireframe_tiled's compact-route condition —
-    the diff path's fwd and bwd must agree on the route (the backward
-    recomputes the winner on the compact fp route)."""
-    wide_ok = cfg.width >= 512 and cfg.width % 128 == 0
-    small_m_wide = wide_ok and round_up(m, 8) * min(cfg.width, 1024) <= (
-        1 << 18
-    )
-    sorted_m_wide = (
-        wide_ok
-        and not small_m_wide
-        and round_up(m, 8) <= COMPACT_SORT_MAX_M
-    )
-    return small_m_wide or sorted_m_wide
-
-
 def _rrwd_bwd_compact(cfg, pos, vel, depth, us, ud):
     """Compact-route pullback of render_rows_wireframe_diff: the bwd kernel
     produces packed field cotangents; plain jax autodiff through the
@@ -1508,22 +1510,23 @@ def _rrwd_bwd_compact(cfg, pos, vel, depth, us, ud):
     linear in the field values, the projection/slab math is guarded
     elementwise — carries them to (pos, vel). No hand-derived transpose."""
     n = pos.shape[0]
+    m = n  # self-render: the targets ARE the eyes
     te = fit_tile(BWD_EYES_PER_PROGRAM_WF, n, 8)
     n_pad_e = round_up(n, te)
-    K = round_up(n, COMPACT_SUB)
-    wb = next(d for d in (COMPACT_WB, 256, 128) if cfg.width % d == 0)
+    K = round_up(m, COMPACT_SUB)
+    wb = _compact_wb(cfg)
     P = cfg.width // wb
 
     def build(pos, vel):
         dirs = camera.unit_heading(vel)
         fld, ks, ke = _compact_candidates(
-            pos, dirs, pos, dirs, cfg, None, n, n, n_pad_e, K, P, wb,
-            use_sort=n > COMPACT_SORT_MIN_M, packed=True,
+            pos, dirs, pos, dirs, cfg, None, n, m, n_pad_e, K, P, wb,
+            use_sort=m > COMPACT_SORT_MIN_M, packed=True,
         )
         return fld, (ks, ke)
 
     fld, pull, (ks, ke) = jax.vjp(build, pos, vel, has_aux=True)
-    dfld = _compact_bwd_call(fld, ks, ke, depth, us, ud, cfg, K, te)
+    dfld = _compact_bwd_call(fld, ks, ke, depth, us, ud, cfg, K, te, wb)
     return pull(dfld)
 
 
@@ -1540,7 +1543,7 @@ def render_rows_wireframe_vjp_cross_compact(pos, dirs, depth, us, ud,
     te = fit_tile(BWD_EYES_PER_PROGRAM_WF, n, 8)
     n_pad_e = round_up(n, te)
     K = round_up(m, COMPACT_SUB)
-    wb = next(d for d in (COMPACT_WB, 256, 128) if cfg.width % d == 0)
+    wb = _compact_wb(cfg)
     P = cfg.width // wb
 
     def build(pos, dirs, tgt, hdg):
@@ -1553,7 +1556,7 @@ def render_rows_wireframe_vjp_cross_compact(pos, dirs, depth, us, ud,
     fld, pull, (ks, ke) = jax.vjp(
         build, pos, dirs, targets, target_hdg, has_aux=True
     )
-    dfld = _compact_bwd_call(fld, ks, ke, depth, us, ud, cfg, K, te)
+    dfld = _compact_bwd_call(fld, ks, ke, depth, us, ud, cfg, K, te, wb)
     return pull(dfld)  # (deye, ddirs, dtgt, dhdg)
 
 
