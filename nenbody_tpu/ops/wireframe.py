@@ -1228,6 +1228,20 @@ def _render_compact(pos, dirs, tgt, hdg, cfg: VisionConfig, te, albedo,
     (every sprite visible everywhere, e.g. deep in gravitational
     collapse) degrades gracefully to full streaming-equivalent work."""
     raw = texture is not None
+    outs = _render_compact_outs(pos, dirs, tgt, hdg, cfg, te, albedo, n, m,
+                                raw)
+    if raw:
+        return _decode_textured_wf(outs, cfg, texture, albedo is not None,
+                                   aa=cfg.antialias)
+    return outs[0], outs[1]
+
+
+def _render_compact_outs(pos, dirs, tgt, hdg, cfg: VisionConfig, te, albedo,
+                         n, m, raw):
+    """The kernel leg of _render_compact, decode-free: returns the raw
+    per-row output list ((shade, depth) or the raw winner streams) so the
+    textured diff path can custom-vjp the kernel and leave the texture
+    decode to plain XLA autodiff."""
     has_alb = albedo is not None
     aa = cfg.antialias
     wb = _compact_wb(cfg)
@@ -1294,10 +1308,7 @@ def _render_compact(pos, dirs, tgt, hdg, cfg: VisionConfig, te, albedo,
         ),
         interpret=interpret_mode(),
     )(ks, ke, *fld_ops)
-    outs = [o[:n] for o in outs]
-    if raw:
-        return _decode_textured_wf(outs, cfg, texture, has_alb, aa=aa)
-    return outs[0], outs[1]
+    return [o[:n] for o in outs]
 
 
 # -- compact-route backward (culled differentiable wide rows) -----------------
@@ -1324,14 +1335,19 @@ def _render_compact(pos, dirs, tgt, hdg, cfg: VisionConfig, te, albedo,
 def _compact_bwd_kernel(
     ks_ref, ke_ref,  # [TE, P] SMEM group ranges
     fld_ref,  # [TE*K, F] packed candidate constants
-    dep_ref, us_ref, ud_ref,  # [TE, WB] forward depth + cotangents
-    dfld_ref,  # [TE*K, F] out: field cotangents (accumulated over P)
-    *,
+    dep_ref,  # [TE, WB] forward depth (the winner gate)
+    *rest,  # n_cot cotangent rows [TE, WB] (forward-output order), then
+    # dfld_ref [TE*K, F] out: field cotangents (accumulated over P)
     cfg: VisionConfig,
     n_fields: int,
     K: int,
+    raw: bool = False,
+    has_alb: bool = False,
 ):
     aa = cfg.antialias
+    n_cot = _wf_num_outputs(raw, has_alb, aa)
+    cot_refs = rest[:n_cot]
+    (dfld_ref,) = rest[n_cot:]
     assert fld_ref.shape[1] == n_fields
     te = fld_ref.shape[0] // K
     wb = dep_ref.shape[1]
@@ -1360,8 +1376,7 @@ def _compact_bwd_kernel(
 
     def eye_body(e, _):
         dpr = dep_ref[pl.ds(e, 1), :]  # (1, WB)
-        usr = us_ref[pl.ds(e, 1), :]
-        udr = ud_ref[pl.ds(e, 1), :]
+        cot_rows = [c[pl.ds(e, 1), :] for c in cot_refs]
         g_lo = ks_ref[e, p]
         g_hi = ke_ref[e, p]
 
@@ -1412,7 +1427,7 @@ def _compact_bwd_kernel(
                     return jax.lax.slice_in_dim(blk, fi, fi + 1, axis=1)
 
                 q_m, pays = _compact_group_eval(
-                    fld, u_p, u_lo_px, u_hi_px, cfg, False, False
+                    fld, u_p, u_lo_px, u_hi_px, cfg, raw, has_alb
                 )
                 # the forward kernel's epilogue, per CANDIDATE: on pixels
                 # this candidate won, its own q IS the cross-candidate
@@ -1420,14 +1435,31 @@ def _compact_bwd_kernel(
                 hit = q_m > qfar
                 f = 1.0 / jnp.where(hit, q_m, 1.0)
                 depth_c = jnp.where(hit, f, cfg.far)
-                mag2 = pays[0] * f * f
-                val = cfg.sprite_albedo * (1.0 - mag2)
-                if aa:
-                    val = cfg.background + pays[-1] * (val - cfg.background)
-                shade_c = jnp.where(hit, val, cfg.background)
-                return shade_c, depth_c, q_m
+                if raw:
+                    k = 2
+                    outs = [
+                        jnp.where(hit, pays[0] * f, 0.5),
+                        jnp.where(hit, pays[1] * f, 0.5),
+                    ]
+                    if has_alb:
+                        outs.append(jnp.where(hit, pays[k], 1.0))
+                        k += 1
+                    if aa:
+                        outs.append(jnp.where(hit, pays[k], 0.0))
+                    outs.append(depth_c)
+                else:
+                    mag2 = pays[0] * f * f
+                    alb = pays[1] if has_alb else cfg.sprite_albedo
+                    val = alb * (1.0 - mag2)
+                    if aa:
+                        val = cfg.background + pays[-1] * (
+                            val - cfg.background
+                        )
+                    outs = [jnp.where(hit, val, cfg.background), depth_c]
+                return (*outs, q_m)
 
-            (_, _, q_c), pull = jax.vjp(tile, blk)
+            out_c, pull = jax.vjp(tile, blk)
+            q_c = out_c[-1]
             match = gate & (q_c == qloc) & (taken < 0.5)
             ridx = jax.lax.broadcasted_iota(
                 jnp.int32, (sub, wb), 0
@@ -1437,7 +1469,7 @@ def _compact_bwd_kernel(
             win = match & (ridx <= first)
             zero = jnp.zeros_like(q_c)
             (dblk,) = pull(
-                (jnp.where(win, usr, zero), jnp.where(win, udr, zero), zero)
+                tuple(jnp.where(win, cr, zero) for cr in cot_rows) + (zero,)
             )
             dfld_ref[pl.ds(off, sub), :] += dblk
             return jnp.maximum(
@@ -1452,19 +1484,26 @@ def _compact_bwd_kernel(
     run_eyes_unrolled(eye_body, te, 1)
 
 
-def _compact_bwd_call(fld, ks, ke, depth, us, ud, cfg: VisionConfig,
-                      K: int, te: int, wb: int):
+def _compact_bwd_call(fld, ks, ke, depth, cots, cfg: VisionConfig,
+                      K: int, te: int, wb: int,
+                      raw: bool = False, has_alb: bool = False):
     """Launch _compact_bwd_kernel: (packed fld, group ranges, forward depth,
-    row cotangents) -> dfld [n_pad_e*K, F]. `wb` MUST be the pixel-block
-    width the prologue baked into ks/ke (callers pass their _compact_wb)."""
-    F = _compact_field_count(cfg.antialias, False)
+    cotangent rows in forward-output order) -> dfld [n_pad_e*K, F]. `wb`
+    MUST be the pixel-block width the prologue baked into ks/ke (callers
+    pass their _compact_wb)."""
+    F = _compact_field_count(cfg.antialias, has_alb)
+    n_cot = _wf_num_outputs(raw, has_alb, cfg.antialias)
+    assert len(cots) == n_cot, (len(cots), n_cot)
     P = cfg.width // wb
     n_pad_e = fld.shape[0] // K
     dep = pad_axis(depth, n_pad_e)
-    usp = pad_axis(us, n_pad_e)  # zero cotangents on padded eyes
-    udp = pad_axis(ud, n_pad_e)
+    cotp = [pad_axis(c, n_pad_e) for c in cots]  # zero cots on padded eyes
     kernel = functools.partial(
-        _compact_bwd_kernel, cfg=cfg, n_fields=F, K=K
+        _compact_bwd_kernel, cfg=cfg, n_fields=F, K=K, raw=raw,
+        has_alb=has_alb,
+    )
+    rowspec = lambda: pl.BlockSpec(
+        (te, wb), lambda i, p: (i, p), memory_space=pltpu.VMEM
     )
     return pl.pallas_call(
         kernel,
@@ -1479,16 +1518,8 @@ def _compact_bwd_call(fld, ks, ke, depth, us, ud, cfg: VisionConfig,
             pl.BlockSpec(
                 (te * K, F), lambda i, p: (i, 0), memory_space=pltpu.VMEM
             ),
-            pl.BlockSpec(
-                (te, wb), lambda i, p: (i, p), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (te, wb), lambda i, p: (i, p), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (te, wb), lambda i, p: (i, p), memory_space=pltpu.VMEM
-            ),
-        ],
+        ]
+        + [rowspec() for _ in range(1 + n_cot)],
         out_specs=pl.BlockSpec(
             (te * K, F), lambda i, p: (i, 0), memory_space=pltpu.VMEM
         ),
@@ -1496,11 +1527,11 @@ def _compact_bwd_call(fld, ks, ke, depth, us, ud, cfg: VisionConfig,
         cost_estimate=pl.CostEstimate(
             flops=240 * n_pad_e * K * cfg.width,
             bytes_accessed=(2 * n_pad_e * K * F
-                            + 3 * n_pad_e * cfg.width) * 4,
+                            + (1 + n_cot) * n_pad_e * cfg.width) * 4,
             transcendentals=0,
         ),
         interpret=interpret_mode(),
-    )(ks, ke, fld, dep, usp, udp)
+    )(ks, ke, fld, dep, *cotp)
 
 
 def _rrwd_bwd_compact(cfg, pos, vel, depth, us, ud):
@@ -1526,7 +1557,7 @@ def _rrwd_bwd_compact(cfg, pos, vel, depth, us, ud):
         return fld, (ks, ke)
 
     fld, pull, (ks, ke) = jax.vjp(build, pos, vel, has_aux=True)
-    dfld = _compact_bwd_call(fld, ks, ke, depth, us, ud, cfg, K, te, wb)
+    dfld = _compact_bwd_call(fld, ks, ke, depth, [us, ud], cfg, K, te, wb)
     return pull(dfld)
 
 
@@ -1556,8 +1587,83 @@ def render_rows_wireframe_vjp_cross_compact(pos, dirs, depth, us, ud,
     fld, pull, (ks, ke) = jax.vjp(
         build, pos, dirs, targets, target_hdg, has_aux=True
     )
-    dfld = _compact_bwd_call(fld, ks, ke, depth, us, ud, cfg, K, te, wb)
+    dfld = _compact_bwd_call(fld, ks, ke, depth, [us, ud], cfg, K, te, wb)
     return pull(dfld)  # (deye, ddirs, dtgt, dhdg)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _compact_raw_rows(pos, vel, albedo, cfg):
+    """Raw winner streams ((uvx, uvy[, alb][, cov], depth) rows) of the
+    compact self-render, with a compact-backward custom VJP — the kernel
+    leg of the textured diff path (the texture decode stays plain XLA
+    autodiff OUTSIDE this boundary)."""
+    return _crr_primal(pos, vel, albedo, cfg)
+
+
+def _crr_primal(pos, vel, albedo, cfg):
+    n = pos.shape[0]
+    dirs = camera.unit_heading(vel)
+    return tuple(
+        _render_compact_outs(
+            pos, dirs, pos, dirs, cfg, EYES_PER_PROGRAM, albedo, n, n,
+            raw=True,
+        )
+    )
+
+
+def _crr_fwd(pos, vel, albedo, cfg):
+    outs = _crr_primal(pos, vel, albedo, cfg)
+    return outs, (pos, vel, albedo, outs[-1])
+
+
+def _crr_bwd(cfg, res, cots):
+    pos, vel, albedo, depth = res
+    n = pos.shape[0]
+    m = n  # self-render: the targets ARE the eyes
+    te = fit_tile(BWD_EYES_PER_PROGRAM_WF, n, 8)
+    n_pad_e = round_up(n, te)
+    K = round_up(m, COMPACT_SUB)
+    wb = _compact_wb(cfg)
+    P = cfg.width // wb
+
+    def build(pos, vel, albedo):
+        dirs = camera.unit_heading(vel)
+        fld, ks, ke = _compact_candidates(
+            pos, dirs, pos, dirs, cfg, albedo, n, m, n_pad_e, K, P, wb,
+            use_sort=m > COMPACT_SORT_MIN_M, packed=True,
+        )
+        return fld, (ks, ke)
+
+    fld, pull, (ks, ke) = jax.vjp(build, pos, vel, albedo, has_aux=True)
+    dfld = _compact_bwd_call(
+        fld, ks, ke, depth, list(cots), cfg, K, te, wb,
+        raw=True, has_alb=albedo is not None,
+    )
+    return pull(dfld)  # (dpos, dvel, dalbedo)
+
+
+_compact_raw_rows.defvjp(_crr_fwd, _crr_bwd)
+
+
+def render_rows_wireframe_textured_diff(pos, vel, cfg: VisionConfig,
+                                        texture, albedo=None):
+    """Differentiable TEXTURE-sampled exact-sprite observations: the raw
+    winner streams come from the compact kernel pair (custom VJP), and the
+    bilinear texture decode (_decode_textured_wf — gather-free einsum
+    sampling) runs under plain XLA autodiff, so gradients flow to pos, vel,
+    albedo AND the texture itself. Compact-eligible wide rows only
+    (W >= 512, 128-multiple); the dense renderer (vision.render.render_rows
+    with texture) stays the differentiable fallback at any width."""
+    if not _compact_route_ok(cfg, pos.shape[0]):
+        raise ValueError(
+            "render_rows_wireframe_textured_diff needs a compact-eligible "
+            f"shape (width >= 512 and a 128-multiple), got width="
+            f"{cfg.width}, n={pos.shape[0]}; use the dense renderer there"
+        )
+    outs = _compact_raw_rows(pos, vel, albedo, cfg)
+    return _decode_textured_wf(
+        list(outs), cfg, texture, albedo is not None, aa=cfg.antialias
+    )
 
 
 # -- backward kernel (differentiable exact-sprite perception) -----------------
