@@ -381,6 +381,42 @@ def main():
         100, 1024, "vision-wireframe-diff-n100-w1024", 50 if on_tpu else 2
     )
 
+    # the FULL reference config, DIFFERENTIABLE: texture-sampled AA
+    # wireframe observations with gradients (compact raw custom VJP +
+    # autodiff texture decode; r3)
+    def wf_tex_diff_shape(n_v, w, label, k, m=6):
+        vcfg = VisionConfig(width=w, sprite_mode="wireframe", antialias=True,
+                            far=200.0)
+        tex = checker_texture(8, 2)
+        kp2, kv2 = jax.random.split(jax.random.key(19))
+        p2 = jax.random.uniform(kp2, (n_v, 2), minval=-100, maxval=100,
+                                dtype=jnp.float32)
+        v2 = jax.random.uniform(kv2, (n_v, 2), minval=-1, maxval=1,
+                                dtype=jnp.float32)
+
+        @jax.jit
+        def roll(c):
+            p, v = c
+
+            def body(p, _):
+                def loss(pq):
+                    s, d = wireframe_ops.render_rows_wireframe_textured_diff(
+                        pq, v, vcfg, tex
+                    )
+                    return jnp.sum(s * s) + 1e-3 * jnp.sum(d)
+
+                g = jax.grad(loss)(p)
+                return p + 1e-6 * g, ()
+
+            p, _ = jax.lax.scan(body, p, None, length=k)
+            return p, v
+
+        return _rate_or_zero(roll, (p2, v2), n_v, k, label, m, compile_times)
+
+    vision_fps_wf_tex_diff_ref = wf_tex_diff_shape(
+        100, 1024, "vision-wireframe-tex-diff-n100-w1024", 50 if on_tpu else 2
+    )
+
     print(
         json.dumps(
             {
@@ -405,6 +441,7 @@ def main():
                     "vision_agent_frames_per_s_wireframe_aa_n1024_w1024": vision_fps_wf_wide,
                     "vision_agent_frames_per_s_wireframe_diff_n1024_w64": vision_fps_wf_diff,
                     "vision_agent_frames_per_s_wireframe_diff_n100_w1024": vision_fps_wf_diff_ref,
+                    "vision_agent_frames_per_s_wireframe_tex_diff_n100_w1024": vision_fps_wf_tex_diff_ref,
                     # the reference app itself caps at ~500 frames/s = 5e4
                     # agent-frames/s at its shipping N=100 (main.rs:837-845)
                     "wireframe_ref_config_vs_reference_hw": vision_fps_wf_ref100_aatex / 5e4,

@@ -266,6 +266,45 @@ def test_textured_compact_diff_matches_dense_autodiff():
         assert (np.abs(np.asarray(b)) > 0).any(), f"{name} oracle grads zero"
 
 
+def test_compact_diff_edge_cases_no_nans():
+    """The compact backward's safe-division guards (empty q=0 slots, miss
+    pixels at `far`) must keep gradients finite at degenerate scenes:
+    n < COMPACT_SUB (slot + eye-tile padding), an all-miss scene (every
+    target beyond `far` -> exactly zero grads), and a single self-culled
+    agent."""
+    cfg = VisionConfig(width=512, sprite_mode="wireframe", antialias=True,
+                       far=200.0)
+    kp, kv = jax.random.split(jax.random.key(2))
+    pos = jax.random.uniform(kp, (4, 2), minval=-20, maxval=20,
+                             dtype=jnp.float32)
+    vel = jax.random.uniform(kv, (4, 2), minval=-1, maxval=1,
+                             dtype=jnp.float32)
+
+    def loss(p, v, c):
+        return jnp.sum(wireframe.render_rows_wireframe_diff(p, v, c)[0] ** 2)
+
+    g = np.asarray(jax.grad(loss)(pos, vel, cfg))
+    assert np.isfinite(g).all() and (np.abs(g) > 0).any()
+
+    # all-miss: everything beyond far -> zero gradient, never nan
+    far_cfg = VisionConfig(width=512, sprite_mode="wireframe",
+                           antialias=True, far=50.0)
+    pos2 = jnp.array([[0.0, 0.0], [1000.0, 1000.0], [-1000.0, 1000.0],
+                      [0.0, -1500.0]], jnp.float32)
+    vel2 = jnp.array([[1.0, 0.0], [0.0, 1.0], [1.0, 0.0], [0.0, 1.0]],
+                     jnp.float32)
+    g2 = np.asarray(jax.grad(loss)(pos2, vel2, far_cfg))
+    assert np.isfinite(g2).all() and np.abs(g2).max() == 0.0
+
+    # single agent: self-cull leaves an empty scene
+    pos3 = jnp.zeros((1, 2), jnp.float32)
+    vel3 = jnp.ones((1, 2), jnp.float32)
+    _, d = wireframe.render_rows_wireframe_diff(pos3, vel3, cfg)
+    assert (np.asarray(d) >= cfg.far).all()
+    g3 = np.asarray(jax.grad(loss)(pos3, vel3, cfg))
+    assert np.isfinite(g3).all()
+
+
 def test_textured_diff_rejects_narrow_widths():
     cfg = VisionConfig(width=64, sprite_mode="wireframe", antialias=True)
     pos = jnp.zeros((4, 2), jnp.float32)
