@@ -517,18 +517,37 @@ COMPACT_SORT_MAX_M = 4096
 # in registers, but keep the flags until silicon confirms.
 COMPACT_PACKED_FIELDS = True
 COMPACT_WHOLE_BLOCK = True
+# op-diet A/B (hardware sweep via _wf_quick.py): INTERVAL_HIT=True swaps the
+# in-kernel hit tests for the prologue's slab-clipped screen intervals —
+# they are EXACTLY the {tau in [0,1]} x {f in [near, far]} region (u is
+# monotone in tau along the clipped segment), already computed for culling:
+#   plain: (q>qfar)&(q<qnear)&(tq>=0)&(tq<=q)  ->  (u>=e_lo)&(u<=e_hi)
+#          (7 ops -> 3 per edge; plain rows then carry the 6 interval lanes)
+#   AA:    drop `& (q > qfar)` — q at the interval-clamped u_c is in
+#          [qfar, qnear] by construction and the epilogue re-tests hit, so
+#          a sub-qfar winner decodes to background either way; the 3-edge
+#          sprite-union min/max (4 ops) loads precompacted instead (2 lanes)
+# Output-equal at fp tolerances, NOT bit-identical: interval endpoints ride
+# a division fp route, the per-pixel tests an FMA route, so a pixel sitting
+# within ~1 ulp of an edge boundary may flip (tests pin vs the dense oracle
+# at the route's usual tolerances). Default off until silicon measures it.
+COMPACT_INTERVAL_HIT = False
 
 
 def _compact_field_count(aa: bool, has_alb: bool) -> int:
     """Lane count of the compacted constant array: 4 inverse-depth
     constants (A, Bu, C, Du) per edge, the per-edge screen intervals
-    (e_lo, e_hi) in AA mode, then albedo. The kernel indexes lanes with
-    the same 4*ei / 12+2*ei / _compact_alb_idx arithmetic."""
-    return 12 + (6 if aa else 0) + (1 if has_alb else 0)
+    (e_lo, e_hi) in AA mode (and in plain mode under COMPACT_INTERVAL_HIT),
+    then albedo, then the sprite-union interval (AA + INTERVAL_HIT only).
+    The kernel indexes lanes with the same 4*ei / 12+2*ei /
+    _compact_alb_idx arithmetic."""
+    ih = COMPACT_INTERVAL_HIT
+    return (12 + (6 if (aa or ih) else 0) + (1 if has_alb else 0)
+            + (2 if (aa and ih) else 0))
 
 
 def _compact_alb_idx(aa: bool) -> int:
-    return 12 + (6 if aa else 0)
+    return 12 + (6 if (aa or COMPACT_INTERVAL_HIT) else 0)
 
 
 def _compact_group_eval(fld, u_p, u_lo_px, u_hi_px, cfg: VisionConfig,
@@ -541,6 +560,7 @@ def _compact_group_eval(fld, u_p, u_lo_px, u_hi_px, cfg: VisionConfig,
     depth, pays tuple of (sub, WB) winner payloads); `q_only` skips the
     payload selects (the backward's cheap pass-1 winner recompute)."""
     aa = cfg.antialias
+    ih = COMPACT_INTERVAL_HIT
     qfar = 1.0 / cfg.far
     qnear = 1.0 / cfg.near
     hp = 1.0 / cfg.width
@@ -558,9 +578,22 @@ def _compact_group_eval(fld, u_p, u_lo_px, u_hi_px, cfg: VisionConfig,
             q = av + bu * u_c
             tq = cv + du * u_c
             cov_e = (ehv > u_lo_px) & (elv < u_hi_px)
-            qg = jnp.where(cov_e & (q > qfar), q, 0.0)
-            sp_lo = elv if sp_lo is None else jnp.minimum(sp_lo, elv)
-            sp_hi = ehv if sp_hi is None else jnp.maximum(sp_hi, ehv)
+            if ih:
+                # q at the clamped u_c is >= qfar by slab-clip construction
+                # (see COMPACT_INTERVAL_HIT); the epilogue re-tests hit
+                qg = jnp.where(cov_e, q, 0.0)
+            else:
+                qg = jnp.where(cov_e & (q > qfar), q, 0.0)
+                sp_lo = elv if sp_lo is None else jnp.minimum(sp_lo, elv)
+                sp_hi = ehv if sp_hi is None else jnp.maximum(sp_hi, ehv)
+        elif ih:
+            # the slab-clipped screen interval IS the plain hit region
+            elv = fld(12 + 2 * ei + 0)
+            ehv = fld(12 + 2 * ei + 1)
+            q = av + bu * u_p  # (sub, WB)
+            tq = cv + du * u_p
+            hit = (u_p >= elv) & (u_p <= ehv)
+            qg = jnp.where(hit, q, 0.0)
         else:
             q = av + bu * u_p  # (sub, WB)
             tq = cv + du * u_p
@@ -587,6 +620,11 @@ def _compact_group_eval(fld, u_p, u_lo_px, u_hi_px, cfg: VisionConfig,
     pays = p_m
     if has_alb:
         pays = pays + (fld(_compact_alb_idx(aa)),)  # (sub, 1): broadcasts
+    if aa and ih:
+        # precompacted 3-edge union interval (2 lane loads for 4 min/max)
+        sp0 = _compact_alb_idx(aa) + (1 if has_alb else 0)
+        sp_lo = fld(sp0)
+        sp_hi = fld(sp0 + 1)
     if aa:
         cov = jnp.clip(
             (
@@ -1096,9 +1134,9 @@ def _compact_candidates(pos, dirs, tgt, hdg, cfg: VisionConfig, albedo,
         e_hi = jnp.where(valid, e_hi_v, -4.0)
         sp_lo = e_lo if sp_lo is None else jnp.minimum(sp_lo, e_lo)
         sp_hi = e_hi if sp_hi is None else jnp.maximum(sp_hi, e_hi)
-        if aa:
+        if aa or COMPACT_INTERVAL_HIT:
             iv_fields += [e_lo, e_hi]
-    if aa:
+    if aa or COMPACT_INTERVAL_HIT:
         fields += iv_fields
         sent += [4.0, -4.0] * 3
     if has_alb:
@@ -1185,12 +1223,15 @@ def _compact_candidates(pos, dirs, tgt, hdg, cfg: VisionConfig, albedo,
                 filled[None, :, :], comp,
                 jnp.asarray(sent, jnp.float32)[:, None, None],
             )
+    # under AA + INTERVAL_HIT the sprite-union pair doubles as the kernel's
+    # last two field lanes (cov loads it instead of re-uniting per edge)
+    keep_union = aa and COMPACT_INTERVAL_HIT
     if packed:
         spc_lo, spc_hi = comp[:, :, -2], comp[:, :, -1]
-        fld = comp[:, :, :-2]  # [n, K, F]
+        fld = comp if keep_union else comp[:, :, :-2]  # [n, K, F]
     else:
         spc_lo, spc_hi = comp[-2], comp[-1]
-        fld = comp[:-2]
+        fld = comp if keep_union else comp[:-2]
 
     # per-(eye, pixel-block) group ranges: candidate groups are screen-local
     # after sorting, so the overlapping range is ~1-2 groups per block

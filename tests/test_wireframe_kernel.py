@@ -351,3 +351,60 @@ def test_compact_sorted_many_targets_matches_dense():
         pos, vel, cfg, targets=tgt, target_vel=tvel, albedo=albedo
     )
     _assert_rows_close(got, want, atol=1e-3)
+
+
+def test_compact_interval_hit_matches_dense():
+    """COMPACT_INTERVAL_HIT op-diet (the slab-clipped screen intervals ARE
+    the hit region — see the flag's comment): same oracle parity as the
+    default route in both sprite-payload modes. Not bit-identical to
+    ih=False (interval endpoints ride a division fp route), so this pins
+    against the DENSE oracle at the compact route's usual tolerance."""
+    pos, vel = _spawnish(jax.random.key(31), 40)
+    tex = render.checker_texture(8, 2)
+    saved = wireframe.COMPACT_INTERVAL_HIT
+    try:
+        wireframe.COMPACT_INTERVAL_HIT = True
+        jax.clear_caches()  # trace-time global, not a jit key
+        for aa, texture in ((False, False), (True, True)):
+            cfg = VisionConfig(width=512, sprite_mode="wireframe",
+                               antialias=aa, far=200.0)
+            want = render.render_rows(pos, vel, cfg,
+                                      texture=tex if texture else None)
+            got = wireframe.render_rows_wireframe_tiled(
+                pos, vel, cfg, texture=tex if texture else None
+            )
+            _assert_rows_close(got, want, atol=1e-3)
+    finally:
+        wireframe.COMPACT_INTERVAL_HIT = saved
+        jax.clear_caches()
+
+
+@pytest.mark.slow
+def test_compact_interval_hit_diff_matches_default_grads():
+    """The diff route under COMPACT_INTERVAL_HIT: the backward kernel pulls
+    back through the same _compact_group_eval, so winner matching stays
+    internally consistent and (pos, vel) grads agree with the default
+    flag's grads at fp tolerance."""
+    cfg = VisionConfig(width=512, sprite_mode="wireframe", antialias=True,
+                       far=200.0)
+    pos, vel = _spawnish(jax.random.key(61), 48, spread=60.0)
+    assert wireframe._compact_route_ok(cfg, 48)
+
+    def loss(p, v):
+        s, d = wireframe.render_rows_wireframe_diff(p, v, cfg)
+        return jnp.sum(s * jnp.cos(0.1 * d))
+
+    saved = wireframe.COMPACT_INTERVAL_HIT
+    grads = {}
+    try:
+        for ih in (False, True):
+            wireframe.COMPACT_INTERVAL_HIT = ih
+            jax.clear_caches()
+            grads[ih] = jax.grad(loss, argnums=(0, 1))(pos, vel)
+    finally:
+        wireframe.COMPACT_INTERVAL_HIT = saved
+        jax.clear_caches()
+    for a, b in zip(grads[True], grads[False]):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.abs(b).max() > 0
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
