@@ -111,12 +111,53 @@ def _rate_or_zero(roll, carry, n_v, steps, label, m, compile_times):
     return n_v / dt_s
 
 
+def _probe_backend(timeout_s: float = 240.0) -> None:
+    """Fail FAST if the device backend is unreachable. The remote-TPU
+    tunnel can wedge so that jax.devices() hangs indefinitely (observed
+    2026-08-18: hours, with no local cause); without this probe the first
+    warmup op would hang the whole bench and the round would record
+    nothing. Probing in a SUBPROCESS (it inherits the same platform
+    pinning) keeps this process's jax state untouched on success."""
+    import subprocess
+
+    # replicate a programmatic platform override (the sitecustomize hook
+    # pre-imports jax pinned to the TPU plugin, so env vars are too late
+    # in the child just as they are here — jax.config.update is not)
+    plat = getattr(jax.config, "jax_platforms", None)
+    code = "import jax\n"
+    if plat:
+        code += f"jax.config.update('jax_platforms', {plat!r})\n"
+    code += "jax.devices()\n"
+    try:
+        subprocess.run(
+            [sys.executable, "-c", code],
+            timeout=timeout_s,
+            capture_output=True,
+        )
+    except subprocess.TimeoutExpired:
+        print(
+            f"[bench] FATAL: device backend unreachable "
+            f"(jax.devices() hung > {timeout_s:.0f}s — wedged tunnel?)",
+            file=sys.stderr,
+            flush=True,
+        )
+        print(json.dumps({
+            "metric": "pair_force_evals_per_s",
+            "value": 0.0,
+            "unit": "evals/s",
+            "vs_baseline": 0.0,
+            "error": "device backend unreachable (tunnel hang)",
+        }))
+        raise SystemExit(1)
+
+
 def main():
     from nenbody_tpu.config import BoidsConfig, GravityConfig, VisionConfig
     from nenbody_tpu.ops import boids as boids_ops
     from nenbody_tpu.ops import pairwise, raycast
     from nenbody_tpu.utils.profiling import enable_compilation_cache
 
+    _probe_backend()
     global _CACHE_DIR
     cache_dir = _CACHE_DIR = enable_compilation_cache()
     on_tpu = jax.default_backend() == "tpu"
