@@ -532,6 +532,11 @@ COMPACT_WHOLE_BLOCK = True
 # within ~1 ulp of an edge boundary may flip (tests pin vs the dense oracle
 # at the route's usual tolerances). Default off until silicon measures it.
 COMPACT_INTERVAL_HIT = False
+# groups evaluated per dynamic-loop iteration (the loop boundary costs ~50
+# cycles; at ~4 in-range groups per (eye, block) that rivals the eval work).
+# BIT-identical to 1 at any value — duplicate tail groups merge as no-ops
+# (see the unroll comment in _wireframe_compact_kernel). Swept on hardware.
+COMPACT_GROUP_UNROLL = 1
 
 
 def _compact_field_count(aa: bool, has_alb: bool) -> int:
@@ -759,9 +764,32 @@ def _wireframe_compact_kernel(
             jnp.zeros((sub, wb), jnp.float32),
             tuple(jnp.zeros((sub, wb), jnp.float32) for _ in range(n_pay)),
         )
-        acc_q, acc_p = jax.lax.fori_loop(
-            ks_ref[e, p], ke_ref[e, p], grp, init
-        )
+        ks = ks_ref[e, p]
+        ke = ke_ref[e, p]
+        if COMPACT_GROUP_UNROLL <= 1:
+            acc_q, acc_p = jax.lax.fori_loop(ks, ke, grp, init)
+        else:
+            # unrolled group loop: the dynamic-bound loop boundary costs
+            # ~50 cycles per iteration — a meaningful slice of the kernel
+            # at ~4 groups per (eye, block). Processing R groups per
+            # iteration is BIT-identical: group ranges are a performance
+            # cut only (out-of-range candidates fail every per-pixel
+            # interval/hit test by construction), ties keep group order,
+            # and the tail clamps to the LAST in-range group, whose
+            # duplicate max/strict-greater merges are no-ops. Clamping to
+            # ke-1 (not G-1) keeps the loop inside this eye's slots.
+            R = COMPACT_GROUP_UNROLL
+            G = K // sub
+            last = jnp.maximum(ks, ke - 1)  # ks==ke: empty loop, unused
+
+            def grp_r(i, carry):
+                g0 = ks + R * i
+                for r in range(R):
+                    carry = grp(jnp.minimum(g0 + r, last), carry)
+                return carry
+
+            n_it = (ke - ks + (R - 1)) // R
+            acc_q, acc_p = jax.lax.fori_loop(0, n_it, grp_r, init)
         best_q = jnp.max(acc_q, axis=0, keepdims=True)  # (1, WB)
         win = (acc_q == best_q) & (best_q > qfar)
         best_p = tuple(

@@ -353,6 +353,32 @@ def test_compact_sorted_many_targets_matches_dense():
     _assert_rows_close(got, want, atol=1e-3)
 
 
+@pytest.mark.slow
+def test_compact_group_unroll_bit_identical():
+    """COMPACT_GROUP_UNROLL is a pure loop transformation: duplicate tail
+    groups merge as no-ops (max / strict-greater), out-of-range groups fail
+    every per-pixel test, so any unroll factor is BIT-identical to 1."""
+    cfg = VisionConfig(width=512, sprite_mode="wireframe", antialias=True,
+                       far=200.0)
+    pos, vel = _spawnish(jax.random.key(71), 40)
+    tex = render.checker_texture(8, 2)
+    saved = wireframe.COMPACT_GROUP_UNROLL
+    outs = {}
+    try:
+        for ur in (1, 2, 4):
+            wireframe.COMPACT_GROUP_UNROLL = ur
+            jax.clear_caches()  # trace-time global, not a jit key
+            s, d = wireframe.render_rows_wireframe_tiled(pos, vel, cfg,
+                                                         texture=tex)
+            outs[ur] = (np.asarray(s), np.asarray(d))
+    finally:
+        wireframe.COMPACT_GROUP_UNROLL = saved
+        jax.clear_caches()
+    for ur in (2, 4):
+        np.testing.assert_array_equal(outs[ur][0], outs[1][0])
+        np.testing.assert_array_equal(outs[ur][1], outs[1][1])
+
+
 def test_compact_interval_hit_matches_dense():
     """COMPACT_INTERVAL_HIT op-diet (the slab-clipped screen intervals ARE
     the hit region — see the flag's comment): same oracle parity as the
