@@ -69,7 +69,11 @@ def test_rdma_boids_matches_dense():
     np.testing.assert_allclose(got, want, rtol=3e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_rdma_boids_batched_matches_dense():
+    """Slow tier: the boids hop is pinned unbatched above and the leading
+    env-batch lift is pinned by test_rdma_gravity_batched_matches_dense —
+    this covers only their combination."""
     cfg = SimConfig(n=64, controller="boids")
     # 4 hops: batching folds into the payload identically at any ring length
     mesh = make_mesh(devices=jax.devices()[:4])

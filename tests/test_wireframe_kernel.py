@@ -387,18 +387,24 @@ def test_compact_interval_hit_matches_dense():
     against the DENSE oracle at the compact route's usual tolerance."""
     pos, vel = _spawnish(jax.random.key(31), 40)
     tex = render.checker_texture(8, 2)
+    configs = [
+        (VisionConfig(width=512, sprite_mode="wireframe", antialias=aa,
+                      far=200.0), t)
+        for aa, t in ((False, None), (True, tex))
+    ]
+    # oracle rows BEFORE the flag flip: the dense render is flag-independent
+    # and these exact (cfg, shape) graphs are already compiled by
+    # test_compact_wide_row_matches_dense — computing them after
+    # clear_caches() would recompile both for nothing
+    wants = [render.render_rows(pos, vel, cfg, texture=t)
+             for cfg, t in configs]
     saved = wireframe.COMPACT_INTERVAL_HIT
     try:
         wireframe.COMPACT_INTERVAL_HIT = True
         jax.clear_caches()  # trace-time global, not a jit key
-        for aa, texture in ((False, False), (True, True)):
-            cfg = VisionConfig(width=512, sprite_mode="wireframe",
-                               antialias=aa, far=200.0)
-            want = render.render_rows(pos, vel, cfg,
-                                      texture=tex if texture else None)
-            got = wireframe.render_rows_wireframe_tiled(
-                pos, vel, cfg, texture=tex if texture else None
-            )
+        for (cfg, t), want in zip(configs, wants):
+            got = wireframe.render_rows_wireframe_tiled(pos, vel, cfg,
+                                                        texture=t)
             _assert_rows_close(got, want, atol=1e-3)
     finally:
         wireframe.COMPACT_INTERVAL_HIT = saved
