@@ -779,7 +779,6 @@ def _wireframe_compact_kernel(
             # duplicate max/strict-greater merges are no-ops. Clamping to
             # ke-1 (not G-1) keeps the loop inside this eye's slots.
             R = COMPACT_GROUP_UNROLL
-            G = K // sub
             last = jnp.maximum(ks, ke - 1)  # ks==ke: empty loop, unused
 
             def grp_r(i, carry):
