@@ -92,3 +92,84 @@ def test_random_config_ring_agreement(i):
         np.asarray(obs_ring), np.asarray(obs_dense),
         rtol=1e-3, atol=5e-4, err_msg=str(cfg),
     )
+
+
+# -- compact wireframe route fuzz ---------------------------------------------
+# The backend fuzz above tops out at W=160, which never reaches the
+# compacted-candidate kernel (wide rows, W >= 512 — the reference's own eye
+# shape class). These pin random wide-row configs (and, slow tier, random
+# COMPACT_* flag states) to the dense oracle, so the compact prologue's
+# sort/rank editions, block-ladder fallbacks, and op-diet variants get
+# combination coverage that silicon gates can't give while unmeasured.
+
+
+def _fuzz_compact_cfg(i):
+    rng = np.random.RandomState(77000 + i)
+    n = int(rng.choice([9, 40, 100, 257]))
+    width = int(rng.choice([512, 768, 1024]))
+    from nenbody_tpu.vision import render as render_lib
+
+    cfg = VisionConfig(
+        width=width,
+        sprite_mode="wireframe",
+        antialias=bool(rng.randint(2)),
+        hfov_deg=float(rng.uniform(40, 140)),
+        sprite_radius=float(rng.uniform(0.3, 3.0)),
+        far=200.0,
+    )
+    kp, kv = jax.random.split(jax.random.key(7100 + i))
+    pos = jax.random.uniform(kp, (n, 2), minval=-80, maxval=80,
+                             dtype=jnp.float32)
+    vel = jax.random.uniform(kv, (n, 2), minval=-1, maxval=1,
+                             dtype=jnp.float32)
+    albedo = (jax.random.uniform(jax.random.key(7200 + i), (n,), minval=0.3,
+                                 maxval=1.0) if rng.randint(2) else None)
+    texture = render_lib.checker_texture(8, 2) if rng.randint(2) else None
+    return cfg, pos, vel, albedo, texture
+
+
+def _assert_compact_matches_dense(i):
+    from nenbody_tpu.ops import wireframe
+    from nenbody_tpu.vision import render as render_lib
+
+    cfg, pos, vel, albedo, texture = _fuzz_compact_cfg(i)
+    assert wireframe._compact_route_ok(cfg, pos.shape[0]), (i, cfg)
+    want = render_lib.render_rows(pos, vel, cfg, albedo=albedo,
+                                  texture=texture)
+    got = wireframe.render_rows_wireframe_tiled(pos, vel, cfg, albedo=albedo,
+                                                texture=texture)
+    for g, w in zip(got, want):
+        assert np.isfinite(np.asarray(g)).all(), (i, cfg)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w), atol=1e-3,
+                                   err_msg=f"seed {i}: {cfg}")
+
+
+@pytest.mark.parametrize("i", range(2))
+def test_fuzz_compact_route_matches_dense(i):
+    _assert_compact_matches_dense(i)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("i", range(2, 5))
+def test_fuzz_compact_flags_match_dense(i):
+    """Random COMPACT_* flag states over random wide-row configs."""
+    from nenbody_tpu.ops import wireframe
+
+    rng = np.random.RandomState(88000 + i)
+    saved = (wireframe.COMPACT_INTERVAL_HIT, wireframe.COMPACT_GROUP_UNROLL,
+             wireframe.COMPACT_WB, wireframe.COMPACT_PACKED_FIELDS,
+             wireframe.COMPACT_WHOLE_BLOCK)
+    try:
+        wireframe.COMPACT_INTERVAL_HIT = bool(rng.randint(2))
+        wireframe.COMPACT_GROUP_UNROLL = int(rng.choice([1, 2, 4]))
+        wireframe.COMPACT_WB = int(rng.choice([256, 512]))
+        wireframe.COMPACT_PACKED_FIELDS = bool(rng.randint(2))
+        wireframe.COMPACT_WHOLE_BLOCK = wireframe.COMPACT_PACKED_FIELDS and \
+            bool(rng.randint(2))
+        jax.clear_caches()  # trace-time globals, not jit keys
+        _assert_compact_matches_dense(i)
+    finally:
+        (wireframe.COMPACT_INTERVAL_HIT, wireframe.COMPACT_GROUP_UNROLL,
+         wireframe.COMPACT_WB, wireframe.COMPACT_PACKED_FIELDS,
+         wireframe.COMPACT_WHOLE_BLOCK) = saved
+        jax.clear_caches()
