@@ -128,25 +128,30 @@ def _probe_backend(timeout_s: float = 240.0) -> None:
     if plat:
         code += f"jax.config.update('jax_platforms', {plat!r})\n"
     code += "jax.devices()\n"
+    err = None
     try:
-        subprocess.run(
+        r = subprocess.run(
             [sys.executable, "-c", code],
             timeout=timeout_s,
             capture_output=True,
         )
+        if r.returncode != 0:  # fast failure (refused/raised), not a hang
+            tail = r.stderr.decode(errors="replace").strip().splitlines()
+            err = "device backend init failed: " + (tail[-1] if tail else "?")
     except subprocess.TimeoutExpired:
-        print(
-            f"[bench] FATAL: device backend unreachable "
-            f"(jax.devices() hung > {timeout_s:.0f}s — wedged tunnel?)",
-            file=sys.stderr,
-            flush=True,
-        )
+        err = (f"device backend unreachable "
+               f"(jax.devices() hung > {timeout_s:.0f}s — wedged tunnel?)")
+    if err is not None:
+        print(f"[bench] FATAL: {err}", file=sys.stderr, flush=True)
         print(json.dumps({
-            "metric": "pair_force_evals_per_s",
+            # same metric identifier as the success path, so round-over-
+            # round consumers see a zero datapoint, not a new series
+            "metric": ("pair-force evals/sec/chip at N=65536 "
+                       "(tiled Pallas gravity, fp32)"),
             "value": 0.0,
             "unit": "evals/s",
             "vs_baseline": 0.0,
-            "error": "device backend unreachable (tunnel hang)",
+            "error": err,
         }))
         raise SystemExit(1)
 

@@ -521,12 +521,15 @@ COMPACT_WHOLE_BLOCK = True
 # in-kernel hit tests for the prologue's slab-clipped screen intervals —
 # they are EXACTLY the {tau in [0,1]} x {f in [near, far]} region (u is
 # monotone in tau along the clipped segment), already computed for culling:
-#   plain: (q>qfar)&(q<qnear)&(tq>=0)&(tq<=q)  ->  (u>=e_lo)&(u<=e_hi)
-#          (7 ops -> 3 per edge; plain rows then carry the 6 interval lanes)
+#   plain: (q>qfar)&(q<qnear)&(tq>=0)&(tq<=q) -> (u>=e_lo)&(u<=e_hi)&(q<qnear)
+#          (7 ops -> 5 per edge; plain rows then carry the 6 interval lanes.
+#          q<qnear stays as a conditioning guard — see the kernel comment)
 #   AA:    drop `& (q > qfar)` — q at the interval-clamped u_c is in
 #          [qfar, qnear] by construction and the epilogue re-tests hit, so
 #          a sub-qfar winner decodes to background either way; the 3-edge
-#          sprite-union min/max (4 ops) loads precompacted instead (2 lanes)
+#          sprite-union min/max (4 ops) loads precompacted instead (2 lanes).
+#          (AA's exposure to ill-conditioned 1/Kc edges is UNCHANGED from
+#          the default route, which also has no qnear/tq cross-check.)
 # Output-equal at fp tolerances, NOT bit-identical: interval endpoints ride
 # a division fp route, the per-pixel tests an FMA route, so a pixel sitting
 # within ~1 ulp of an edge boundary may flip (tests pin vs the dense oracle
@@ -592,12 +595,17 @@ def _compact_group_eval(fld, u_p, u_lo_px, u_hi_px, cfg: VisionConfig,
                 sp_lo = elv if sp_lo is None else jnp.minimum(sp_lo, elv)
                 sp_hi = ehv if sp_hi is None else jnp.maximum(sp_hi, ehv)
         elif ih:
-            # the slab-clipped screen interval IS the plain hit region
+            # the slab-clipped screen interval IS the plain hit region; the
+            # q < qnear bound stays as a conditioning guard — near eye-edge
+            # collinearity (|Kc| small) q rides 1/Kc and cancellation can
+            # produce garbage q at interval-passing pixels, and this at
+            # least bounds a garbage winner's depth to > near (the sub-qfar
+            # side needs no guard: the epilogue re-tests hit = q > qfar)
             elv = fld(12 + 2 * ei + 0)
             ehv = fld(12 + 2 * ei + 1)
             q = av + bu * u_p  # (sub, WB)
             tq = cv + du * u_p
-            hit = (u_p >= elv) & (u_p <= ehv)
+            hit = (u_p >= elv) & (u_p <= ehv) & (q < qnear)
             qg = jnp.where(hit, q, 0.0)
         else:
             q = av + bu * u_p  # (sub, WB)

@@ -384,7 +384,12 @@ def test_compact_interval_hit_matches_dense():
     the hit region — see the flag's comment): same oracle parity as the
     default route in both sprite-payload modes. Not bit-identical to
     ih=False (interval endpoints ride a division fp route), so this pins
-    against the DENSE oracle at the compact route's usual tolerance."""
+    against the DENSE oracle at the compact route's usual tolerance.
+    COMPACT_GROUP_UNROLL=2 rides along so the unrolled group-loop branch
+    has DEFAULT-tier coverage at zero extra compiles (its bit-identity to
+    unroll=1 is the slow-tier test above). The clear_caches() pair is
+    unavoidable (trace-time globals); keeping this test last in the file's
+    default tier limits what the final clear costs later files."""
     pos, vel = _spawnish(jax.random.key(31), 40)
     tex = render.checker_texture(8, 2)
     configs = [
@@ -398,16 +403,17 @@ def test_compact_interval_hit_matches_dense():
     # clear_caches() would recompile both for nothing
     wants = [render.render_rows(pos, vel, cfg, texture=t)
              for cfg, t in configs]
-    saved = wireframe.COMPACT_INTERVAL_HIT
+    saved = (wireframe.COMPACT_INTERVAL_HIT, wireframe.COMPACT_GROUP_UNROLL)
     try:
         wireframe.COMPACT_INTERVAL_HIT = True
-        jax.clear_caches()  # trace-time global, not a jit key
+        wireframe.COMPACT_GROUP_UNROLL = 2
+        jax.clear_caches()  # trace-time globals, not jit keys
         for (cfg, t), want in zip(configs, wants):
             got = wireframe.render_rows_wireframe_tiled(pos, vel, cfg,
                                                         texture=t)
             _assert_rows_close(got, want, atol=1e-3)
     finally:
-        wireframe.COMPACT_INTERVAL_HIT = saved
+        wireframe.COMPACT_INTERVAL_HIT, wireframe.COMPACT_GROUP_UNROLL = saved
         jax.clear_caches()
 
 
