@@ -363,15 +363,27 @@ def test_ring_diff_wireframe_kernel_edition(monkeypatch):
 
 
 @pytest.mark.slow
-def test_ring_diff_wireframe_compact_hops(monkeypatch):
+@pytest.mark.parametrize("op_diet", [False, True])
+def test_ring_diff_wireframe_compact_hops(monkeypatch, op_diet, request):
     """Compact-eligible hop shapes (wide rows) route each hop's forward
     through the compact kernel and its backward through the compact cross
     pullback (render_rows_wireframe_vjp_cross_compact) — the local-winner-
     is-global-winner gate must keep cotangents off pixels another block's
-    target won. Slow tier: the W=512 per-hop compile dominates; the W=16
+    target won. op_diet=True re-runs under COMPACT_INTERVAL_HIT +
+    COMPACT_GROUP_UNROLL=2 (the hop kernels and the per-hop backward share
+    _compact_group_eval, so the flags must compose with hop merging too).
+    Slow tier: the W=512 per-hop compile dominates; the W=16
     kernel-edition sibling covers the circulation plumbing every run."""
     monkeypatch.setattr(ring, "_use_pallas", lambda backend: True)
     from nenbody_tpu.ops import wireframe
+
+    if op_diet:
+        monkeypatch.setattr(wireframe, "COMPACT_INTERVAL_HIT", True)
+        monkeypatch.setattr(wireframe, "COMPACT_GROUP_UNROLL", 2)
+        jax.clear_caches()  # trace-time globals, not jit keys
+        # evict THIS test's flagged traces before monkeypatch restores the
+        # flags (finalizers run LIFO), so later same-shape calls retrace
+        request.addfinalizer(jax.clear_caches)
 
     mesh4 = mesh_lib.make_mesh({"agents": 4}, devices=jax.devices()[:4])
     n = 16
