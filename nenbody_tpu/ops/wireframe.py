@@ -901,15 +901,47 @@ def _compact_route_ok(cfg: VisionConfig, m: int) -> bool:
     )
 
 
+# narrow-row compact DIFF route (r3, unmeasured on hardware): the streaming
+# backward costs ~constant-per-(eye, target-chunk) FULL n x m vjp work at
+# ANY width, so at the RL observation shape (N=1024 agents, W=64 rows) the
+# diff path measured only ~1.2e4 agent-frames/s while the FORWARD is fine.
+# The compact backward inherits group-range culling (~4x at spawn
+# visibility) and the cheap inverse-depth winner recompute; even with
+# 64-of-128 lane padding the cycle model says ~10x. Narrow rows stay OFF
+# the plain forward route (streaming wins there) — this flag widens ONLY
+# render_rows_wireframe_diff / the textured diff, where the backward
+# dominates. Default False until the silicon parity test + sweep
+# (_wf_diff_quick.py) validate the sub-128-lane Mosaic lowering.
+COMPACT_DIFF_NARROW = False
+COMPACT_DIFF_NARROW_MIN_M = 32  # below: tiny scenes, streaming bwd is fine
+
+
+def _compact_diff_route_ok(cfg: VisionConfig, m: int) -> bool:
+    """Route predicate for the DIFF paths only (fwd and bwd must agree)."""
+    if _compact_route_ok(cfg, m):
+        return True
+    return (
+        COMPACT_DIFF_NARROW
+        and cfg.width % 8 == 0
+        and cfg.width <= 1024
+        and m >= COMPACT_DIFF_NARROW_MIN_M
+        and round_up(m, 8) <= COMPACT_SORT_MAX_M
+    )
+
+
 def _compact_wb(cfg: VisionConfig) -> int:
     """Pixel-block width ladder, shared by the compact forward launcher,
     the compact backward launcher, and the prologue group-range builders —
-    ks/ke bake in P = width // wb, so every site must agree."""
-    return next(d for d in (COMPACT_WB, 256, 128) if cfg.width % d == 0)
+    ks/ke bake in P = width // wb, so every site must agree. The sub-128
+    rungs serve the narrow-row DIFF route (one lane-padded block per row;
+    the wide routes always hit 512/256/128 first)."""
+    return next(d for d in (COMPACT_WB, 256, 128, 64, 32, 16, 8)
+                if cfg.width % d == 0)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "te", "tj", "force_streaming")
+    jax.jit,
+    static_argnames=("cfg", "te", "tj", "force_streaming", "force_compact"),
 )
 def render_rows_wireframe_tiled(
     pos: jax.Array,
@@ -922,6 +954,7 @@ def render_rows_wireframe_tiled(
     albedo: jax.Array | None = None,
     texture: jax.Array | None = None,
     force_streaming: bool = False,
+    force_compact: bool = False,
 ):
     """Pallas counterpart of vision.render.render_rows with
     sprite_mode='wireframe'. pos, vel: [N, 2] -> (shade [N, W], depth [N, W]).
@@ -965,9 +998,10 @@ def render_rows_wireframe_tiled(
     # wide-row shapes (few-target small-m AND sorted-prologue many-target
     # editions) route to the compacted-candidate inverse-depth kernel;
     # force_streaming (the narrow-shape diff path) stays on the streaming
-    # kernel, whose op order its backward recomputes
+    # kernel, whose op order its backward recomputes; force_compact is the
+    # narrow-row DIFF route (its culled backward only speaks compact)
     small_m_wide = _compact_small_m_wide(cfg, m)
-    if _compact_route_ok(cfg, m) and not force_streaming:
+    if (force_compact or _compact_route_ok(cfg, m)) and not force_streaming:
         return _render_compact(
             pos, dirs, tgt, hdg, cfg, te, albedo, texture, n, m
         )
@@ -1727,14 +1761,16 @@ def render_rows_wireframe_textured_diff(pos, vel, cfg: VisionConfig,
     winner streams come from the compact kernel pair (custom VJP), and the
     bilinear texture decode (_decode_textured_wf — gather-free einsum
     sampling) runs under plain XLA autodiff, so gradients flow to pos, vel,
-    albedo AND the texture itself. Compact-eligible wide rows only
-    (W >= 512, 128-multiple); the dense renderer (vision.render.render_rows
-    with texture) stays the differentiable fallback at any width."""
-    if not _compact_route_ok(cfg, pos.shape[0]):
+    albedo AND the texture itself. Compact-eligible shapes only (wide rows,
+    or narrow rows under COMPACT_DIFF_NARROW); the dense renderer
+    (vision.render.render_rows with texture) stays the differentiable
+    fallback at any width."""
+    if not _compact_diff_route_ok(cfg, pos.shape[0]):
         raise ValueError(
             "render_rows_wireframe_textured_diff needs a compact-eligible "
-            f"shape (width >= 512 and a 128-multiple), got width="
-            f"{cfg.width}, n={pos.shape[0]}; use the dense renderer there"
+            f"shape (width >= 512 and a 128-multiple, or the narrow-row "
+            f"diff route), got width={cfg.width}, n={pos.shape[0]}; use "
+            f"the dense renderer there"
         )
     outs = _compact_raw_rows(pos, vel, albedo, cfg)
     return _decode_textured_wf(
@@ -2068,9 +2104,13 @@ def _rrwd_fwd(pos, vel, cfg):
     # backward (both recompute winners on the compact fp route); everything
     # else forces the streaming forward, bit-consistent with the streaming
     # backward kernel's recomputation (same projection op order), so the
-    # gradient always corresponds to the fragment the forward rendered
+    # gradient always corresponds to the fragment the forward rendered.
+    # The DIFF predicate additionally admits narrow rows (backward-bound
+    # shapes) under COMPACT_DIFF_NARROW — fwd and bwd must pick the same
+    # route, hence force_compact rather than the launcher's own router
+    compact = _compact_diff_route_ok(cfg, pos.shape[0])
     shade, depth = render_rows_wireframe_tiled(
-        pos, vel, cfg, force_streaming=not _compact_route_ok(cfg, pos.shape[0])
+        pos, vel, cfg, force_streaming=not compact, force_compact=compact
     )
     return (shade, depth), (pos, vel, depth)
 
@@ -2078,7 +2118,7 @@ def _rrwd_fwd(pos, vel, cfg):
 def _rrwd_bwd(cfg, res, cot):
     pos, vel, depth = res
     us, ud = cot
-    if _compact_route_ok(cfg, pos.shape[0]):
+    if _compact_diff_route_ok(cfg, pos.shape[0]):
         return _rrwd_bwd_compact(cfg, pos, vel, depth, us, ud)
     dirs, pull_dirs = jax.vjp(camera.unit_heading, vel)
     # trusted_depth=True would skip the backward's pass-1 depth recompute

@@ -314,6 +314,73 @@ def test_textured_diff_rejects_narrow_widths():
         wireframe.render_rows_wireframe_textured_diff(pos, vel, cfg, tex)
 
 
+def test_compact_diff_narrow_matches_dense_autodiff(monkeypatch, request):
+    """COMPACT_DIFF_NARROW admits narrow rows (the RL observation shape
+    class, W=64) to the compact diff route — the streaming backward costs
+    full n x m vjp work at ANY width, so backward-bound narrow shapes are
+    where the culled compact backward pays off most. Same strict gradient
+    pin as the wide-row test. (At denser scenes BOTH compact routes show
+    ~1e-3-relative deviations on a few near-tie entries — two fp routes
+    resolving nearly-equal-depth winners differently; the wide-row tests
+    pick their scenes the same way.)"""
+    monkeypatch.setattr(wireframe, "COMPACT_DIFF_NARROW", True)
+    jax.clear_caches()  # trace-time global, not a jit key
+    request.addfinalizer(jax.clear_caches)  # evict flagged traces (LIFO)
+    cfg = VisionConfig(width=64, sprite_mode="wireframe", antialias=True,
+                       far=200.0)
+    n = 64
+    assert not wireframe._compact_route_ok(cfg, n)
+    assert wireframe._compact_diff_route_ok(cfg, n)
+    pos, vel = _scene(jax.random.key(5), n)
+    ku, kd = jax.random.split(jax.random.key(9))
+    cu = jax.random.normal(ku, (n, cfg.width), jnp.float32)
+    cd = 0.01 * jax.random.normal(kd, (n, cfg.width), jnp.float32)
+
+    def loss_k(p, v):
+        sh, dep = wireframe.render_rows_wireframe_diff(p, v, cfg)
+        return jnp.sum(sh * cu) + jnp.sum(dep * cd)
+
+    def loss_d(p, v):
+        sh, dep = render.render_rows(p, v, cfg)
+        return jnp.sum(sh * cu) + jnp.sum(dep * cd)
+
+    # the forward itself must match the dense oracle on the narrow route
+    sk, dk = wireframe.render_rows_wireframe_diff(pos, vel, cfg)
+    sd, dd = render.render_rows(pos, vel, cfg)
+    np.testing.assert_allclose(np.asarray(sk), np.asarray(sd), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(dk), np.asarray(dd), atol=1e-3)
+
+    gk = jax.grad(loss_k, argnums=(0, 1))(pos, vel)
+    gd = jax.grad(loss_d, argnums=(0, 1))(pos, vel)
+    for a, b, name in zip(gk, gd, ("pos", "vel")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4, err_msg=name)
+    assert (np.abs(np.asarray(gk[1])) > 0).any()
+
+
+@pytest.mark.slow
+def test_compact_diff_narrow_textured(monkeypatch, request):
+    """The textured diff path accepts narrow rows under the flag and
+    gradients still reach the texture through the XLA decode."""
+    monkeypatch.setattr(wireframe, "COMPACT_DIFF_NARROW", True)
+    jax.clear_caches()
+    request.addfinalizer(jax.clear_caches)
+    cfg = VisionConfig(width=64, sprite_mode="wireframe", antialias=True,
+                       far=200.0)
+    pos, vel = _scene(jax.random.key(5), 48)
+    tex = render.checker_texture(8, 2)
+
+    def loss(p, v, t):
+        sh, dep = wireframe.render_rows_wireframe_textured_diff(p, v, cfg, t)
+        return jnp.sum(sh * sh) + 1e-3 * jnp.sum(dep)
+
+    gp, gv, gt = jax.grad(loss, argnums=(0, 1, 2))(pos, vel, tex)
+    for g, name in ((gp, "pos"), (gv, "vel"), (gt, "texture")):
+        g = np.asarray(g)
+        assert np.isfinite(g).all(), name
+        assert np.abs(g).max() > 0, name
+
+
 @pytest.mark.slow
 def test_compact_diff_vmap_matches_dense():
     """Batched-env trainers vmap the diff path (rl/env.VisionEnv); the

@@ -478,3 +478,51 @@ def test_wireframe_compact_diff_silicon_parity():
         assert close.mean() >= 0.995, (
             f"{name}: {(~close).mean():.3%} gradient entries mismatched"
         )
+
+
+def test_wireframe_compact_diff_narrow_silicon_parity():
+    """COMPACT_DIFF_NARROW on real silicon: the narrow-row diff route runs
+    the compact kernels with sub-128-lane pixel blocks (W=64 pads to 128
+    lanes) — a Mosaic lowering class interpret mode cannot vouch for. Same
+    gradient pin as the wide silicon test, at the RL observation shape
+    class. Run BEFORE flipping the flag's default."""
+    from nenbody_tpu.config import VisionConfig
+    from nenbody_tpu.ops import wireframe
+    from nenbody_tpu.vision import render
+
+    cfg = VisionConfig(width=64, sprite_mode="wireframe", antialias=True,
+                       far=200.0)
+    n = 256
+    saved = wireframe.COMPACT_DIFF_NARROW
+    try:
+        wireframe.COMPACT_DIFF_NARROW = True
+        jax.clear_caches()  # trace-time global, not a jit key
+        assert wireframe._compact_diff_route_ok(cfg, n)
+        kp, kv, ku, kd = jax.random.split(jax.random.key(31), 4)
+        pos = jax.random.uniform(kp, (n, 2), minval=-100, maxval=100,
+                                 dtype=jnp.float32)
+        vel = jax.random.uniform(kv, (n, 2), minval=-1, maxval=1,
+                                 dtype=jnp.float32)
+        cu = jax.random.normal(ku, (n, cfg.width), jnp.float32)
+        cd = 0.01 * jax.random.normal(kd, (n, cfg.width), jnp.float32)
+
+        def loss_k(p, v):
+            sh, dep = wireframe.render_rows_wireframe_diff(p, v, cfg)
+            return jnp.sum(sh * cu) + jnp.sum(dep * cd)
+
+        def loss_d(p, v):
+            sh, dep = render.render_rows(p, v, cfg)
+            return jnp.sum(sh * cu) + jnp.sum(dep * cd)
+
+        gk = jax.grad(loss_k, argnums=(0, 1))(pos, vel)
+        gd = jax.grad(loss_d, argnums=(0, 1))(pos, vel)
+        for a, b, name in zip(gk, gd, ("pos", "vel")):
+            a, b = np.asarray(a), np.asarray(b)
+            assert np.abs(a).max() > 0, f"{name} grads all zero"
+            close = np.isclose(a, b, rtol=2e-4, atol=2e-4)
+            assert close.mean() >= 0.99, (
+                f"{name}: {(~close).mean():.3%} gradient entries mismatched"
+            )
+    finally:
+        wireframe.COMPACT_DIFF_NARROW = saved
+        jax.clear_caches()
