@@ -359,6 +359,41 @@ def test_compact_diff_narrow_matches_dense_autodiff(monkeypatch, request):
 
 
 @pytest.mark.slow
+def test_compact_diff_narrow_vmap(monkeypatch, request):
+    """Batched envs (the RL trainers) vmap the narrow diff route — the
+    lane-padded sub-128 block must compose with a leading batch dim."""
+    monkeypatch.setattr(wireframe, "COMPACT_DIFF_NARROW", True)
+    jax.clear_caches()
+    request.addfinalizer(jax.clear_caches)
+    cfg = VisionConfig(width=64, sprite_mode="wireframe", antialias=True,
+                       far=200.0)
+    B, n = 3, 64
+    kp, kv = jax.random.split(jax.random.key(5))
+    pos = jax.random.uniform(kp, (B, n, 2), minval=-40, maxval=40,
+                             dtype=jnp.float32)
+    vel = jax.random.uniform(kv, (B, n, 2), minval=-1, maxval=1,
+                             dtype=jnp.float32)
+
+    def loss(p, v):
+        sh, dep = wireframe.render_rows_wireframe_diff(p, v, cfg)
+        return jnp.sum(sh * sh) + 1e-3 * jnp.sum(dep)
+
+    def loss_d(p, v):
+        sh, dep = render.render_rows(p, v, cfg)
+        return jnp.sum(sh * sh) + 1e-3 * jnp.sum(dep)
+
+    gk = jax.vmap(jax.grad(loss, argnums=(0, 1)))(pos, vel)
+    gd = jax.vmap(jax.grad(loss_d, argnums=(0, 1)))(pos, vel)
+    for a, b, name in zip(gk, gd, ("pos", "vel")):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.isfinite(a).all(), name
+        # smooth loss at batched spawns: near-tie winner routing keeps a
+        # few entries at the ~1e-3-relative level (see the narrow test)
+        close = np.isclose(a, b, rtol=2e-3, atol=2e-4)
+        assert close.mean() >= 0.99, f"{name}: {(~close).mean():.3%}"
+
+
+@pytest.mark.slow
 def test_compact_diff_narrow_textured(monkeypatch, request):
     """The textured diff path accepts narrow rows under the flag and
     gradients still reach the texture through the XLA decode."""
