@@ -162,7 +162,8 @@ def test_fuzz_compact_flags_match_dense(i):
     try:
         wireframe.COMPACT_INTERVAL_HIT = bool(rng.randint(2))
         wireframe.COMPACT_GROUP_UNROLL = int(rng.choice([1, 2, 4]))
-        wireframe.COMPACT_WB = int(rng.choice([256, 512]))
+        # 1024 engages only when the width divides (the ladder falls back)
+        wireframe.COMPACT_WB = int(rng.choice([256, 512, 1024]))
         wireframe.COMPACT_PACKED_FIELDS = bool(rng.randint(2))
         wireframe.COMPACT_WHOLE_BLOCK = wireframe.COMPACT_PACKED_FIELDS and \
             bool(rng.randint(2))
