@@ -237,6 +237,13 @@ def cmd_train(args) -> int:
                 population=args.population, num_envs=args.envs,
             )
         )
+    elif args.algo == "reinforce-gru":
+        ts, _, pol = train_lib.init_recurrent_train_state(
+            env, num_envs=args.envs, key=jax.random.key(args.seed), optimizer=opt
+        )
+        step = jax.jit(
+            train_lib.make_recurrent_train_step(env, pol, opt, horizon=args.horizon)
+        )
     else:
         ts, apply_fn, _ = train_lib.init_train_state(
             env, num_envs=args.envs, key=jax.random.key(args.seed), optimizer=opt
@@ -400,7 +407,8 @@ def main(argv=None) -> int:
 
     p = sub.add_parser("train", help="policy training on the vision env")
     p.add_argument(
-        "--algo", choices=["reinforce", "ppo", "ac", "es", "apg"],
+        "--algo",
+        choices=["reinforce", "reinforce-gru", "ppo", "ac", "es", "apg"],
         default="reinforce",
     )
     p.add_argument("--population", type=int, default=8, help="ES antithetic pairs")

@@ -58,6 +58,50 @@ class ValueMLP(nn.Module):
         return v[..., 0]
 
 
+class GRUPolicy(nn.Module):
+    """Recurrent Gaussian policy: Dense encoder -> GRU -> action head.
+
+    The 1D eye line (the reference's per-agent vision texture,
+    src/main.rs:693-704) is a PARTIAL observation — an agent cannot see
+    behind itself and depth cues are monocular — so a scan-carried GRU
+    hidden state lets the policy integrate evidence across steps. The
+    encoder matmul runs in bf16 on the MXU; the GRU cell and action head
+    stay fp32 (the carry accumulates across the whole rollout — bf16
+    round-off compounds there).
+
+    Apply signature differs from MLPPolicy:
+        carry', (mean, log_std) = apply(params, carry, obs)
+    with carry from `initial_carry(batch_shape)`. Use
+    rl.train.make_recurrent_train_step / init_recurrent_train_state.
+    """
+
+    hidden: int = 128
+    act_dim: int = 2
+    use_bf16: bool = True
+
+    @nn.compact
+    def __call__(
+        self, carry: jax.Array, obs: jax.Array
+    ) -> Tuple[jax.Array, Tuple[jax.Array, jax.Array]]:
+        """(carry [..., hidden], obs [..., W]) ->
+        (carry', (mean [..., act_dim], log_std [act_dim]))."""
+        dtype = jnp.bfloat16 if self.use_bf16 else jnp.float32
+        x = obs.astype(dtype)
+        x = nn.tanh(nn.Dense(self.hidden, dtype=dtype)(x))
+        carry, y = nn.GRUCell(self.hidden, dtype=jnp.float32)(
+            carry, x.astype(jnp.float32)
+        )
+        mean = nn.Dense(self.act_dim, dtype=jnp.float32)(y)
+        log_std = self.param(
+            "log_std", nn.initializers.constant(-1.0), (self.act_dim,)
+        )
+        return carry, (mean, log_std)
+
+    def initial_carry(self, batch_shape: Sequence[int]) -> jax.Array:
+        """Zero hidden state, shape [*batch_shape, hidden]."""
+        return jnp.zeros((*batch_shape, self.hidden), jnp.float32)
+
+
 def sample_action(params, apply_fn, obs, key):
     """Sample a[..., 2] ~ N(mean, exp(log_std)); returns (action, log_prob)."""
     mean, log_std = apply_fn(params, obs)

@@ -23,7 +23,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..state import SceneState, spawn_batch
 from ..parallel.mesh import AGENT_AXIS, DATA_AXIS, shard_state_specs
 from .env import VisionEnv
-from .policy import MLPPolicy, gaussian_log_prob, sample_action
+from .policy import GRUPolicy, MLPPolicy, gaussian_log_prob, sample_action
 
 
 class Trajectory(NamedTuple):
@@ -66,6 +66,21 @@ def _batched_env_fns(env: VisionEnv, mesh: Optional[Mesh]):
         return nxt, observe(nxt), jax.vmap(env.reward)(nxt)
 
     return observe, step
+
+
+def _place_on_mesh(env_states: SceneState, params, opt_state, mesh: Mesh):
+    """Shard batched env states (data, agents); replicate params/opt."""
+    specs = shard_state_specs(batch=True, data_axis=DATA_AXIS)
+    env_states = SceneState(
+        **{
+            name: jax.device_put(
+                getattr(env_states, name), NamedSharding(mesh, spec)
+            )
+            for name, spec in specs.items()
+        }
+    )
+    repl = NamedSharding(mesh, P())
+    return env_states, jax.device_put(params, repl), jax.device_put(opt_state, repl)
 
 
 def discounted_returns(rewards: jax.Array, gamma: float) -> jax.Array:
@@ -164,17 +179,107 @@ def init_train_state(
     opt_state = optimizer.init(params)
 
     if mesh is not None:
-        specs = shard_state_specs(batch=True, data_axis=DATA_AXIS)
-        env_states = SceneState(
-            **{
-                name: jax.device_put(
-                    getattr(env_states, name), NamedSharding(mesh, spec)
-                )
-                for name, spec in specs.items()
-            }
+        env_states, params, opt_state = _place_on_mesh(
+            env_states, params, opt_state, mesh
         )
-        repl = NamedSharding(mesh, P())
-        params = jax.device_put(params, repl)
-        opt_state = jax.device_put(opt_state, repl)
+
+    return TrainState(params, opt_state, env_states, kr), policy.apply, policy
+
+
+def make_recurrent_train_step(
+    env: VisionEnv,
+    policy: GRUPolicy,
+    optimizer: optax.GradientTransformation,
+    horizon: int = 8,
+    gamma: float = 0.99,
+    mesh: Optional[Mesh] = None,
+    episodic: bool = True,
+    standardize_adv: bool = True,
+):
+    """REINFORCE with a recurrent (GRU) policy: the rollout scan threads the
+    hidden state alongside the env state, and the loss re-runs the recurrent
+    forward over the recorded trajectory (a second time-scan) so the
+    log-prob gradient flows through the recurrence — BPTT over the horizon.
+
+    The hidden state starts at zeros each iteration (with episodic=False
+    this is truncated BPTT at iteration boundaries: envs persist, memory
+    does not). Mesh mode shards exactly like make_train_step; the carry
+    inherits the (data, agents) sharding from the obs it is computed with.
+    """
+    observe_b, step_b = _batched_env_fns(env, mesh)
+
+    def rollout(params, env_states, key):
+        obs0 = observe_b(env_states)
+        h0 = policy.initial_carry(env_states.pos.shape[:-1])  # [B, N, H]
+
+        def body(carry, _):
+            states, obs, h, key = carry
+            key, sub = jax.random.split(key)
+            h, (mean, log_std) = policy.apply(params, h, obs)
+            eps = jax.random.normal(sub, mean.shape, dtype=mean.dtype)
+            action = jax.lax.stop_gradient(mean + jnp.exp(log_std) * eps)
+            states, next_obs, reward = step_b(states, action)
+            return (states, next_obs, h, key), (obs, action, reward)
+
+        (env_states, _, _, _), (obs, action, reward) = jax.lax.scan(
+            body, (env_states, obs0, h0, key), None, length=horizon
+        )
+        return env_states, Trajectory(obs, action, reward)
+
+    def train_step(ts: TrainState) -> Tuple[TrainState, dict]:
+        key, sub, k_envs = jax.random.split(ts.key, 3)
+        start_states = ts.env_states
+        if episodic:
+            num_envs = ts.env_states.pos.shape[0]
+            start_states = spawn_batch(k_envs, env.cfg, num_envs)
+        env_states, traj = rollout(ts.params, start_states, sub)
+        rets = discounted_returns(traj.reward, gamma)
+        adv = rets - jnp.mean(rets)
+        if standardize_adv:
+            adv = adv / (jnp.std(adv) + 1e-6)
+        h0 = policy.initial_carry(start_states.pos.shape[:-1])
+
+        def loss_fn(p):
+            def body(h, xs):
+                obs_t, act_t = xs
+                h, (mean, log_std) = policy.apply(p, h, obs_t)
+                return h, gaussian_log_prob(act_t, mean, log_std)
+
+            _, logp = jax.lax.scan(body, h0, (traj.obs, traj.action))
+            return -jnp.mean(logp * jax.lax.stop_gradient(adv))
+
+        loss, grads = jax.value_and_grad(loss_fn)(ts.params)
+        updates, opt_state = optimizer.update(grads, ts.opt_state, ts.params)
+        params = optax.apply_updates(ts.params, updates)
+        metrics = {
+            "loss": loss,
+            "reward_mean": jnp.mean(traj.reward),
+            "return_mean": jnp.mean(rets),
+        }
+        return TrainState(params, opt_state, env_states, key), metrics
+
+    return train_step
+
+
+def init_recurrent_train_state(
+    env: VisionEnv,
+    num_envs: int,
+    key: jax.Array,
+    optimizer: optax.GradientTransformation,
+    policy: Optional[GRUPolicy] = None,
+    mesh: Optional[Mesh] = None,
+) -> Tuple[TrainState, Callable, GRUPolicy]:
+    """init_train_state for recurrent policies (init needs a carry)."""
+    policy = policy or GRUPolicy()
+    kp, ke, kr = jax.random.split(key, 3)
+    env_states = spawn_batch(ke, env.cfg, num_envs)
+    dummy = jnp.zeros((1, env.obs_width), jnp.float32)
+    params = policy.init(kp, policy.initial_carry((1,)), dummy)
+    opt_state = optimizer.init(params)
+
+    if mesh is not None:
+        env_states, params, opt_state = _place_on_mesh(
+            env_states, params, opt_state, mesh
+        )
 
     return TrainState(params, opt_state, env_states, kr), policy.apply, policy
