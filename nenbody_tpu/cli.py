@@ -191,11 +191,23 @@ def cmd_train(args) -> int:
     )
     env = VisionEnv(cfg)
     opt = optax.adam(args.lr)
+    # --net picks the function family; trainer defaults (None) mean MLP
+    if args.net == "conv":
+        if args.algo == "reinforce-gru":
+            print("error: --net conv is feedforward; reinforce-gru is its "
+                  "own (recurrent) net", file=sys.stderr)
+            return 2
+        from .rl.policy import ConvPolicy
+
+        net = ConvPolicy(vision_width=cfg.vision.width)
+    else:
+        net = None
     if args.algo == "ac":
         from .rl import ac as ac_lib
 
         ts, policy_apply, value_apply = ac_lib.init_ac_state(
-            env, num_envs=args.envs, key=jax.random.key(args.seed), optimizer=opt
+            env, num_envs=args.envs, key=jax.random.key(args.seed),
+            optimizer=opt, policy=net,
         )
         step = jax.jit(
             ac_lib.make_ac_step(
@@ -206,7 +218,7 @@ def cmd_train(args) -> int:
         from .rl import apg as apg_lib
 
         ts, apply_fn, _ = apg_lib.init_apg_state(
-            env, key=jax.random.key(args.seed), optimizer=opt
+            env, key=jax.random.key(args.seed), optimizer=opt, policy=net
         )
         step = jax.jit(
             apg_lib.make_apg_step(
@@ -217,7 +229,7 @@ def cmd_train(args) -> int:
         from .rl import ppo as ppo_lib
 
         ts, pol_apply, val_apply = ppo_lib.init_ppo_state(
-            env, key=jax.random.key(args.seed), optimizer=opt
+            env, key=jax.random.key(args.seed), optimizer=opt, policy=net
         )
         step = jax.jit(
             ppo_lib.make_ppo_step(
@@ -229,7 +241,7 @@ def cmd_train(args) -> int:
         from .rl import es as es_lib
 
         ts, apply_fn, _ = es_lib.init_es_state(
-            env, key=jax.random.key(args.seed), optimizer=opt
+            env, key=jax.random.key(args.seed), optimizer=opt, policy=net
         )
         step = jax.jit(
             es_lib.make_es_step(
@@ -246,7 +258,8 @@ def cmd_train(args) -> int:
         )
     else:
         ts, apply_fn, _ = train_lib.init_train_state(
-            env, num_envs=args.envs, key=jax.random.key(args.seed), optimizer=opt
+            env, num_envs=args.envs, key=jax.random.key(args.seed),
+            optimizer=opt, policy=net,
         )
         step = jax.jit(
             train_lib.make_train_step(env, apply_fn, opt, horizon=args.horizon)
@@ -419,6 +432,10 @@ def main(argv=None) -> int:
     p.add_argument("--iters", type=int, default=10)
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument(
+        "--net", choices=["mlp", "conv"], default="mlp",
+        help="policy function family (conv: 1D convs over the eye line)",
+    )
     p.add_argument("--save", default="", help="save params npz")
     p.set_defaults(fn=cmd_train)
 

@@ -58,6 +58,62 @@ class ValueMLP(nn.Module):
         return v[..., 0]
 
 
+class ConvPolicy(nn.Module):
+    """1D-conv Gaussian policy over the eye line.
+
+    The observation's leading W entries are a 1D image (the reference
+    renders them as one — a 1024x1 texture row per agent,
+    src/main.rs:693-704): a target's screen column shifts with relative
+    bearing, so translation-equivariant features are the right prior,
+    which an MLP must relearn per pixel. On TPU `lax.conv_general_dilated`
+    lowers onto the MXU, so the conv stack is bf16 matmul work exactly like
+    MLPPolicy's Dense layers. The trailing ego features (obs[..., W:], the
+    raw velocity) carry no spatial structure and skip the convs, joining at
+    the head.
+
+    Drop-in for MLPPolicy — `apply(params, obs) -> (mean, log_std)` — so it
+    slots into REINFORCE/AC/PPO/ES/BC unchanged via
+    `policy=ConvPolicy(vision_width=cfg.vision.width)`.
+    """
+
+    vision_width: int
+    channels: Sequence[int] = (16, 32)
+    kernel_size: int = 5
+    stride: int = 2
+    hidden: int = 128
+    act_dim: int = 2
+    use_bf16: bool = True
+
+    @nn.compact
+    def __call__(self, obs: jax.Array) -> Tuple[jax.Array, jax.Array]:
+        """obs: [..., W + E] -> (mean [..., act_dim], log_std [act_dim])."""
+        w = self.vision_width
+        if obs.shape[-1] < w:
+            raise ValueError(
+                f"obs width {obs.shape[-1]} < vision_width {w}: ConvPolicy "
+                f"splits obs[..., :vision_width] as the eye line"
+            )
+        dtype = jnp.bfloat16 if self.use_bf16 else jnp.float32
+        line, ego = obs[..., :w], obs[..., w:]
+        batch_shape = line.shape[:-1]
+        # conv needs exactly one batch dim; trainers pass arbitrary leading
+        # dims ([B, N] envs x agents, [T*B*N] flattened minibatches, ...)
+        x = line.reshape((-1, w, 1)).astype(dtype)
+        for ch in self.channels:
+            x = nn.Conv(
+                ch, (self.kernel_size,), strides=(self.stride,), dtype=dtype
+            )(x)
+            x = nn.tanh(x)
+        x = x.reshape(batch_shape + (x.shape[-2] * x.shape[-1],))
+        x = jnp.concatenate([x, ego.astype(dtype)], axis=-1)
+        x = nn.tanh(nn.Dense(self.hidden, dtype=dtype)(x))
+        mean = nn.Dense(self.act_dim, dtype=jnp.float32)(x.astype(jnp.float32))
+        log_std = self.param(
+            "log_std", nn.initializers.constant(-1.0), (self.act_dim,)
+        )
+        return mean, log_std
+
+
 class GRUPolicy(nn.Module):
     """Recurrent Gaussian policy: Dense encoder -> GRU -> action head.
 
