@@ -45,12 +45,20 @@ def _cache_entries():
         return -1
 
 
-def _slope_timed(fn, carry, *, sync_slice, steps, label="", m=4):
-    """Compile, then measure sec/step as the multi-dispatch slope.
+def _slope_timed(fn, carry, *, sync_slice, steps, label="", m=4, reps=3):
+    """Compile, then measure sec/step as the MEDIAN of `reps` multi-dispatch
+    slopes.
 
     fn: carry -> carry (one jitted chained-scan of `steps` sim steps).
     Retries once — the remote-execution tunnel occasionally throws a
     transient 'TPU backend error (Internal)' on a cold first dispatch.
+
+    Median-of-slopes (VERDICT r2 #4): a single slope sample at the small
+    shapes fluctuated ~2x run to run (tunnel jitter lands in either the t1
+    or the tm interval); the median of 3 independent slope samples is
+    robust to one polluted interval. Every dispatch gets a FRESH perturbed
+    input (unique epsilon) — same-input dispatch timing lies under the
+    tunnel (CLAUDE.md invariant).
 
     Each label reports whether the persistent compile cache hit (no new
     cache entry written) — BENCH_r02's '738s gravity compile' was backend
@@ -70,21 +78,35 @@ def _slope_timed(fn, carry, *, sync_slice, steps, label="", m=4):
             print(f"[bench] {label}: compiled in {compile_s:.0f}s "
                   f"(cache {cache_note})",
                   file=sys.stderr, flush=True)
-            c = jax.block_until_ready(
-                jax.tree.map(lambda x: x + jnp.asarray(1e-6, x.dtype), carry)
-            )
-            t0 = time.perf_counter()
-            _ = np.asarray(sync_slice(fn(c)))
-            t1 = time.perf_counter() - t0
-            c = jax.block_until_ready(
-                jax.tree.map(lambda x: x + jnp.asarray(2e-6, x.dtype), carry)
-            )
-            t0 = time.perf_counter()
-            for _ in range(m):
-                c = fn(c)
-            _ = np.asarray(sync_slice(c))
-            tm = time.perf_counter() - t0
-            sec_per_step = max((tm - t1) / ((m - 1) * steps), 1e-12)
+            tick = [attempt * 2 * reps]  # unique epsilon per dispatch chain
+
+            def fresh():
+                tick[0] += 1
+                e = tick[0] * 1e-6
+                return jax.block_until_ready(
+                    jax.tree.map(lambda x: x + jnp.asarray(e, x.dtype), carry)
+                )
+
+            slopes = []
+            for _ in range(reps):
+                c = fresh()
+                t0 = time.perf_counter()
+                _ = np.asarray(sync_slice(fn(c)))
+                t1 = time.perf_counter() - t0
+                c = fresh()
+                t0 = time.perf_counter()
+                for _ in range(m):
+                    c = fn(c)
+                _ = np.asarray(sync_slice(c))
+                tm = time.perf_counter() - t0
+                slopes.append(max((tm - t1) / ((m - 1) * steps), 1e-12))
+            slopes.sort()
+            sec_per_step = slopes[len(slopes) // 2]
+            if reps > 1:
+                print(f"[bench] {label}: slope spread "
+                      f"[{slopes[0]:.3e}, {slopes[-1]:.3e}] s/step, "
+                      f"median {sec_per_step:.3e}",
+                      file=sys.stderr, flush=True)
             return sec_per_step, compile_s
         except Exception as e:  # noqa: BLE001 - transient runtime errors
             last_err = e

@@ -95,6 +95,18 @@ def _add_sim_flags(p: argparse.ArgumentParser):
     p.add_argument("--seed", type=int, default=0)
 
 
+def _add_policy_flags(p: argparse.ArgumentParser):
+    p.add_argument(
+        "--policy", default="",
+        help="trained params npz (`train --save`): the policy actuates the "
+        "swarm (gravity + control dynamics) instead of the controller",
+    )
+    p.add_argument(
+        "--net", choices=["mlp", "conv"], default="mlp",
+        help="net family the params were trained with",
+    )
+
+
 def cmd_run(args) -> int:
     import numpy as np
 
@@ -326,6 +338,56 @@ def cmd_datagen(args) -> int:
     return 0
 
 
+def _policy_advance(cfg, policy_path: str, net_name: str):
+    """Build `(state, k) -> state` where a trained policy actuates the swarm
+    (the substrate purpose, reference README.md:4). Loads params saved by
+    `train --save` into the matching default-hyperparameter net family
+    (REINFORCE/AC-policy/APG/ES trees — policy params only); playback is
+    deterministic (the Gaussian mean), and the transition is the train
+    env's: gravity + control acceleration (the scene's controller flag does
+    not apply under --policy)."""
+    import functools
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from .rl.env import VisionEnv
+    from .utils import checkpoint as ck
+
+    if cfg.vision is None:
+        raise ValueError(
+            "--policy needs vision (the policy consumes eye lines); pass "
+            "--vision-width or a vision preset"
+        )
+    if not os.path.exists(policy_path):
+        raise FileNotFoundError(f"policy params not found: {policy_path}")
+    env = VisionEnv(cfg)
+    if net_name == "conv":
+        from .rl.policy import ConvPolicy
+
+        pol = ConvPolicy(vision_width=cfg.vision.width)
+    else:
+        from .rl.policy import MLPPolicy
+
+        pol = MLPPolicy()
+    template = pol.init(
+        jax.random.key(0), jnp.zeros((1, env.obs_width), jnp.float32)
+    )
+    params = ck.load_pytree(policy_path, template)
+
+    @functools.partial(jax.jit, static_argnums=(1,))
+    def advance(state, k: int):
+        def body(s, _):
+            mean, _ = pol.apply(params, env.observe(s))
+            return env.dynamics(s, mean), ()
+
+        s, _ = jax.lax.scan(body, state, None, length=k)
+        return s
+
+    return advance
+
+
 def cmd_gif(args) -> int:
     from .scene import Scene
     from .viz.viewer import record_rollout_gif
@@ -333,9 +395,16 @@ def cmd_gif(args) -> int:
     cfg = _build_cfg(args)
     scene = Scene(cfg)
     state = scene.spawn(seed=args.seed)
+    advance = None
+    if args.policy:
+        try:
+            advance = _policy_advance(cfg, args.policy, args.net)
+        except (ValueError, FileNotFoundError) as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
     path = record_rollout_gif(
         scene, state, num_steps=args.steps, path=args.out, stride=args.stride,
-        first_person=args.first_person,
+        first_person=args.first_person, advance=advance,
     )
     print(f"wrote {path}")
     return 0
@@ -348,7 +417,15 @@ def cmd_live(args) -> int:
     cfg = _build_cfg(args)
     scene = Scene(cfg)
     state = scene.spawn(seed=args.seed)
-    run_live(scene, state, steps_per_frame=args.steps_per_frame)
+    advance = None
+    if args.policy:
+        try:
+            advance = _policy_advance(cfg, args.policy, args.net)
+        except (ValueError, FileNotFoundError) as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
+    run_live(scene, state, steps_per_frame=args.steps_per_frame,
+             advance=advance)
     return 0
 
 
@@ -459,11 +536,13 @@ def main(argv=None) -> int:
         "--first-person", action="store_true",
         help="add the selected eye's first-person viewport panel",
     )
+    _add_policy_flags(p)
     p.set_defaults(fn=cmd_gif)
 
     p = sub.add_parser("live", help="interactive viewer (needs a display)")
     _add_sim_flags(p)
     p.add_argument("--steps-per-frame", type=int, default=10)
+    _add_policy_flags(p)
     p.set_defaults(fn=cmd_live)
 
     p = sub.add_parser("replay", help="re-render a .nentraj recording to GIF")

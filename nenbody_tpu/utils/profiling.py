@@ -48,7 +48,8 @@ def device_trace(log_dir: Optional[str] = None):
         yield
 
 
-def scan_throughput(body_fn, carry, steps: int, sync, m: int = 4):
+def scan_throughput(body_fn, carry, steps: int, sync, m: int = 4,
+                    reps: int = 3):
     """Canonical throughput measurement ("slope timing"): `steps`
     data-dependent iterations of `body_fn` chained under one lax.scan in a
     single jit. One dispatch is timed with a host fetch, then `m` chained
@@ -58,6 +59,11 @@ def scan_throughput(body_fn, carry, steps: int, sync, m: int = 4):
     tunnel) that would otherwise swamp sub-millisecond steps, every dispatch
     sees different data (no dedup inflation), and the host fetches make the
     sync real even where block_until_ready returns early (DESIGN.md §7).
+
+    The returned value is the MEDIAN of `reps` independent slope samples:
+    one sample fluctuated ~2x at small shapes when tunnel jitter landed in
+    either timed interval; the median discards a polluted interval
+    (DESIGN.md §7, round-3 refinement).
 
     Used by bench.py, tpu_tests, and examples — keep the methodology here
     so it cannot drift between them.
@@ -82,17 +88,24 @@ def scan_throughput(body_fn, carry, steps: int, sync, m: int = 4):
         )
 
     _ = _np.asarray(sync(roll(carry)))  # compile + full sync
-    c = _perturb(carry, 1e-6)
-    t0 = time.perf_counter()
-    _ = _np.asarray(sync(roll(c)))
-    t1 = time.perf_counter() - t0
-    c = _perturb(carry, 2e-6)
-    t0 = time.perf_counter()
-    for _ in range(m):
-        c = roll(c)
-    _ = _np.asarray(sync(c))
-    tm = time.perf_counter() - t0
-    return max((tm - t1) / ((m - 1) * steps), 1e-12)
+    slopes = []
+    tick = 0
+    for _ in range(max(1, reps)):
+        tick += 1
+        c = _perturb(carry, tick * 1e-6)
+        t0 = time.perf_counter()
+        _ = _np.asarray(sync(roll(c)))
+        t1 = time.perf_counter() - t0
+        tick += 1
+        c = _perturb(carry, tick * 1e-6)
+        t0 = time.perf_counter()
+        for _ in range(m):
+            c = roll(c)
+        _ = _np.asarray(sync(c))
+        tm = time.perf_counter() - t0
+        slopes.append(max((tm - t1) / ((m - 1) * steps), 1e-12))
+    slopes.sort()
+    return slopes[len(slopes) // 2]
 
 
 class StepTimer:

@@ -76,10 +76,15 @@ def run_live(
     half_extent: float = 120.0,
     capture_dir: str = "out/live",
     max_frames: int | None = None,
+    advance=None,
     _plt=None,
     _key_source=None,
 ):
     """Run an interactive viewer loop. Returns the final state.
+
+    advance: optional `(state, k) -> state` transition override (e.g. a
+    trained policy actuating the swarm — CLI `live --policy`); default is
+    the scene's own controller rollout.
 
     _plt/_key_source: test hooks — a pyplot-compatible stub and an iterator
     of synthetic key presses applied once per frame, letting the full loop
@@ -98,6 +103,10 @@ def run_live(
         plt = _plt
 
     ctl = initial_controls()
+    if advance is None:
+        def advance(s, k):
+            s, _ = scene.rollout(s, k)
+            return s
 
     def on_key(ev):  # pragma: no cover - needs a display
         apply_key(ctl, ev.key, scene.cfg.n)
@@ -118,7 +127,7 @@ def run_live(
             if key is not None:
                 apply_key(ctl, key, scene.cfg.n)
         t0 = time.perf_counter()
-        state, _ = scene.rollout(state, steps_per_frame)
+        state = advance(state, steps_per_frame)
         pos = np.asarray(state.pos)
         vel = np.asarray(state.vel)
         obs = np.asarray(scene.observe(state)) if scene.cfg.vision else None

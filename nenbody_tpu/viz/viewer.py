@@ -135,14 +135,22 @@ def record_rollout_gif(
     fps: int = 25,
     follow: str = "centroid",
     first_person: bool = False,
+    advance=None,
 ) -> str:
     """Run a rollout, tap positions every `stride` steps, write an animated
     GIF — the headless equivalent of the reference's demo videos
     (README.md:14-21). Follows the swarm centroid by default (demos read
     better); pass follow="agent0" for the reference's camera.
     first_person adds the selected eye's perspective viewport panel (the
-    reference's third render)."""
+    reference's third render). advance: optional `(state, k) -> state`
+    transition override (e.g. a trained policy actuating the swarm — CLI
+    `gif --policy`); default is the scene's own controller rollout."""
     import imageio.v2 as imageio
+
+    if advance is None:
+        def advance(s, k):
+            s, _ = scene.rollout(s, k)
+            return s
 
     viewer = Viewer(
         size=size, half_extent=half_extent, selected_eye=selected_eye,
@@ -151,7 +159,7 @@ def record_rollout_gif(
     )
     frames = []
     for _ in range(num_steps // stride):
-        state, traj = scene.rollout(state, stride)
+        state = advance(state, stride)
         obs = scene.observe(state) if scene.cfg.vision else None
         frames.append(viewer.compose(state, obs))
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)

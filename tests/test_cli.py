@@ -95,6 +95,37 @@ def test_train_cli(capsys):
     assert len(lines) == 2 and np.isfinite(lines[-1]["loss"])
 
 
+def test_gif_policy_playback(tmp_path, capsys):
+    """train --save -> gif --policy: the trained policy actuates the swarm
+    in the demo-gif path (deterministic playback of the Gaussian mean)."""
+    params = str(tmp_path / "p.npz")
+    rc = main([
+        "train", "--envs", "2", "--agents", "8", "--vision-width", "16",
+        "--horizon", "2", "--iters", "1", "--save", params,
+    ])
+    assert rc == 0 and os.path.exists(params)
+    out = str(tmp_path / "pol.gif")
+    rc = main([
+        "gif", "--n", "8", "--controller", "gravity", "--vision-width", "16",
+        "--steps", "4", "--stride", "2", "--out", out, "--policy", params,
+    ])
+    assert rc == 0
+    assert os.path.exists(out)
+    capsys.readouterr()
+    # missing params: clean error (rc 2), not a traceback
+    rc = main([
+        "gif", "--n", "8", "--vision-width", "16", "--steps", "2",
+        "--stride", "2", "--out", out, "--policy", str(tmp_path / "no.npz"),
+    ])
+    assert rc == 2 and "not found" in capsys.readouterr().err
+    # vision disabled: the policy has nothing to consume — clean error
+    rc = main([
+        "gif", "--n", "8", "--vision-width", "0", "--steps", "2",
+        "--stride", "2", "--out", out, "--policy", params,
+    ])
+    assert rc == 2 and "vision" in capsys.readouterr().err
+
+
 def test_train_cli_apg(capsys):
     rc = main([
         "train", "--algo", "apg", "--envs", "2", "--agents", "8",
