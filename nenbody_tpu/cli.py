@@ -102,8 +102,9 @@ def _add_policy_flags(p: argparse.ArgumentParser):
         "swarm (gravity + control dynamics) instead of the controller",
     )
     p.add_argument(
-        "--net", choices=["mlp", "conv"], default="mlp",
-        help="net family the params were trained with",
+        "--net", choices=["mlp", "conv", "gru"], default="mlp",
+        help="net family the params were trained with (gru: reinforce-gru "
+        "saves; the hidden state persists across the whole playback)",
     )
 
 
@@ -290,7 +291,15 @@ def cmd_train(args) -> int:
     if args.save:
         from .utils import checkpoint as ck
 
-        ck.save_pytree(args.save, ts.params)
+        # normalize to the POLICY subtree so every save loads back into
+        # playback (`gif/live --policy`) and `datagen --policy`, whatever
+        # the trainer's param bundle shape (PPO/AC also carry a value head)
+        params = ts.params
+        if args.algo == "ppo":
+            params = ts.params.policy
+        elif args.algo == "ac":
+            params = ts.params["policy"]
+        ck.save_pytree(args.save, params)
         print(f"saved params -> {args.save}")
     return 0
 
@@ -363,6 +372,38 @@ def _policy_advance(cfg, policy_path: str, net_name: str):
     if not os.path.exists(policy_path):
         raise FileNotFoundError(f"policy params not found: {policy_path}")
     env = VisionEnv(cfg)
+    dummy = jnp.zeros((1, env.obs_width), jnp.float32)
+    if net_name == "gru":
+        # recurrent playback: the GRU hidden state threads through the
+        # inner scan AND persists across advance() calls (a host-side
+        # holder), so the policy keeps its memory for the whole demo
+        from .rl.policy import GRUPolicy
+
+        pol = GRUPolicy()
+        template = pol.init(
+            jax.random.key(0), pol.initial_carry((1,)), dummy
+        )
+        params = ck.load_pytree(policy_path, template)
+
+        @functools.partial(jax.jit, static_argnums=(2,))
+        def _adv(state, carry, k: int):
+            def body(sc, _):
+                s, c = sc
+                c, (mean, _) = pol.apply(params, c, env.observe(s))
+                return (env.dynamics(s, mean), c), ()
+
+            (s, c), _ = jax.lax.scan(
+                body, (state, carry), None, length=k
+            )
+            return s, c
+
+        holder = {"carry": pol.initial_carry((cfg.n,))}
+
+        def advance(state, k: int):
+            state, holder["carry"] = _adv(state, holder["carry"], k)
+            return state
+
+        return advance
     if net_name == "conv":
         from .rl.policy import ConvPolicy
 
@@ -371,9 +412,7 @@ def _policy_advance(cfg, policy_path: str, net_name: str):
         from .rl.policy import MLPPolicy
 
         pol = MLPPolicy()
-    template = pol.init(
-        jax.random.key(0), jnp.zeros((1, env.obs_width), jnp.float32)
-    )
+    template = pol.init(jax.random.key(0), dummy)
     params = ck.load_pytree(policy_path, template)
 
     @functools.partial(jax.jit, static_argnums=(1,))

@@ -126,6 +126,60 @@ def test_gif_policy_playback(tmp_path, capsys):
     assert rc == 2 and "vision" in capsys.readouterr().err
 
 
+def test_ppo_save_normalizes_to_policy_subtree(tmp_path, capsys):
+    """`train --algo ppo --save` strips the value head so the npz loads
+    straight into playback (`gif --policy`) like every other save."""
+    params = str(tmp_path / "ppo.npz")
+    rc = main([
+        "train", "--algo", "ppo", "--envs", "2", "--agents", "8",
+        "--vision-width", "16", "--horizon", "4", "--iters", "1",
+        "--save", params,
+    ])
+    assert rc == 0
+    out = str(tmp_path / "ppo.gif")
+    rc = main([
+        "gif", "--n", "8", "--controller", "gravity", "--vision-width", "16",
+        "--steps", "4", "--stride", "2", "--out", out, "--policy", params,
+    ])
+    assert rc == 0 and os.path.exists(out)
+
+
+def test_policy_advance_gru_threads_carry(tmp_path):
+    """--net gru playback: the hidden state persists across advance()
+    calls, so identical states can map to different actions over time."""
+    import jax
+    import jax.numpy as jnp
+
+    from nenbody_tpu.cli import _policy_advance
+    from nenbody_tpu.config import SimConfig, VisionConfig
+    from nenbody_tpu.rl.policy import GRUPolicy
+    from nenbody_tpu.state import spawn
+    from nenbody_tpu.utils import checkpoint as ck
+
+    cfg = SimConfig(n=8, controller="gravity", vision=VisionConfig(width=16))
+    pol = GRUPolicy()
+    params = pol.init(
+        jax.random.key(0), pol.initial_carry((1,)),
+        jnp.zeros((1, cfg.vision.width + 2), jnp.float32),
+    )
+    # shrink the mean head: untrained means rail against the env's
+    # max_accel clip, which would mask carry-dependent action differences
+    head = params["params"]["Dense_1"]
+    head["kernel"] = head["kernel"] * 1e-3
+    head["bias"] = head["bias"] * 1e-3
+    path = str(tmp_path / "gru.npz")
+    ck.save_pytree(path, params)
+    advance = _policy_advance(cfg, path, "gru")
+    st = spawn(jax.random.key(1), cfg)
+    s1 = advance(st, 2)
+    s2 = advance(st, 2)  # same input state, but the carry moved on
+    assert int(np.asarray(s1.t)) == int(np.asarray(s2.t))
+    # the scaled-down head makes action (hence position) differences small
+    # but real; allclose's rtol vs ~100-magnitude positions would hide them
+    diff = np.abs(np.asarray(s1.pos) - np.asarray(s2.pos)).max()
+    assert diff > 1e-7, f"carry did not thread across advance calls ({diff=})"
+
+
 def test_train_cli_apg(capsys):
     rc = main([
         "train", "--algo", "apg", "--envs", "2", "--agents", "8",
