@@ -277,6 +277,19 @@ def cmd_train(args) -> int:
         step = jax.jit(
             train_lib.make_train_step(env, apply_fn, opt, horizon=args.horizon)
         )
+    if args.resume:
+        import os
+
+        from .utils import checkpoint as ck
+
+        if not os.path.exists(ck._npz_path(args.resume)):
+            print(f"error: train checkpoint not found: {args.resume}",
+                  file=sys.stderr)
+            return 2
+        # the freshly-initialized train state is the structure template:
+        # params, optimizer state, PRNG key, and (where the trainer carries
+        # them) env states / iteration all restore (SURVEY.md §5.4)
+        ts = ck.load_pytree(args.resume, ts)
     for i in range(args.iters):
         t0 = time.perf_counter()
         ts, metrics = step(ts)
@@ -288,6 +301,10 @@ def cmd_train(args) -> int:
             agent_frames=rollouts * args.envs * args.agents * args.horizon,
         )
         print(json.dumps(metrics))
+        if args.checkpoint and (i + 1) % max(1, args.checkpoint_every) == 0:
+            from .utils import checkpoint as ck
+
+            ck.save_pytree(args.checkpoint, ts)
     if args.save:
         from .utils import checkpoint as ck
 
@@ -553,6 +570,16 @@ def main(argv=None) -> int:
         help="policy function family (conv: 1D convs over the eye line)",
     )
     p.add_argument("--save", default="", help="save params npz")
+    p.add_argument(
+        "--checkpoint", default="",
+        help="periodically save the FULL train state (params + optimizer + "
+        "PRNG key) for --resume",
+    )
+    p.add_argument("--checkpoint-every", type=int, default=50)
+    p.add_argument(
+        "--resume", default="",
+        help="train-state npz from --checkpoint (must match algo/shapes)",
+    )
     p.set_defaults(fn=cmd_train)
 
     p = sub.add_parser("datagen", help="export batched rollout datasets")

@@ -180,6 +180,27 @@ def test_policy_advance_gru_threads_carry(tmp_path):
     assert diff > 1e-7, f"carry did not thread across advance calls ({diff=})"
 
 
+def test_train_checkpoint_resume(tmp_path, capsys):
+    """train --checkpoint saves the FULL train state; --resume restores it
+    (params + optimizer + PRNG key) and continues — §5.4 for training."""
+    ckpt = str(tmp_path / "ts.npz")
+    base = [
+        "train", "--envs", "2", "--agents", "8", "--vision-width", "16",
+        "--horizon", "2",
+    ]
+    rc = main(base + ["--iters", "2", "--checkpoint", ckpt,
+                      "--checkpoint-every", "1"])
+    assert rc == 0 and os.path.exists(ckpt)
+    rc = main(base + ["--iters", "1", "--resume", ckpt])
+    assert rc == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.splitlines()
+             if l.startswith("{")]
+    assert np.isfinite(lines[-1]["loss"])
+    capsys.readouterr()
+    rc = main(base + ["--iters", "1", "--resume", str(tmp_path / "no.npz")])
+    assert rc == 2 and "not found" in capsys.readouterr().err
+
+
 def test_train_cli_apg(capsys):
     rc = main([
         "train", "--algo", "apg", "--envs", "2", "--agents", "8",
