@@ -202,7 +202,7 @@ def cmd_train(args) -> int:
         controller="gravity",
         vision=VisionConfig(width=args.vision_width),
     )
-    env = VisionEnv(cfg)
+    env = VisionEnv(cfg, reward_mode=args.reward_mode)
     opt = optax.adam(args.lr)
     # --net picks the function family; trainer defaults (None) mean MLP
     if args.net == "conv":
@@ -364,44 +364,61 @@ def cmd_datagen(args) -> int:
     return 0
 
 
-def _policy_advance(cfg, policy_path: str, net_name: str):
-    """Build `(state, k) -> state` where a trained policy actuates the swarm
-    (the substrate purpose, reference README.md:4). Loads params saved by
-    `train --save` into the matching default-hyperparameter net family
-    (REINFORCE/AC-policy/APG/ES trees — policy params only); playback is
-    deterministic (the Gaussian mean), and the transition is the train
-    env's: gravity + control acceleration (the scene's controller flag does
-    not apply under --policy)."""
-    import functools
+def _load_policy(env, policy_path: str, net_name: str):
+    """Load `train --save` params into the matching default-hyperparameter
+    net family (REINFORCE/AC-policy/PPO-policy/APG/ES trees — policy params
+    only). Returns (policy_module, params)."""
     import os
 
     import jax
     import jax.numpy as jnp
 
-    from .rl.env import VisionEnv
     from .utils import checkpoint as ck
+
+    if not os.path.exists(policy_path):
+        raise FileNotFoundError(f"policy params not found: {policy_path}")
+    dummy = jnp.zeros((1, env.obs_width), jnp.float32)
+    if net_name == "gru":
+        from .rl.policy import GRUPolicy
+
+        pol = GRUPolicy()
+        template = pol.init(jax.random.key(0), pol.initial_carry((1,)), dummy)
+    elif net_name == "conv":
+        from .rl.policy import ConvPolicy
+
+        pol = ConvPolicy(vision_width=env.cfg.vision.width)
+        template = pol.init(jax.random.key(0), dummy)
+    else:
+        from .rl.policy import MLPPolicy
+
+        pol = MLPPolicy()
+        template = pol.init(jax.random.key(0), dummy)
+    return pol, ck.load_pytree(policy_path, template)
+
+
+def _policy_advance(cfg, policy_path: str, net_name: str):
+    """Build `(state, k) -> state` where a trained policy actuates the swarm
+    (the substrate purpose, reference README.md:4). Playback is
+    deterministic (the Gaussian mean), and the transition is the train
+    env's: gravity + control acceleration (the scene's controller flag does
+    not apply under --policy)."""
+    import functools
+
+    import jax
+
+    from .rl.env import VisionEnv
 
     if cfg.vision is None:
         raise ValueError(
             "--policy needs vision (the policy consumes eye lines); pass "
             "--vision-width or a vision preset"
         )
-    if not os.path.exists(policy_path):
-        raise FileNotFoundError(f"policy params not found: {policy_path}")
     env = VisionEnv(cfg)
-    dummy = jnp.zeros((1, env.obs_width), jnp.float32)
+    pol, params = _load_policy(env, policy_path, net_name)
     if net_name == "gru":
         # recurrent playback: the GRU hidden state threads through the
         # inner scan AND persists across advance() calls (a host-side
         # holder), so the policy keeps its memory for the whole demo
-        from .rl.policy import GRUPolicy
-
-        pol = GRUPolicy()
-        template = pol.init(
-            jax.random.key(0), pol.initial_carry((1,)), dummy
-        )
-        params = ck.load_pytree(policy_path, template)
-
         @functools.partial(jax.jit, static_argnums=(2,))
         def _adv(state, carry, k: int):
             def body(sc, _):
@@ -421,16 +438,6 @@ def _policy_advance(cfg, policy_path: str, net_name: str):
             return state
 
         return advance
-    if net_name == "conv":
-        from .rl.policy import ConvPolicy
-
-        pol = ConvPolicy(vision_width=cfg.vision.width)
-    else:
-        from .rl.policy import MLPPolicy
-
-        pol = MLPPolicy()
-    template = pol.init(jax.random.key(0), dummy)
-    params = ck.load_pytree(policy_path, template)
 
     @functools.partial(jax.jit, static_argnums=(1,))
     def advance(state, k: int):
@@ -442,6 +449,79 @@ def _policy_advance(cfg, policy_path: str, net_name: str):
         return s
 
     return advance
+
+
+def cmd_eval(args) -> int:
+    """Deterministic policy evaluation: batched fresh-spawn episodes, mean
+    actions (no exploration noise), one JSON metrics line — the measurement
+    half of the train/playback loop. Without --policy, evaluates the
+    zero-action (uncontrolled gravity) baseline."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from .config import SimConfig, VisionConfig
+    from .rl.env import VisionEnv
+    from .state import spawn_batch
+
+    if args.vision_width < 1:
+        print("error: eval needs vision; --vision-width must be >= 1",
+              file=sys.stderr)
+        return 2
+    cfg = SimConfig(
+        n=args.agents, controller="gravity",
+        vision=VisionConfig(width=args.vision_width),
+    )
+    env = VisionEnv(cfg, reward_mode=args.reward_mode)
+    pol = params = None
+    if args.policy:
+        try:
+            pol, params = _load_policy(env, args.policy, args.net)
+        except FileNotFoundError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
+    states = spawn_batch(jax.random.key(args.seed), cfg, args.envs)
+
+    @jax.jit
+    def rollout(states):
+        observe = jax.vmap(env.observe)
+        dyn = jax.vmap(env.dynamics)
+        rew = jax.vmap(env.reward)
+        carry0 = states
+        if pol is not None and args.net == "gru":
+            carry0 = (states, pol.initial_carry((args.envs, cfg.n)))
+
+        def body(carry, _):
+            if pol is None:
+                s = carry
+                a = jnp.zeros((args.envs, cfg.n, 2), jnp.float32)
+                s = dyn(s, a)
+                return s, rew(s)
+            if args.net == "gru":
+                s, c = carry
+                c, (mean, _) = pol.apply(params, c, observe(s))
+                s = dyn(s, mean)
+                return (s, c), rew(s)
+            s = carry
+            mean, _ = pol.apply(params, observe(s))
+            s = dyn(s, mean)
+            return s, rew(s)
+
+        _, rs = jax.lax.scan(body, carry0, None, length=args.horizon)
+        return rs  # [T, B, N]
+
+    rs = np.asarray(rollout(states))
+    print(json.dumps({
+        "reward_mean": float(rs.mean()),
+        "reward_first": float(rs[0].mean()),
+        "reward_final": float(rs[-1].mean()),
+        "reward_mode": args.reward_mode,
+        "horizon": args.horizon,
+        "envs": args.envs,
+        "agents": args.agents,
+        "policy": args.policy or "zero-action baseline",
+    }))
+    return 0
 
 
 def cmd_gif(args) -> int:
@@ -580,7 +660,30 @@ def main(argv=None) -> int:
         "--resume", default="",
         help="train-state npz from --checkpoint (must match algo/shapes)",
     )
+    p.add_argument(
+        "--reward-mode",
+        choices=["cohesion", "team", "difference", "visibility"],
+        default="cohesion",
+        help="per-agent shaping, shared team objective, counterfactual "
+        "difference rewards, or observation-defined visibility",
+    )
     p.set_defaults(fn=cmd_train)
+
+    p = sub.add_parser(
+        "eval", help="evaluate a saved policy (deterministic, fresh spawns)"
+    )
+    p.add_argument("--envs", type=int, default=16)
+    p.add_argument("--agents", type=int, default=64)
+    p.add_argument("--vision-width", type=int, default=64)
+    p.add_argument("--horizon", type=int, default=64)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument(
+        "--reward-mode",
+        choices=["cohesion", "team", "difference", "visibility"],
+        default="cohesion",
+    )
+    _add_policy_flags(p)
+    p.set_defaults(fn=cmd_eval)
 
     p = sub.add_parser("datagen", help="export batched rollout datasets")
     p.add_argument("--envs", type=int, default=256)

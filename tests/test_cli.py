@@ -180,6 +180,32 @@ def test_policy_advance_gru_threads_carry(tmp_path):
     assert diff > 1e-7, f"carry did not thread across advance calls ({diff=})"
 
 
+def test_eval_cli(tmp_path, capsys):
+    """eval: deterministic policy metrics as one JSON line; the zero-action
+    baseline runs without --policy."""
+    params = str(tmp_path / "p.npz")
+    rc = main([
+        "train", "--envs", "2", "--agents", "8", "--vision-width", "16",
+        "--horizon", "2", "--iters", "1", "--save", params,
+    ])
+    assert rc == 0
+    capsys.readouterr()
+    rc = main([
+        "eval", "--envs", "2", "--agents", "8", "--vision-width", "16",
+        "--horizon", "4", "--policy", params, "--reward-mode", "difference",
+    ])
+    assert rc == 0
+    m = json.loads([l for l in capsys.readouterr().out.splitlines()
+                    if l.startswith("{")][-1])
+    assert np.isfinite(m["reward_mean"]) and m["horizon"] == 4
+    assert m["reward_mode"] == "difference"
+    rc = main([
+        "eval", "--envs", "2", "--agents", "8", "--vision-width", "16",
+        "--horizon", "2",
+    ])
+    assert rc == 0
+
+
 def test_train_checkpoint_resume(tmp_path, capsys):
     """train --checkpoint saves the FULL train state; --resume restores it
     (params + optimizer + PRNG key) and continues — §5.4 for training."""
