@@ -78,30 +78,13 @@ def _slope_timed(fn, carry, *, sync_slice, steps, label="", m=4, reps=3):
             print(f"[bench] {label}: compiled in {compile_s:.0f}s "
                   f"(cache {cache_note})",
                   file=sys.stderr, flush=True)
-            tick = [attempt * 2 * reps]  # unique epsilon per dispatch chain
+            from nenbody_tpu.utils.profiling import median_slope, slope_samples
 
-            def fresh():
-                tick[0] += 1
-                e = tick[0] * 1e-6
-                return jax.block_until_ready(
-                    jax.tree.map(lambda x: x + jnp.asarray(e, x.dtype), carry)
-                )
-
-            slopes = []
-            for _ in range(reps):
-                c = fresh()
-                t0 = time.perf_counter()
-                _ = np.asarray(sync_slice(fn(c)))
-                t1 = time.perf_counter() - t0
-                c = fresh()
-                t0 = time.perf_counter()
-                for _ in range(m):
-                    c = fn(c)
-                _ = np.asarray(sync_slice(c))
-                tm = time.perf_counter() - t0
-                slopes.append(max((tm - t1) / ((m - 1) * steps), 1e-12))
-            slopes.sort()
-            sec_per_step = slopes[len(slopes) // 2]
+            slopes = sorted(slope_samples(
+                fn, carry, sync_slice, steps, m=m, reps=reps,
+                base_tick=attempt * 2 * reps,
+            ))
+            sec_per_step = median_slope(slopes)
             if reps > 1:
                 print(f"[bench] {label}: slope spread "
                       f"[{slopes[0]:.3e}, {slopes[-1]:.3e}] s/step, "

@@ -202,7 +202,11 @@ def cmd_train(args) -> int:
         controller="gravity",
         vision=VisionConfig(width=args.vision_width),
     )
-    env = VisionEnv(cfg, reward_mode=args.reward_mode)
+    try:
+        env = VisionEnv(cfg, reward_mode=args.reward_mode)
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
     opt = optax.adam(args.lr)
     # --net picks the function family; trainer defaults (None) mean MLP
     if args.net == "conv":
@@ -288,8 +292,16 @@ def cmd_train(args) -> int:
             return 2
         # the freshly-initialized train state is the structure template:
         # params, optimizer state, PRNG key, and (where the trainer carries
-        # them) env states / iteration all restore (SURVEY.md §5.4)
-        ts = ck.load_pytree(args.resume, ts)
+        # them) env states / iteration all restore (SURVEY.md §5.4).
+        # Strict matching: a checkpoint written at different --envs/--agents/
+        # --vision-width must error readably, not load mismatched arrays
+        try:
+            ts = ck.load_pytree_matching(args.resume, ts, what="train state")
+        except ValueError as e:
+            print(f"error: {e}\n(rerun with the --algo/--envs/--agents/"
+                  f"--vision-width the checkpoint was written with)",
+                  file=sys.stderr)
+            return 2
     for i in range(args.iters):
         t0 = time.perf_counter()
         ts, metrics = step(ts)
@@ -305,6 +317,12 @@ def cmd_train(args) -> int:
             from .utils import checkpoint as ck
 
             ck.save_pytree(args.checkpoint, ts)
+    if args.checkpoint:
+        # always persist the final state — a run shorter than
+        # --checkpoint-every must not silently write nothing
+        from .utils import checkpoint as ck
+
+        ck.save_pytree(args.checkpoint, ts)
     if args.save:
         from .utils import checkpoint as ck
 
@@ -393,7 +411,9 @@ def _load_policy(env, policy_path: str, net_name: str):
 
         pol = MLPPolicy()
         template = pol.init(jax.random.key(0), dummy)
-    return pol, ck.load_pytree(policy_path, template)
+    return pol, ck.load_pytree_matching(
+        policy_path, template, what=f"--net {net_name} params"
+    )
 
 
 def _policy_advance(cfg, policy_path: str, net_name: str):
@@ -472,40 +492,46 @@ def cmd_eval(args) -> int:
         n=args.agents, controller="gravity",
         vision=VisionConfig(width=args.vision_width),
     )
-    env = VisionEnv(cfg, reward_mode=args.reward_mode)
+    try:
+        env = VisionEnv(cfg, reward_mode=args.reward_mode)
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
     pol = params = None
     if args.policy:
         try:
             pol, params = _load_policy(env, args.policy, args.net)
-        except FileNotFoundError as e:
+        except (ValueError, FileNotFoundError) as e:
             print(f"error: {e}", file=sys.stderr)
             return 2
     states = spawn_batch(jax.random.key(args.seed), cfg, args.envs)
 
     @jax.jit
     def rollout(states):
+        # env.step (vmapped over envs), with the observation threaded
+        # through the carry so each state renders exactly ONCE — the
+        # trainers' rollout structure (visibility rewards reuse the render)
         observe = jax.vmap(env.observe)
-        dyn = jax.vmap(env.dynamics)
-        rew = jax.vmap(env.reward)
-        carry0 = states
+        step = jax.vmap(env.step)
+        zeros = jnp.zeros((args.envs, cfg.n, 2), jnp.float32)
+        carry0 = (states, observe(states))
         if pol is not None and args.net == "gru":
-            carry0 = (states, pol.initial_carry((args.envs, cfg.n)))
+            carry0 = (*carry0, pol.initial_carry((args.envs, cfg.n)))
 
         def body(carry, _):
             if pol is None:
-                s = carry
-                a = jnp.zeros((args.envs, cfg.n, 2), jnp.float32)
-                s = dyn(s, a)
-                return s, rew(s)
+                s, obs = carry
+                s, obs, r = step(s, zeros)
+                return (s, obs), r
             if args.net == "gru":
-                s, c = carry
-                c, (mean, _) = pol.apply(params, c, observe(s))
-                s = dyn(s, mean)
-                return (s, c), rew(s)
-            s = carry
-            mean, _ = pol.apply(params, observe(s))
-            s = dyn(s, mean)
-            return s, rew(s)
+                s, obs, c = carry
+                c, (mean, _) = pol.apply(params, c, obs)
+                s, obs, r = step(s, mean)
+                return (s, obs, c), r
+            s, obs = carry
+            mean, _ = pol.apply(params, obs)
+            s, obs, r = step(s, mean)
+            return (s, obs), r
 
         _, rs = jax.lax.scan(body, carry0, None, length=args.horizon)
         return rs  # [T, B, N]

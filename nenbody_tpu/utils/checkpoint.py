@@ -93,6 +93,37 @@ def load_pytree(path: str, like):
     return jax.tree_util.tree_unflatten(treedef, leaves)
 
 
+def load_pytree_matching(path: str, like, what: str = "params"):
+    """load_pytree that turns the two silent-mismatch failure modes into
+    readable ValueErrors: a missing leaf (saved from a DIFFERENT tree, e.g.
+    a GRU npz loaded into an MLP template) raises instead of KeyError, and
+    a present-but-differently-shaped leaf (same net, different vision width
+    or batch) raises instead of loading garbage that later dies as an
+    opaque dot-shape error inside jit."""
+    with np.load(_npz_path(path)) as z:
+        flat, treedef = jax.tree_util.tree_flatten_with_path(like)
+        leaves = []
+        for k, ref in flat:
+            name = jax.tree_util.keystr(k)
+            if name not in z:
+                raise ValueError(
+                    f"{what} at {path} do not contain leaf {name} — saved "
+                    f"from a different net family or trainer?"
+                )
+            arr = jnp.asarray(z[name])
+            ref_shape = tuple(np.shape(
+                jax.random.key_data(ref) if _is_key(ref) else ref
+            ))
+            if tuple(arr.shape) != ref_shape:
+                raise ValueError(
+                    f"{what} leaf {name} at {path} has shape "
+                    f"{tuple(arr.shape)}, expected {ref_shape} — saved from "
+                    f"a different net family, width, or batch size?"
+                )
+            leaves.append(jax.random.wrap_key_data(arr) if _is_key(ref) else arr)
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
 class PeriodicCheckpointer:
     """Save every `every` steps during a host-driven loop; keeps the last
     `keep` files — the periodic-snapshot policy SURVEY.md §5.3/§5.4 calls

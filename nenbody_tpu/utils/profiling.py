@@ -88,8 +88,33 @@ def scan_throughput(body_fn, carry, steps: int, sync, m: int = 4,
         )
 
     _ = _np.asarray(sync(roll(carry)))  # compile + full sync
+    return median_slope(slope_samples(roll, carry, sync, steps, m, reps))
+
+
+def slope_samples(roll, carry, sync, steps: int, m: int = 4, reps: int = 3,
+                  base_tick: int = 0):
+    """The measurement core shared by scan_throughput and bench.py (one
+    implementation, so the methodology cannot drift): `reps` independent
+    slope samples, every dispatch chain fed a FRESH perturbed input
+    (same-input dispatches may be cached under the tunnel). `roll` must
+    already be compiled (call it once with a sync first). base_tick offsets
+    the perturbation counter so retries never reuse an epsilon."""
+    import jax as _jax
+    import jax.numpy as _jnp
+    import numpy as _np
+
+    def _perturb(c, eps):
+        return _jax.block_until_ready(
+            _jax.tree.map(
+                lambda x: x + _jnp.asarray(eps, x.dtype)
+                if hasattr(x, "dtype") and _jnp.issubdtype(x.dtype, _jnp.floating)
+                else x,
+                c,
+            )
+        )
+
     slopes = []
-    tick = 0
+    tick = base_tick
     for _ in range(max(1, reps)):
         tick += 1
         c = _perturb(carry, tick * 1e-6)
@@ -104,8 +129,16 @@ def scan_throughput(body_fn, carry, steps: int, sync, m: int = 4,
         _ = _np.asarray(sync(c))
         tm = time.perf_counter() - t0
         slopes.append(max((tm - t1) / ((m - 1) * steps), 1e-12))
-    slopes.sort()
-    return slopes[len(slopes) // 2]
+    return slopes
+
+
+def median_slope(slopes) -> float:
+    """True median (mean of the middle two for even counts — the
+    upper-middle element would be biased HIGH, defeating the robustness)."""
+    s = sorted(slopes)
+    n = len(s)
+    mid = n // 2
+    return s[mid] if n % 2 else 0.5 * (s[mid - 1] + s[mid])
 
 
 class StepTimer:

@@ -227,6 +227,47 @@ def test_train_checkpoint_resume(tmp_path, capsys):
     assert rc == 2 and "not found" in capsys.readouterr().err
 
 
+def test_cli_mismatch_and_edge_errors(tmp_path, capsys):
+    """The silent-mismatch failure modes error readably (rc 2), and short
+    runs still persist a final checkpoint."""
+    params = str(tmp_path / "mlp.npz")
+    ckpt = str(tmp_path / "short.npz")
+    rc = main([
+        "train", "--envs", "2", "--agents", "8", "--vision-width", "16",
+        "--horizon", "2", "--iters", "2", "--save", params,
+        "--checkpoint", ckpt, "--checkpoint-every", "50",
+    ])
+    # 2 iters < checkpoint-every 50: the final save must still fire
+    assert rc == 0 and os.path.exists(ckpt)
+    capsys.readouterr()
+    # MLP params loaded as --net gru: missing-leaf ValueError, not KeyError
+    rc = main([
+        "gif", "--n", "8", "--vision-width", "16", "--steps", "2",
+        "--stride", "2", "--out", str(tmp_path / "x.gif"),
+        "--policy", params, "--net", "gru",
+    ])
+    err = capsys.readouterr().err
+    assert rc == 2 and "net family" in err
+    # params trained at width 16 used at width 32: shape ValueError
+    rc = main([
+        "eval", "--envs", "2", "--agents", "8", "--vision-width", "32",
+        "--horizon", "2", "--policy", params,
+    ])
+    assert rc == 2 and "expected" in capsys.readouterr().err
+    # resume written at --envs 2, resumed at --envs 4: rc 2 with guidance
+    rc = main([
+        "train", "--envs", "4", "--agents", "8", "--vision-width", "16",
+        "--horizon", "2", "--iters", "1", "--resume", ckpt,
+    ])
+    assert rc == 2 and "--envs" in capsys.readouterr().err
+    # constructor-level env errors are clean too
+    rc = main([
+        "eval", "--envs", "2", "--agents", "1", "--vision-width", "16",
+        "--horizon", "2", "--reward-mode", "difference",
+    ])
+    assert rc == 2 and "n >= 2" in capsys.readouterr().err
+
+
 def test_train_cli_apg(capsys):
     rc = main([
         "train", "--algo", "apg", "--envs", "2", "--agents", "8",
