@@ -95,6 +95,23 @@ def _add_sim_flags(p: argparse.ArgumentParser):
     p.add_argument("--seed", type=int, default=0)
 
 
+def _parse_mesh(spec: str):
+    """'auto' (all devices on the agent axis) or 'DATAxAGENTS' (e.g. 2x4;
+    -1 = all remaining devices) -> jax.sharding.Mesh."""
+    from .parallel.mesh import make_mesh
+
+    if spec == "auto":
+        return make_mesh()
+    try:
+        d, a = (int(x) for x in spec.lower().split("x"))
+    except Exception:
+        raise ValueError(
+            f"--mesh expects DATAxAGENTS (e.g. 2x4, -1 for remaining) or "
+            f"'auto', got {spec!r}"
+        ) from None
+    return make_mesh({"data": d, "agents": a})
+
+
 def _add_policy_flags(p: argparse.ArgumentParser):
     p.add_argument(
         "--policy", default="",
@@ -208,6 +225,13 @@ def cmd_train(args) -> int:
         print(f"error: {e}", file=sys.stderr)
         return 2
     opt = optax.adam(args.lr)
+    mesh = None
+    if args.mesh:
+        try:
+            mesh = _parse_mesh(args.mesh)
+        except ValueError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
     # --net picks the function family; trainer defaults (None) mean MLP
     if args.net == "conv":
         if args.algo == "reinforce-gru":
@@ -228,7 +252,8 @@ def cmd_train(args) -> int:
         )
         step = jax.jit(
             ac_lib.make_ac_step(
-                env, policy_apply, value_apply, opt, horizon=args.horizon
+                env, policy_apply, value_apply, opt, horizon=args.horizon,
+                mesh=mesh,
             )
         )
     elif args.algo == "apg":
@@ -239,19 +264,21 @@ def cmd_train(args) -> int:
         )
         step = jax.jit(
             apg_lib.make_apg_step(
-                env, apply_fn, opt, horizon=args.horizon, num_envs=args.envs
+                env, apply_fn, opt, horizon=args.horizon, num_envs=args.envs,
+                mesh=mesh,
             )
         )
     elif args.algo == "ppo":
         from .rl import ppo as ppo_lib
 
         ts, pol_apply, val_apply = ppo_lib.init_ppo_state(
-            env, key=jax.random.key(args.seed), optimizer=opt, policy=net
+            env, key=jax.random.key(args.seed), optimizer=opt, policy=net,
+            mesh=mesh,
         )
         step = jax.jit(
             ppo_lib.make_ppo_step(
                 env, pol_apply, val_apply, opt, horizon=args.horizon,
-                num_envs=args.envs,
+                num_envs=args.envs, mesh=mesh,
             )
         )
     elif args.algo == "es":
@@ -263,23 +290,28 @@ def cmd_train(args) -> int:
         step = jax.jit(
             es_lib.make_es_step(
                 env, apply_fn, opt, horizon=args.horizon,
-                population=args.population, num_envs=args.envs,
+                population=args.population, num_envs=args.envs, mesh=mesh,
             )
         )
     elif args.algo == "reinforce-gru":
         ts, _, pol = train_lib.init_recurrent_train_state(
-            env, num_envs=args.envs, key=jax.random.key(args.seed), optimizer=opt
+            env, num_envs=args.envs, key=jax.random.key(args.seed),
+            optimizer=opt, mesh=mesh,
         )
         step = jax.jit(
-            train_lib.make_recurrent_train_step(env, pol, opt, horizon=args.horizon)
+            train_lib.make_recurrent_train_step(
+                env, pol, opt, horizon=args.horizon, mesh=mesh
+            )
         )
     else:
         ts, apply_fn, _ = train_lib.init_train_state(
             env, num_envs=args.envs, key=jax.random.key(args.seed),
-            optimizer=opt, policy=net,
+            optimizer=opt, policy=net, mesh=mesh,
         )
         step = jax.jit(
-            train_lib.make_train_step(env, apply_fn, opt, horizon=args.horizon)
+            train_lib.make_train_step(
+                env, apply_fn, opt, horizon=args.horizon, mesh=mesh
+            )
         )
     if args.resume:
         import os
@@ -692,6 +724,12 @@ def main(argv=None) -> int:
         default="cohesion",
         help="per-agent shaping, shared team objective, counterfactual "
         "difference rewards, or observation-defined visibility",
+    )
+    p.add_argument(
+        "--mesh", default="",
+        help="device mesh for multi-chip training: DATAxAGENTS (e.g. 2x4; "
+        "envs shard over data, the agent-axis ppermute ring handles "
+        "physics/vision) or 'auto' (all devices on the agent axis)",
     )
     p.set_defaults(fn=cmd_train)
 

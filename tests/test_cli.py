@@ -227,6 +227,31 @@ def test_train_checkpoint_resume(tmp_path, capsys):
     assert rc == 2 and "not found" in capsys.readouterr().err
 
 
+def test_train_cli_mesh(capsys):
+    """--mesh 2x2 runs the REINFORCE step on a (data, agents) device mesh
+    (envs over data, the agent-axis ppermute ring inside the rollout) —
+    the multi-chip path, CLI-driven, on the 8 virtual CPU devices."""
+    rc = main([
+        "train", "--envs", "2", "--agents", "8", "--vision-width", "16",
+        "--horizon", "2", "--iters", "1", "--mesh", "2x2",
+    ])
+    assert rc == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.splitlines()
+             if l.startswith("{")]
+    assert np.isfinite(lines[-1]["loss"])
+    # malformed / oversized specs error cleanly
+    rc = main([
+        "train", "--envs", "2", "--agents", "8", "--vision-width", "16",
+        "--horizon", "2", "--iters", "1", "--mesh", "3z",
+    ])
+    assert rc == 2 and "DATAxAGENTS" in capsys.readouterr().err
+    rc = main([
+        "train", "--envs", "2", "--agents", "8", "--vision-width", "16",
+        "--horizon", "2", "--iters", "1", "--mesh", "64x64",
+    ])
+    assert rc == 2 and "devices" in capsys.readouterr().err
+
+
 def test_cli_mismatch_and_edge_errors(tmp_path, capsys):
     """The silent-mismatch failure modes error readably (rc 2), and short
     runs still persist a final checkpoint."""
