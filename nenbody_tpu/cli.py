@@ -503,6 +503,64 @@ def _policy_advance(cfg, policy_path: str, net_name: str):
     return advance
 
 
+def cmd_bc(args) -> int:
+    """Behavior cloning: fit a policy to datagen shards (--data) or to a
+    .nentraj recording (--trajectory: obs re-render on device from the
+    recorded states, actions come from exact inverse dynamics). The save is
+    playback/eval-compatible like every other params npz."""
+    import jax
+
+    from .config import SimConfig, VisionConfig
+    from .rl import bc as bc_lib
+    from .rl.env import VisionEnv
+
+    if bool(args.data) == bool(args.trajectory):
+        print("error: pass exactly one of --data (shard dir) or "
+              "--trajectory (.nentraj)", file=sys.stderr)
+        return 2
+    if args.vision_width < 1:
+        print("error: bc needs vision; --vision-width must be >= 1",
+              file=sys.stderr)
+        return 2
+    if args.net == "gru":
+        print("error: bc fits feedforward policies (--net mlp or conv)",
+              file=sys.stderr)
+        return 2
+    cfg = SimConfig(
+        n=args.agents, controller="gravity",
+        vision=VisionConfig(width=args.vision_width),
+    )
+    env = VisionEnv(cfg)
+    net = None
+    if args.net == "conv":
+        from .rl.policy import ConvPolicy
+
+        net = ConvPolicy(vision_width=cfg.vision.width)
+    try:
+        if args.data:
+            from .rl import datagen as dg
+
+            data = dg.load_shards(args.data)
+        else:
+            data = bc_lib.dataset_from_trajectory(args.trajectory, env)
+        params, _, loss = bc_lib.fit(
+            env, data, jax.random.key(args.seed), steps=args.steps,
+            batch_size=args.batch_size, lr=args.lr, policy=net,
+            log_every=args.log_every,
+        )
+    except (ValueError, FileNotFoundError) as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+    print(json.dumps({"bc_loss": loss, "steps": args.steps,
+                      "source": args.data or args.trajectory}))
+    if args.save:
+        from .utils import checkpoint as ck
+
+        ck.save_pytree(args.save, params)
+        print(f"saved params -> {args.save}")
+    return 0
+
+
 def cmd_eval(args) -> int:
     """Deterministic policy evaluation: batched fresh-spawn episodes, mean
     actions (no exploration noise), one JSON metrics line — the measurement
@@ -732,6 +790,26 @@ def main(argv=None) -> int:
         "physics/vision) or 'auto' (all devices on the agent axis)",
     )
     p.set_defaults(fn=cmd_train)
+
+    p = sub.add_parser(
+        "bc", help="behavior cloning from datagen shards or a recording"
+    )
+    p.add_argument("--data", default="", help="datagen shard dir")
+    p.add_argument("--trajectory", default="",
+                   help=".nentraj recording (stride-1, from run --record)")
+    p.add_argument("--agents", type=int, default=64)
+    p.add_argument("--vision-width", type=int, default=64)
+    p.add_argument("--steps", type=int, default=500, help="gradient steps")
+    p.add_argument("--batch-size", type=int, default=4096)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--log-every", type=int, default=0)
+    p.add_argument(
+        "--net", choices=["mlp", "conv"], default="mlp",
+        help="policy function family",
+    )
+    p.add_argument("--save", default="", help="save params npz")
+    p.set_defaults(fn=cmd_bc)
 
     p = sub.add_parser(
         "eval", help="evaluate a saved policy (deterministic, fresh spawns)"

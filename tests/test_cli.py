@@ -227,6 +227,36 @@ def test_train_checkpoint_resume(tmp_path, capsys):
     assert rc == 2 and "not found" in capsys.readouterr().err
 
 
+def test_bc_cli_from_datagen_shards(tmp_path, capsys):
+    """datagen -> bc --data -> eval --policy: the offline pipeline, all
+    CLI-driven; the bc save loads back like any other params npz."""
+    ds = str(tmp_path / "ds")
+    rc = main([
+        "datagen", "--envs", "2", "--agents", "8", "--vision-width", "16",
+        "--steps", "4", "--horizon", "2", "--out-dir", ds,
+    ])
+    assert rc == 0
+    capsys.readouterr()
+    params = str(tmp_path / "bc.npz")
+    rc = main([
+        "bc", "--data", ds, "--agents", "8", "--vision-width", "16",
+        "--steps", "5", "--batch-size", "64", "--save", params,
+    ])
+    assert rc == 0
+    m = json.loads([l for l in capsys.readouterr().out.splitlines()
+                    if l.startswith("{")][-1])
+    assert np.isfinite(m["bc_loss"])
+    rc = main([
+        "eval", "--envs", "2", "--agents", "8", "--vision-width", "16",
+        "--horizon", "2", "--policy", params,
+    ])
+    assert rc == 0
+    capsys.readouterr()
+    # exactly one source must be given
+    rc = main(["bc", "--agents", "8", "--vision-width", "16"])
+    assert rc == 2 and "exactly one" in capsys.readouterr().err
+
+
 def test_train_cli_mesh(capsys):
     """--mesh 2x2 runs the REINFORCE step on a (data, agents) device mesh
     (envs over data, the agent-axis ppermute ring inside the rollout) —
