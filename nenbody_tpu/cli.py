@@ -7,8 +7,12 @@ snapshots at a low rate for logging, capture, recording, and checkpoints.
 
     python -m nenbody_tpu run --preset boids-4096 --steps 2000 --capture 100
     python -m nenbody_tpu run --n 256 --controller gravity --record out/run.nentraj
-    python -m nenbody_tpu train --envs 64 --agents 64 --iters 20
+    python -m nenbody_tpu train --envs 64 --agents 64 --iters 20 --save pol.npz
+    python -m nenbody_tpu train --algo ppo --mesh 2x4          # multi-chip
+    python -m nenbody_tpu eval --policy pol.npz                # deterministic metrics
     python -m nenbody_tpu gif --preset gravity-vision-1024 --steps 400
+    python -m nenbody_tpu gif --n 64 --vision-width 32 --policy pol.npz
+    python -m nenbody_tpu datagen --out-dir out/ds && python -m nenbody_tpu bc --data out/ds
     python -m nenbody_tpu bench
     python -m nenbody_tpu info
 """
