@@ -172,6 +172,14 @@ def cmd_run(args) -> int:
         else None
     )
 
+    advance = None
+    if args.policy:
+        try:
+            advance = _policy_advance(cfg, args.policy, args.net)
+        except (ValueError, FileNotFoundError) as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
+
     timer = StepTimer(cfg.n)
     chunk = max(1, args.log_every)
     done = 0
@@ -180,7 +188,10 @@ def cmd_run(args) -> int:
         timer.mark(0)
         while done < args.steps:
             k = min(chunk, args.steps - done)
-            state, _ = scene.rollout(state, k)
+            if advance is not None:
+                state = advance(state, k)
+            else:
+                state, _ = scene.rollout(state, k)
             pos = np.asarray(state.pos)  # host tap (sync point)
             done += k
             timer.mark(k)
@@ -749,6 +760,7 @@ def main(argv=None) -> int:
     p.add_argument("--checkpoint-dir", default="")
     p.add_argument("--checkpoint-every", type=int, default=1000)
     p.add_argument("--resume", default="", help="npz checkpoint to resume")
+    _add_policy_flags(p)
     p.set_defaults(fn=cmd_run)
 
     p = sub.add_parser("train", help="policy training on the vision env")

@@ -227,6 +227,28 @@ def test_train_checkpoint_resume(tmp_path, capsys):
     assert rc == 2 and "not found" in capsys.readouterr().err
 
 
+def test_run_policy_record_replay(tmp_path, capsys):
+    """run --policy records a trained-policy trajectory (.nentraj) that
+    replay re-renders — the train -> run -> replay loop, all CLI."""
+    params = str(tmp_path / "p.npz")
+    rc = main([
+        "train", "--envs", "2", "--agents", "8", "--vision-width", "16",
+        "--horizon", "2", "--iters", "1", "--save", params,
+    ])
+    assert rc == 0
+    traj = str(tmp_path / "run.nentraj")
+    rc = main([
+        "run", "--n", "8", "--controller", "gravity", "--vision-width", "16",
+        "--steps", "4", "--log-every", "1", "--record", traj,
+        "--policy", params,
+    ])
+    assert rc == 0 and os.path.exists(traj)
+    capsys.readouterr()
+    out = str(tmp_path / "r.gif")
+    rc = main(["replay", traj, "--out", out])
+    assert rc == 0 and os.path.exists(out)
+
+
 def test_bc_cli_from_datagen_shards(tmp_path, capsys):
     """datagen -> bc --data -> eval --policy: the offline pipeline, all
     CLI-driven; the bc save loads back like any other params npz."""
