@@ -609,15 +609,25 @@ def cmd_eval(args) -> int:
         except (ValueError, FileNotFoundError) as e:
             print(f"error: {e}", file=sys.stderr)
             return 2
+    mesh = None
+    if args.mesh:
+        try:
+            mesh = _parse_mesh(args.mesh)
+        except ValueError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
     states = spawn_batch(jax.random.key(args.seed), cfg, args.envs)
 
     @jax.jit
     def rollout(states):
-        # env.step (vmapped over envs), with the observation threaded
-        # through the carry so each state renders exactly ONCE — the
-        # trainers' rollout structure (visibility rewards reuse the render)
-        observe = jax.vmap(env.observe)
-        step = jax.vmap(env.step)
+        # env.step (vmapped over envs; on a mesh, envs shard over data and
+        # the agent-axis ppermute ring runs physics/vision), with the
+        # observation threaded through the carry so each state renders
+        # exactly ONCE — the trainers' rollout structure (visibility
+        # rewards reuse the render)
+        from .rl.train import _batched_env_fns
+
+        observe, step = _batched_env_fns(env, mesh)
         zeros = jnp.zeros((args.envs, cfg.n, 2), jnp.float32)
         carry0 = (states, observe(states))
         if pol is not None and args.net == "gru":
@@ -839,6 +849,10 @@ def main(argv=None) -> int:
         "--reward-mode",
         choices=["cohesion", "team", "difference", "visibility"],
         default="cohesion",
+    )
+    p.add_argument(
+        "--mesh", default="",
+        help="device mesh: DATAxAGENTS (e.g. 2x4) or 'auto'",
     )
     _add_policy_flags(p)
     p.set_defaults(fn=cmd_eval)

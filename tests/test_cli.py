@@ -199,6 +199,17 @@ def test_eval_cli(tmp_path, capsys):
                     if l.startswith("{")][-1])
     assert np.isfinite(m["reward_mean"]) and m["horizon"] == 4
     assert m["reward_mode"] == "difference"
+    # --mesh 2x2: envs over data + the agent ring; must agree with the
+    # single-device rollout at fp32 tolerances (same spawns, same policy)
+    rc = main([
+        "eval", "--envs", "2", "--agents", "8", "--vision-width", "16",
+        "--horizon", "4", "--policy", params, "--reward-mode", "difference",
+        "--mesh", "2x2",
+    ])
+    assert rc == 0
+    m_mesh = json.loads([l for l in capsys.readouterr().out.splitlines()
+                         if l.startswith("{")][-1])
+    assert m_mesh["reward_mean"] == pytest.approx(m["reward_mean"], rel=1e-4)
     rc = main([
         "eval", "--envs", "2", "--agents", "8", "--vision-width", "16",
         "--horizon", "2",
