@@ -129,6 +129,38 @@ def _add_policy_flags(p: argparse.ArgumentParser):
     )
 
 
+def _train_env(args, reward_mode: str = "cohesion"):
+    """The train-family env (gravity + control dynamics, vision obs) from
+    --agents/--vision-width. Prints a clean error and returns None on
+    invalid flag combos — callers `return 2` on None."""
+    from .config import SimConfig, VisionConfig
+    from .rl.env import VisionEnv
+
+    if args.vision_width < 1:
+        print("error: this command needs vision; --vision-width must be "
+              ">= 1", file=sys.stderr)
+        return None
+    cfg = SimConfig(
+        n=args.agents, controller="gravity",
+        vision=VisionConfig(width=args.vision_width),
+    )
+    try:
+        return VisionEnv(cfg, reward_mode=reward_mode)
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return None
+
+
+def _feedforward_net(net_name: str, vision_width: int):
+    """--net -> policy module for the feedforward trainers (None = the
+    trainer's default MLP)."""
+    if net_name == "conv":
+        from .rl.policy import ConvPolicy
+
+        return ConvPolicy(vision_width=vision_width)
+    return None
+
+
 def cmd_run(args) -> int:
     import numpy as np
 
@@ -221,23 +253,10 @@ def cmd_train(args) -> int:
     import jax
     import optax
 
-    from .config import SimConfig, VisionConfig
-    from .rl.env import VisionEnv
     from .rl import train as train_lib
 
-    if args.vision_width < 1:
-        print("error: training needs vision; --vision-width must be >= 1",
-              file=sys.stderr)
-        return 2
-    cfg = SimConfig(
-        n=args.agents,
-        controller="gravity",
-        vision=VisionConfig(width=args.vision_width),
-    )
-    try:
-        env = VisionEnv(cfg, reward_mode=args.reward_mode)
-    except ValueError as e:
-        print(f"error: {e}", file=sys.stderr)
+    env = _train_env(args, reward_mode=args.reward_mode)
+    if env is None:
         return 2
     opt = optax.adam(args.lr)
     mesh = None
@@ -248,16 +267,11 @@ def cmd_train(args) -> int:
             print(f"error: {e}", file=sys.stderr)
             return 2
     # --net picks the function family; trainer defaults (None) mean MLP
-    if args.net == "conv":
-        if args.algo == "reinforce-gru":
-            print("error: --net conv is feedforward; reinforce-gru is its "
-                  "own (recurrent) net", file=sys.stderr)
-            return 2
-        from .rl.policy import ConvPolicy
-
-        net = ConvPolicy(vision_width=cfg.vision.width)
-    else:
-        net = None
+    if args.net == "conv" and args.algo == "reinforce-gru":
+        print("error: --net conv is feedforward; reinforce-gru is its "
+              "own (recurrent) net", file=sys.stderr)
+        return 2
+    net = _feedforward_net(args.net, env.cfg.vision.width)
     if args.algo == "ac":
         from .rl import ac as ac_lib
 
@@ -328,10 +342,10 @@ def cmd_train(args) -> int:
                 env, apply_fn, opt, horizon=args.horizon, mesh=mesh
             )
         )
+    from .utils import checkpoint as ck
+
     if args.resume:
         import os
-
-        from .utils import checkpoint as ck
 
         if not os.path.exists(ck._npz_path(args.resume)):
             print(f"error: train checkpoint not found: {args.resume}",
@@ -361,18 +375,12 @@ def cmd_train(args) -> int:
         )
         print(json.dumps(metrics))
         if args.checkpoint and (i + 1) % max(1, args.checkpoint_every) == 0:
-            from .utils import checkpoint as ck
-
             ck.save_pytree(args.checkpoint, ts)
     if args.checkpoint:
         # always persist the final state — a run shorter than
         # --checkpoint-every must not silently write nothing
-        from .utils import checkpoint as ck
-
         ck.save_pytree(args.checkpoint, ts)
     if args.save:
-        from .utils import checkpoint as ck
-
         # normalize to the POLICY subtree so every save loads back into
         # playback (`gif/live --policy`) and `datagen --policy`, whatever
         # the trainer's param bundle shape (PPO/AC also carry a value head)
@@ -390,20 +398,11 @@ def cmd_datagen(args) -> int:
     """Batched rollout dataset export (BASELINE config 5)."""
     import jax
 
-    from .config import SimConfig, VisionConfig
     from .rl import datagen as dg
-    from .rl.env import VisionEnv
 
-    if args.vision_width < 1:
-        print("error: datagen needs vision; --vision-width must be >= 1",
-              file=sys.stderr)
+    env = _train_env(args)
+    if env is None:
         return 2
-    env = VisionEnv(
-        SimConfig(
-            n=args.agents, controller="gravity",
-            vision=VisionConfig(width=args.vision_width),
-        )
-    )
     params = apply_fn = None
     if args.policy:
         import optax
@@ -525,32 +524,20 @@ def cmd_bc(args) -> int:
     playback/eval-compatible like every other params npz."""
     import jax
 
-    from .config import SimConfig, VisionConfig
     from .rl import bc as bc_lib
-    from .rl.env import VisionEnv
 
     if bool(args.data) == bool(args.trajectory):
         print("error: pass exactly one of --data (shard dir) or "
               "--trajectory (.nentraj)", file=sys.stderr)
         return 2
-    if args.vision_width < 1:
-        print("error: bc needs vision; --vision-width must be >= 1",
-              file=sys.stderr)
-        return 2
     if args.net == "gru":
         print("error: bc fits feedforward policies (--net mlp or conv)",
               file=sys.stderr)
         return 2
-    cfg = SimConfig(
-        n=args.agents, controller="gravity",
-        vision=VisionConfig(width=args.vision_width),
-    )
-    env = VisionEnv(cfg)
-    net = None
-    if args.net == "conv":
-        from .rl.policy import ConvPolicy
-
-        net = ConvPolicy(vision_width=cfg.vision.width)
+    env = _train_env(args)
+    if env is None:
+        return 2
+    net = _feedforward_net(args.net, env.cfg.vision.width)
     try:
         if args.data:
             from .rl import datagen as dg
@@ -585,23 +572,12 @@ def cmd_eval(args) -> int:
     import jax.numpy as jnp
     import numpy as np
 
-    from .config import SimConfig, VisionConfig
-    from .rl.env import VisionEnv
     from .state import spawn_batch
 
-    if args.vision_width < 1:
-        print("error: eval needs vision; --vision-width must be >= 1",
-              file=sys.stderr)
+    env = _train_env(args, reward_mode=args.reward_mode)
+    if env is None:
         return 2
-    cfg = SimConfig(
-        n=args.agents, controller="gravity",
-        vision=VisionConfig(width=args.vision_width),
-    )
-    try:
-        env = VisionEnv(cfg, reward_mode=args.reward_mode)
-    except ValueError as e:
-        print(f"error: {e}", file=sys.stderr)
-        return 2
+    cfg = env.cfg
     pol = params = None
     if args.policy:
         try:
@@ -634,19 +610,16 @@ def cmd_eval(args) -> int:
             carry0 = (*carry0, pol.initial_carry((args.envs, cfg.n)))
 
         def body(carry, _):
+            s, obs, *c = carry
             if pol is None:
-                s, obs = carry
-                s, obs, r = step(s, zeros)
-                return (s, obs), r
-            if args.net == "gru":
-                s, obs, c = carry
-                c, (mean, _) = pol.apply(params, c, obs)
-                s, obs, r = step(s, mean)
-                return (s, obs, c), r
-            s, obs = carry
-            mean, _ = pol.apply(params, obs)
-            s, obs, r = step(s, mean)
-            return (s, obs), r
+                action = zeros
+            elif args.net == "gru":
+                c0, (action, _) = pol.apply(params, c[0], obs)
+                c = [c0]
+            else:
+                action, _ = pol.apply(params, obs)
+            s, obs, r = step(s, action)
+            return (s, obs, *c), r
 
         _, rs = jax.lax.scan(body, carry0, None, length=args.horizon)
         return rs  # [T, B, N]
