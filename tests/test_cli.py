@@ -9,6 +9,26 @@ import pytest
 from nenbody_tpu.cli import main
 
 
+@pytest.fixture(scope="module")
+def trained(tmp_path_factory):
+    """ONE tiny REINFORCE train run shared by the policy-consuming CLI
+    tests (each in-process `train` call recompiles its step on the 1-core
+    box — sharing the artifacts keeps the suite compile-bound time flat).
+    iters 2 < checkpoint-every 50 also pins the final-save-always-fires
+    behavior."""
+    d = tmp_path_factory.mktemp("trained")
+    params, ckpt = str(d / "p.npz"), str(d / "ts.npz")
+    rc = main([
+        "train", "--envs", "2", "--agents", "8", "--vision-width", "16",
+        "--horizon", "2", "--iters", "2", "--save", params,
+        "--checkpoint", ckpt, "--checkpoint-every", "50",
+    ])
+    assert rc == 0 and os.path.exists(params)
+    # 2 iters < checkpoint-every 50: the final save must still fire
+    assert os.path.exists(ckpt)
+    return {"params": params, "ckpt": ckpt}
+
+
 def test_info(capsys):
     assert main(["info"]) == 0
     out = json.loads(capsys.readouterr().out)
@@ -95,15 +115,10 @@ def test_train_cli(capsys):
     assert len(lines) == 2 and np.isfinite(lines[-1]["loss"])
 
 
-def test_gif_policy_playback(tmp_path, capsys):
+def test_gif_policy_playback(tmp_path, capsys, trained):
     """train --save -> gif --policy: the trained policy actuates the swarm
     in the demo-gif path (deterministic playback of the Gaussian mean)."""
-    params = str(tmp_path / "p.npz")
-    rc = main([
-        "train", "--envs", "2", "--agents", "8", "--vision-width", "16",
-        "--horizon", "2", "--iters", "1", "--save", params,
-    ])
-    assert rc == 0 and os.path.exists(params)
+    params = trained["params"]
     out = str(tmp_path / "pol.gif")
     rc = main([
         "gif", "--n", "8", "--controller", "gravity", "--vision-width", "16",
@@ -180,15 +195,10 @@ def test_policy_advance_gru_threads_carry(tmp_path):
     assert diff > 1e-7, f"carry did not thread across advance calls ({diff=})"
 
 
-def test_eval_cli(tmp_path, capsys):
+def test_eval_cli(capsys, trained):
     """eval: deterministic policy metrics as one JSON line; the zero-action
     baseline runs without --policy."""
-    params = str(tmp_path / "p.npz")
-    rc = main([
-        "train", "--envs", "2", "--agents", "8", "--vision-width", "16",
-        "--horizon", "2", "--iters", "1", "--save", params,
-    ])
-    assert rc == 0
+    params = trained["params"]
     capsys.readouterr()
     rc = main([
         "eval", "--envs", "2", "--agents", "8", "--vision-width", "16",
@@ -217,17 +227,14 @@ def test_eval_cli(tmp_path, capsys):
     assert rc == 0
 
 
-def test_train_checkpoint_resume(tmp_path, capsys):
+def test_train_checkpoint_resume(tmp_path, capsys, trained):
     """train --checkpoint saves the FULL train state; --resume restores it
     (params + optimizer + PRNG key) and continues — §5.4 for training."""
-    ckpt = str(tmp_path / "ts.npz")
+    ckpt = trained["ckpt"]
     base = [
         "train", "--envs", "2", "--agents", "8", "--vision-width", "16",
         "--horizon", "2",
     ]
-    rc = main(base + ["--iters", "2", "--checkpoint", ckpt,
-                      "--checkpoint-every", "1"])
-    assert rc == 0 and os.path.exists(ckpt)
     rc = main(base + ["--iters", "1", "--resume", ckpt])
     assert rc == 0
     lines = [json.loads(l) for l in capsys.readouterr().out.splitlines()
@@ -238,15 +245,10 @@ def test_train_checkpoint_resume(tmp_path, capsys):
     assert rc == 2 and "not found" in capsys.readouterr().err
 
 
-def test_run_policy_record_replay(tmp_path, capsys):
+def test_run_policy_record_replay(tmp_path, capsys, trained):
     """run --policy records a trained-policy trajectory (.nentraj) that
     replay re-renders — the train -> run -> replay loop, all CLI."""
-    params = str(tmp_path / "p.npz")
-    rc = main([
-        "train", "--envs", "2", "--agents", "8", "--vision-width", "16",
-        "--horizon", "2", "--iters", "1", "--save", params,
-    ])
-    assert rc == 0
+    params = trained["params"]
     traj = str(tmp_path / "run.nentraj")
     rc = main([
         "run", "--n", "8", "--controller", "gravity", "--vision-width", "16",
@@ -315,18 +317,9 @@ def test_train_cli_mesh(capsys):
     assert rc == 2 and "devices" in capsys.readouterr().err
 
 
-def test_cli_mismatch_and_edge_errors(tmp_path, capsys):
-    """The silent-mismatch failure modes error readably (rc 2), and short
-    runs still persist a final checkpoint."""
-    params = str(tmp_path / "mlp.npz")
-    ckpt = str(tmp_path / "short.npz")
-    rc = main([
-        "train", "--envs", "2", "--agents", "8", "--vision-width", "16",
-        "--horizon", "2", "--iters", "2", "--save", params,
-        "--checkpoint", ckpt, "--checkpoint-every", "50",
-    ])
-    # 2 iters < checkpoint-every 50: the final save must still fire
-    assert rc == 0 and os.path.exists(ckpt)
+def test_cli_mismatch_and_edge_errors(tmp_path, capsys, trained):
+    """The silent-mismatch failure modes error readably (rc 2)."""
+    params, ckpt = trained["params"], trained["ckpt"]
     capsys.readouterr()
     # MLP params loaded as --net gru: missing-leaf ValueError, not KeyError
     rc = main([
