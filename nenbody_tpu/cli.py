@@ -116,6 +116,20 @@ def _parse_mesh(spec: str):
     return make_mesh({"data": d, "agents": a})
 
 
+def _check_mesh_envs(mesh, envs: int) -> None:
+    """The ring pads the agent axis to any N, but the env batch must divide
+    the data axis (parallel.ring._check_divisible). Raise the same error
+    HERE, before any jit trace, so the CLI reports it cleanly."""
+    from .parallel.mesh import data_axis_of
+
+    da = data_axis_of(mesh)
+    if da is not None and envs % mesh.shape[da]:
+        raise ValueError(
+            f"--envs {envs} must divide evenly over mesh axis {da!r} "
+            f"(size {mesh.shape[da]})"
+        )
+
+
 def _add_policy_flags(p: argparse.ArgumentParser):
     p.add_argument(
         "--policy", default="",
@@ -263,6 +277,7 @@ def cmd_train(args) -> int:
     if args.mesh:
         try:
             mesh = _parse_mesh(args.mesh)
+            _check_mesh_envs(mesh, args.envs)
         except ValueError as e:
             print(f"error: {e}", file=sys.stderr)
             return 2
@@ -589,6 +604,7 @@ def cmd_eval(args) -> int:
     if args.mesh:
         try:
             mesh = _parse_mesh(args.mesh)
+            _check_mesh_envs(mesh, args.envs)
         except ValueError as e:
             print(f"error: {e}", file=sys.stderr)
             return 2
@@ -624,7 +640,14 @@ def cmd_eval(args) -> int:
         _, rs = jax.lax.scan(body, carry0, None, length=args.horizon)
         return rs  # [T, B, N]
 
-    rs = np.asarray(rollout(states))
+    try:
+        # mesh-layout validation (env batch / agent count divisibility)
+        # fires at trace time inside the jit — surface it as the CLI's
+        # clean rc-2 error instead of a JAX traceback
+        rs = np.asarray(rollout(states))
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
     print(json.dumps({
         "reward_mean": float(rs.mean()),
         "reward_first": float(rs[0].mean()),

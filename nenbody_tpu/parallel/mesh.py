@@ -129,6 +129,16 @@ def default_mesh() -> Mesh:
     return make_mesh()
 
 
+def data_axis_of(mesh: Optional[Mesh]) -> Optional[str]:
+    """DATA_AXIS when the mesh has one, else None. Agents-only meshes
+    (make_mesh() / the CLI's --mesh auto) replicate the env batch instead
+    of sharding it — callers pass the result straight to the ring fns and
+    shard_state_specs, which treat data_axis=None as "batch unsharded"."""
+    if mesh is not None and DATA_AXIS in mesh.axis_names:
+        return DATA_AXIS
+    return None
+
+
 def shard_state_specs(batch: bool, agent_axis: str = AGENT_AXIS,
                       data_axis: Optional[str] = None):
     """PartitionSpecs for a SceneState's leaves: pos/vel get

@@ -68,23 +68,24 @@ def make_apg_step(
         dyn_b = jax.vmap(env.dynamics)
     else:
         from ..parallel import ring
-        from ..parallel.mesh import DATA_AXIS
+        from ..parallel.mesh import data_axis_of
 
         cfg = env.cfg
+        data_axis = data_axis_of(mesh)
         render_ring = (
             ring.ring_render_rows_diff if diff_vision else ring.ring_render_rows
         )
 
         def observe_b(states):
             lines = render_ring(
-                states.pos, states.vel, cfg.vision, mesh=mesh, data_axis=DATA_AXIS
+                states.pos, states.vel, cfg.vision, mesh=mesh, data_axis=data_axis
             )[0]
             return jnp.concatenate([lines, states.vel], axis=-1)
 
         def dyn_b(states, action):
             accel = env.actuate(action)
             g = ring.ring_gravity_forces(
-                states.pos, cfg, mesh=mesh, data_axis=DATA_AXIS
+                states.pos, cfg, mesh=mesh, data_axis=data_axis
             )
             gcfg = cfg.gravity
             vel = states.vel + (g + accel) * gcfg.dt

@@ -120,9 +120,9 @@ def make_ppo_step(
         the ring's shard_map sees them already distributed."""
         if mesh is None:
             return states
-        from ..parallel.mesh import DATA_AXIS, shard_state_specs
+        from ..parallel.mesh import data_axis_of, shard_state_specs
 
-        specs = shard_state_specs(batch=True, data_axis=DATA_AXIS)
+        specs = shard_state_specs(batch=True, data_axis=data_axis_of(mesh))
         return SceneState(
             **{
                 name: jax.lax.with_sharding_constraint(

@@ -21,7 +21,7 @@ import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..state import SceneState, spawn_batch
-from ..parallel.mesh import AGENT_AXIS, DATA_AXIS, shard_state_specs
+from ..parallel.mesh import shard_state_specs
 from .env import VisionEnv
 from .policy import GRUPolicy, MLPPolicy, gaussian_log_prob, sample_action
 
@@ -40,37 +40,50 @@ class TrainState(NamedTuple):
 
 
 def _batched_env_fns(env: VisionEnv, mesh: Optional[Mesh]):
-    """(observe, step) over batched states [B, N, 2]."""
+    """(observe, step) over batched states [B, N, 2].
+
+    On agents-only meshes (the CLI's --mesh auto) the env batch is
+    replicated rather than sharded (data_axis_of -> None). Visibility
+    rewards are computed from the observation the step already rendered —
+    re-rendering via env.reward would double per-step render cost AND run
+    it through the unsharded single-chip path."""
     if mesh is None:
         return jax.vmap(env.observe), jax.vmap(env.step)
 
     from ..parallel import ring
+    from ..parallel.mesh import data_axis_of
 
     cfg = env.cfg
+    data_axis = data_axis_of(mesh)
+    from_obs = env.reward_mode == "visibility"
 
     def observe(states):
         lines = ring.ring_render_rows(
-            states.pos, states.vel, cfg.vision, mesh=mesh, data_axis=DATA_AXIS
+            states.pos, states.vel, cfg.vision, mesh=mesh, data_axis=data_axis
         )[0]
         return jnp.concatenate([lines, states.vel], axis=-1)
 
     def step(states, action):
         accel = env.actuate(action)
         g = ring.ring_gravity_forces(
-            states.pos, cfg, mesh=mesh, data_axis=DATA_AXIS
+            states.pos, cfg, mesh=mesh, data_axis=data_axis
         )
         gcfg = cfg.gravity
         vel = states.vel + (g + accel) * gcfg.dt
         pos = states.pos + vel * (gcfg.dt if gcfg.dt_on_position else 1.0)
         nxt = states.replace(pos=pos, vel=vel, t=states.t + 1)
-        return nxt, observe(nxt), jax.vmap(env.reward)(nxt)
+        obs = observe(nxt)
+        reward = env.reward_obs(obs) if from_obs else jax.vmap(env.reward)(nxt)
+        return nxt, obs, reward
 
     return observe, step
 
 
 def _place_on_mesh(env_states: SceneState, params, opt_state, mesh: Mesh):
     """Shard batched env states (data, agents); replicate params/opt."""
-    specs = shard_state_specs(batch=True, data_axis=DATA_AXIS)
+    from ..parallel.mesh import data_axis_of
+
+    specs = shard_state_specs(batch=True, data_axis=data_axis_of(mesh))
     env_states = SceneState(
         **{
             name: jax.device_put(

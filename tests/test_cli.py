@@ -227,7 +227,7 @@ def test_eval_cli(capsys, trained):
     assert rc == 0
 
 
-def test_train_checkpoint_resume(tmp_path, capsys, trained):
+def test_train_checkpoint_resume(tmp_path, capsys, monkeypatch, trained):
     """train --checkpoint saves the FULL train state; --resume restores it
     (params + optimizer + PRNG key) and continues — §5.4 for training."""
     ckpt = trained["ckpt"]
@@ -235,8 +235,25 @@ def test_train_checkpoint_resume(tmp_path, capsys, trained):
         "train", "--envs", "2", "--agents", "8", "--vision-width", "16",
         "--horizon", "2",
     ]
-    rc = main(base + ["--iters", "1", "--resume", ckpt])
+    # resume AND pin the periodic in-loop save: every-1 over 2 iters must
+    # write the checkpoint at i=0, i=1, and the unconditional final save
+    # (the `trained` fixture only exercises the final save — its
+    # checkpoint-every 50 never fires in-loop)
+    import nenbody_tpu.utils.checkpoint as ckmod
+
+    saves = []
+    orig_save = ckmod.save_pytree
+    monkeypatch.setattr(
+        ckmod, "save_pytree",
+        lambda path, tree: (saves.append(path), orig_save(path, tree))[1],
+    )
+    ck2 = str(tmp_path / "ck2.npz")
+    rc = main(base + [
+        "--iters", "2", "--resume", ckpt,
+        "--checkpoint", ck2, "--checkpoint-every", "1",
+    ])
     assert rc == 0
+    assert saves.count(ck2) == 3, f"periodic save regressed: {saves}"
     lines = [json.loads(l) for l in capsys.readouterr().out.splitlines()
              if l.startswith("{")]
     assert np.isfinite(lines[-1]["loss"])
@@ -255,7 +272,11 @@ def test_run_policy_record_replay(tmp_path, capsys, trained):
         "--steps", "4", "--log-every", "1", "--record", traj,
         "--policy", params,
     ])
-    assert rc == 0 and os.path.exists(traj)
+    assert rc == 0
+    if not os.path.exists(traj):
+        # cmd_run warns and ignores --record when the native recorder is
+        # unavailable — same environment test_replay_cli skips on
+        pytest.skip("libnenhost.so not built")
     capsys.readouterr()
     out = str(tmp_path / "r.gif")
     rc = main(["replay", traj, "--out", out])
@@ -315,6 +336,18 @@ def test_train_cli_mesh(capsys):
         "--horizon", "2", "--iters", "1", "--mesh", "64x64",
     ])
     assert rc == 2 and "devices" in capsys.readouterr().err
+    # env batch not divisible by the data axis: clean rc-2 error BEFORE any
+    # jit trace (previously a raw ValueError traceback from inside the jit)
+    rc = main([
+        "train", "--envs", "3", "--agents", "8", "--vision-width", "16",
+        "--horizon", "2", "--iters", "1", "--mesh", "2x2",
+    ])
+    assert rc == 2 and "divide evenly" in capsys.readouterr().err
+    rc = main([
+        "eval", "--envs", "3", "--agents", "8", "--vision-width", "16",
+        "--horizon", "2", "--mesh", "2x2",
+    ])
+    assert rc == 2 and "divide evenly" in capsys.readouterr().err
 
 
 def test_cli_mismatch_and_edge_errors(tmp_path, capsys, trained):

@@ -170,6 +170,40 @@ def test_mesh_helpers():
     assert m.shape["data"] == 4 and m.shape["agents"] == 2
     with pytest.raises(ValueError):
         mesh_lib.make_mesh({"agents": 16})
+    assert mesh_lib.data_axis_of(m) == "data"
+    assert mesh_lib.data_axis_of(None) is None
+    assert mesh_lib.data_axis_of(mesh_lib.make_mesh()) is None
+
+
+def test_batched_env_fns_agents_only_mesh(ring_mesh):
+    """The trainers/eval shared env fns on an AGENTS-ONLY mesh (the CLI's
+    --mesh auto): the env batch replicates (data_axis_of -> None) instead
+    of raising KeyError('data'); observe/step match the single-device
+    vmapped env at fp32 tolerances. Visibility rewards must come from the
+    step's own render (no re-render through the unsharded path)."""
+    from nenbody_tpu.rl.env import VisionEnv
+    from nenbody_tpu.rl.train import _batched_env_fns
+
+    cfg = SimConfig(n=8, controller="gravity", vision=VisionConfig(width=16))
+    env = VisionEnv(cfg, reward_mode="visibility")
+    keys = jax.random.split(jax.random.key(2), 2)
+    states = jax.vmap(lambda k: spawn(k, cfg))(keys)
+    action = 0.1 * jnp.ones((2, cfg.n, 2), jnp.float32)
+
+    observe_m, step_m = _batched_env_fns(env, ring_mesh)
+    observe_1, step_1 = _batched_env_fns(env, None)
+    np.testing.assert_allclose(
+        np.asarray(observe_m(states)), np.asarray(observe_1(states)),
+        rtol=1e-5, atol=1e-5,
+    )
+    nxt_m, obs_m, r_m = jax.jit(step_m)(states, action)
+    nxt_1, obs_1, r_1 = step_1(states, action)
+    np.testing.assert_allclose(np.asarray(nxt_m.pos), np.asarray(nxt_1.pos),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(obs_m), np.asarray(obs_1),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(r_m), np.asarray(r_1),
+                               rtol=1e-5, atol=1e-6)
 
 
 def test_gspmd_backend_matches_dense(ring_mesh):
