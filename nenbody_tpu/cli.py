@@ -429,11 +429,19 @@ def cmd_datagen(args) -> int:
             env, jax.random.key(0), optax.adam(1e-3)
         )
         params = ck.load_pytree(args.policy, ts.params)
+    mesh = None
+    if args.mesh:
+        try:
+            mesh = _parse_mesh(args.mesh)
+            _check_mesh_envs(mesh, args.envs)
+        except ValueError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
     total_frames = 0
     for i, chunk in dg.collect(
         env, num_envs=args.envs, total_steps=args.steps,
         key=jax.random.key(args.seed), params=params, apply_fn=apply_fn,
-        horizon=args.horizon, out_dir=args.out_dir,
+        horizon=args.horizon, out_dir=args.out_dir, mesh=mesh,
     ):
         t, b, n = chunk["reward"].shape
         total_frames += t * b * n
@@ -862,6 +870,11 @@ def main(argv=None) -> int:
     p.add_argument("--out-dir", default="out/dataset")
     p.add_argument("--policy", default="", help="params npz (default: random actions)")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument(
+        "--mesh", default="",
+        help="generate sharded over a device mesh: DATAxAGENTS (e.g. 2x4) "
+        "or 'auto'; the exported shards are identical either way",
+    )
     p.set_defaults(fn=cmd_datagen)
 
     p = sub.add_parser("gif", help="record a rollout gif (demo-video analog)")

@@ -139,6 +139,21 @@ def data_axis_of(mesh: Optional[Mesh]) -> Optional[str]:
     return None
 
 
+def place_state_on_mesh(states, mesh: Mesh):
+    """device_put a BATCHED SceneState onto the (data?, agents) layout —
+    the shared entry placement for trainers/datagen (agents-only meshes
+    replicate the env batch via data_axis_of)."""
+    specs = shard_state_specs(batch=True, data_axis=data_axis_of(mesh))
+    return type(states)(
+        **{
+            name: jax.device_put(
+                getattr(states, name), NamedSharding(mesh, spec)
+            )
+            for name, spec in specs.items()
+        }
+    )
+
+
 def shard_state_specs(batch: bool, agent_axis: str = AGENT_AXIS,
                       data_axis: Optional[str] = None):
     """PartitionSpecs for a SceneState's leaves: pos/vel get

@@ -100,12 +100,24 @@ def make_bc_step(
     apply_fn: Callable,
     optimizer: optax.GradientTransformation,
     batch_size: int = 4096,
+    time_minibatch: bool = False,
 ):
-    """Jitted minibatch step over device-resident (obs, action) arrays."""
+    """Jitted minibatch step over device-resident (obs, action) arrays.
+
+    time_minibatch: obs/act arrive UNflattened [T, B, N, F] and minibatches
+    are whole time rows (ceil(batch_size / B*N) of them) — on a (data,
+    agents) mesh a flat [T*B*N] gather would interleave the sharded B/N
+    dims into dim 0 and force GSPMD to all-gather every minibatch (the
+    rl/ppo.py mesh-minibatch rule), while a T-row gather leaves the sharded
+    dims whole."""
 
     def bc_step(ts: BCState, obs: jax.Array, act: jax.Array):
         key, sub = jax.random.split(ts.key)
-        idx = jax.random.randint(sub, (batch_size,), 0, obs.shape[0])
+        if time_minibatch:
+            rows = max(1, -(-batch_size // int(np.prod(obs.shape[1:-1]))))
+            idx = jax.random.randint(sub, (rows,), 0, obs.shape[0])
+        else:
+            idx = jax.random.randint(sub, (batch_size,), 0, obs.shape[0])
         ob, ac = obs[idx], act[idx]
 
         def loss_fn(p):
@@ -219,6 +231,7 @@ def fit_streaming(
     lr: float = 1e-3,
     policy: Optional[MLPPolicy] = None,
     episodic: bool = True,
+    mesh=None,
 ) -> Tuple[Any, Callable, np.ndarray]:
     """BC directly from DEVICE-RESIDENT datagen shards (VERDICT r2 #9 /
     NEXT #8's remaining step).
@@ -235,21 +248,39 @@ def fit_streaming(
     disk shards can fill the optimizer. Shards respawn episodically by
     default (CLAUDE.md: persistent envs drift from the spawn distribution).
 
+    With mesh set, the shards are generated SHARDED over (data, agents)
+    (datagen.make_collect_fn's mesh mode) and never leave that layout: BC
+    minibatches are whole time rows (make_bc_step time_minibatch) so the
+    sharded env/agent dims stay intact — multi-chip generation feeding
+    multi-chip cloning with zero resharding between them.
+
     Returns (params, apply_fn, losses [num_chunks * bc_steps_per_shard])."""
     from ..state import spawn_batch
     from .datagen import make_collect_fn
 
     policy = policy or MLPPolicy()
-    collect_fn = make_collect_fn(env, behavior_apply, horizon=horizon)
+    collect_fn = make_collect_fn(env, behavior_apply, horizon=horizon, mesh=mesh)
     kp, ke, kr, kc = jax.random.split(key, 4)
     states = spawn_batch(ke, env.cfg, num_envs)
-    obs0 = jax.vmap(env.observe)(states)
-    params = policy.init(kp, obs0.reshape(-1, env.obs_width)[:1])
+    # zeros carry the init shape; flax params depend on shapes only (and
+    # this skips a full render whose values init would ignore)
+    params = policy.init(kp, jnp.zeros((1, env.obs_width), jnp.float32))
     opt = optax.adam(lr)
-    ts = BCState(params, opt.init(params), kr, jnp.int32(0))
+    opt_state = opt.init(params)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.mesh import place_state_on_mesh
+
+        states = place_state_on_mesh(states, mesh)
+        repl = NamedSharding(mesh, P())
+        params = jax.device_put(params, repl)
+        opt_state = jax.device_put(opt_state, repl)
+    ts = BCState(params, opt_state, kr, jnp.int32(0))
     step = make_bc_step(
         policy.apply, opt,
         batch_size=min(batch_size, num_envs * horizon * env.cfg.n),
+        time_minibatch=mesh is not None,
     )
 
     num_chunks = -(-total_steps // horizon)
@@ -258,9 +289,15 @@ def fit_streaming(
         kc, ks, kg = jax.random.split(kc, 3)
         if episodic:
             states = spawn_batch(ks, env.cfg, num_envs)
+            if mesh is not None:
+                states = place_state_on_mesh(states, mesh)
         states, traj = collect_fn(behavior_params, states, kg)
-        obs = traj["obs"].reshape(-1, traj["obs"].shape[-1])
-        act = traj["action"].reshape(-1, traj["action"].shape[-1])
+        if mesh is None:
+            obs = traj["obs"].reshape(-1, traj["obs"].shape[-1])
+            act = traj["action"].reshape(-1, traj["action"].shape[-1])
+        else:
+            # keep [T, B, N, F]: time_minibatch gathers whole T rows
+            obs, act = traj["obs"], traj["action"]
         for _ in range(bc_steps_per_shard):
             ts, loss = step(ts, obs, act)
             losses.append(loss)

@@ -27,13 +27,18 @@ def make_collect_fn(
     apply_fn=None,
     horizon: int = 32,
     obs_dtype=jnp.float32,
+    mesh=None,
 ):
     """Jitted chunk collector: (params, states, key) ->
     (next_states, {obs, action, reward}). With apply_fn=None, actions are
-    uniform random in [-max_accel, max_accel] (pure exploration data)."""
+    uniform random in [-max_accel, max_accel] (pure exploration data).
 
-    observe_b = jax.vmap(env.observe)
-    step_b = jax.vmap(env.step)
+    mesh: generate on a (data, agents) device mesh — envs shard over data,
+    physics/vision run the agent-axis ppermute ring, the behavior policy is
+    replicated (the trainers' layout, rl/train._batched_env_fns)."""
+    from .train import _batched_env_fns
+
+    observe_b, step_b = _batched_env_fns(env, mesh)
 
     def chunk(params, states: SceneState, key: jax.Array):
         obs0 = observe_b(states)
@@ -71,17 +76,25 @@ def collect(
     horizon: int = 32,
     out_dir: Optional[str] = None,
     obs_dtype=jnp.float32,
+    mesh=None,
 ) -> Iterator[Tuple[int, dict]]:
     """Generate ceil(total_steps/horizon) chunks of batched trajectories.
 
     Yields (chunk_index, host pytree); with out_dir set, each chunk is also
     written as shard_{i:05d}.npz. Device compute for chunk k+1 is dispatched
     before chunk k's host copy completes (async dispatch), so the generator
-    overlaps IO with simulation.
+    overlaps IO with simulation. With mesh set, generation runs sharded
+    (make_collect_fn); the yielded host chunks are identical either way.
     """
-    fn = make_collect_fn(env, apply_fn, horizon=horizon, obs_dtype=obs_dtype)
+    fn = make_collect_fn(
+        env, apply_fn, horizon=horizon, obs_dtype=obs_dtype, mesh=mesh
+    )
     key, ke = jax.random.split(key)
     states = spawn_batch(ke, env.cfg, num_envs)
+    if mesh is not None:
+        from ..parallel.mesh import place_state_on_mesh
+
+        states = place_state_on_mesh(states, mesh)
     if out_dir:
         os.makedirs(out_dir, exist_ok=True)
 

@@ -21,7 +21,6 @@ import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..state import SceneState, spawn_batch
-from ..parallel.mesh import shard_state_specs
 from .env import VisionEnv
 from .policy import GRUPolicy, MLPPolicy, gaussian_log_prob, sample_action
 
@@ -81,17 +80,9 @@ def _batched_env_fns(env: VisionEnv, mesh: Optional[Mesh]):
 
 def _place_on_mesh(env_states: SceneState, params, opt_state, mesh: Mesh):
     """Shard batched env states (data, agents); replicate params/opt."""
-    from ..parallel.mesh import data_axis_of
+    from ..parallel.mesh import place_state_on_mesh
 
-    specs = shard_state_specs(batch=True, data_axis=data_axis_of(mesh))
-    env_states = SceneState(
-        **{
-            name: jax.device_put(
-                getattr(env_states, name), NamedSharding(mesh, spec)
-            )
-            for name, spec in specs.items()
-        }
-    )
+    env_states = place_state_on_mesh(env_states, mesh)
     repl = NamedSharding(mesh, P())
     return env_states, jax.device_put(params, repl), jax.device_put(opt_state, repl)
 

@@ -252,6 +252,45 @@ def test_datagen_collect_and_shards(tmp_path):
     assert np.abs(data["action"]).max() <= a + 1e-6
 
 
+def test_datagen_collect_on_mesh_matches_single_device():
+    """datagen --mesh: the sharded collector (envs over data, agent-axis
+    ring) yields chunks identical to the single-device collector at fp32
+    tolerances — same key stream, so actions match EXACTLY; obs/reward
+    differ only by the ring-vs-dense fp route."""
+    from nenbody_tpu.rl import datagen as dg
+
+    env = _env(n=8, w=16)
+    mesh = mesh_lib.make_mesh({"data": 2, "agents": 4})
+    kw = dict(env=env, num_envs=2, total_steps=4, horizon=4)
+    (_, want), = dg.collect(key=jax.random.key(3), **kw)
+    (_, got), = dg.collect(key=jax.random.key(3), mesh=mesh, **kw)
+    np.testing.assert_array_equal(np.asarray(got["action"]),
+                                  np.asarray(want["action"]))
+    np.testing.assert_allclose(np.asarray(got["obs"]), np.asarray(want["obs"]),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got["reward"]),
+                               np.asarray(want["reward"]), rtol=1e-5, atol=1e-6)
+
+
+def test_fit_streaming_on_mesh():
+    """Device-resident shard BC on a (data, agents) mesh: generation stays
+    sharded and the BC minibatch gathers whole time rows (the sharded dims
+    never interleave). Losses must be finite and the state must update."""
+    from nenbody_tpu.rl.bc import fit_streaming
+
+    env = _env(n=8, w=16)
+    mesh = mesh_lib.make_mesh({"data": 2, "agents": 4})
+    params, apply_fn, losses = fit_streaming(
+        env, jax.random.key(4), total_steps=8, num_envs=2, horizon=4,
+        bc_steps_per_shard=4, batch_size=64,
+        policy=policy_lib.MLPPolicy(hidden=(16,), use_bf16=False), mesh=mesh,
+    )
+    assert losses.shape == (8,)
+    assert np.isfinite(losses).all()
+    mean, _ = apply_fn(params, jnp.zeros((1, env.obs_width), jnp.float32))
+    assert np.isfinite(np.asarray(mean)).all()
+
+
 def test_datagen_with_policy(tmp_path):
     import optax
 
@@ -283,6 +322,19 @@ def test_datagen_cli(tmp_path, capsys):
     lines = [_json.loads(l) for l in capsys.readouterr().out.splitlines() if l.startswith("{")]
     assert lines[-1]["agent_frames_total"] == 8 * 2 * 8
     assert len(os.listdir(tmp_path)) == 2
+    # --mesh: sharded generation exports the same-shaped shards; a
+    # non-divisible env batch errors cleanly before any trace
+    d2 = str(tmp_path / "mesh")
+    rc = main([
+        "datagen", "--envs", "2", "--agents", "8", "--vision-width", "16",
+        "--steps", "4", "--horizon", "4", "--out-dir", d2, "--mesh", "2x4",
+    ])
+    assert rc == 0 and len(os.listdir(d2)) == 1
+    rc = main([
+        "datagen", "--envs", "3", "--agents", "8", "--vision-width", "16",
+        "--steps", "4", "--horizon", "4", "--out-dir", d2, "--mesh", "2x4",
+    ])
+    assert rc == 2
 
 
 def test_ac_trainer_runs_and_trains_both_heads():
