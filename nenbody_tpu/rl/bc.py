@@ -144,6 +144,7 @@ def distill(
     lr: float = 1e-3,
     policy: Optional[MLPPolicy] = None,
     episodic: bool = True,
+    mesh=None,
 ) -> Tuple[Any, Callable, np.ndarray]:
     """On-device distillation: generation feeds BC with NO host export.
 
@@ -155,25 +156,41 @@ def distill(
     keeping the (obs, action) shard device-resident, and (c) runs
     `bc_steps_per_iter` minibatch BC updates on that shard via lax.scan.
     This is NEXT #8's device-resident shard training: the only host traffic
-    is the scalar loss trace. Returns (params, apply_fn, losses
-    [iters*bc_steps_per_iter])."""
-    policy = policy or MLPPolicy()
-    observe_b = jax.vmap(env.observe)
-    step_b = jax.vmap(env.step)
+    is the scalar loss trace. With mesh set, rollouts run sharded (the
+    trainers' shared env fns) and BC minibatches are whole time rows (the
+    make_bc_step time_minibatch rule) so the sharded dims stay intact.
+    Returns (params, apply_fn, losses [iters*bc_steps_per_iter])."""
     from ..state import spawn_batch
+    from .train import _batched_env_fns
+
+    policy = policy or MLPPolicy()
+    observe_b, step_b = _batched_env_fns(env, mesh)
 
     kp, ke, kr = jax.random.split(key, 3)
     states0 = spawn_batch(ke, env.cfg, num_envs)
-    obs0 = observe_b(states0)
-    params = policy.init(kp, obs0.reshape(-1, env.obs_width)[:1])
+    params = policy.init(kp, jnp.zeros((1, env.obs_width), jnp.float32))
     opt = optax.adam(lr)
-    ts = BCState(params, opt.init(params), kr, jnp.int32(0))
+    opt_state = opt.init(params)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.mesh import place_state_on_mesh
+
+        states0 = place_state_on_mesh(states0, mesh)
+        repl = NamedSharding(mesh, P())
+        params = jax.device_put(params, repl)
+        opt_state = jax.device_put(opt_state, repl)
+    ts = BCState(params, opt_state, kr, jnp.int32(0))
     shard = num_envs * horizon * env.cfg.n
     bs = min(batch_size, shard)
+    rows = max(1, -(-bs // (num_envs * env.cfg.n)))  # mesh: whole T rows
 
     def bc_update(t: BCState, obs, act):
         key, sub = jax.random.split(t.key)
-        idx = jax.random.randint(sub, (bs,), 0, obs.shape[0])
+        if mesh is None:
+            idx = jax.random.randint(sub, (bs,), 0, obs.shape[0])
+        else:
+            idx = jax.random.randint(sub, (rows,), 0, obs.shape[0])
         ob, ac = obs[idx], act[idx]
 
         def loss_fn(p):
@@ -203,10 +220,12 @@ def distill(
         (states, _), (obs_sh, act_sh) = jax.lax.scan(
             roll, (states, obs_i), None, length=horizon
         )
-        obs_flat = obs_sh.reshape(-1, obs_sh.shape[-1])
-        act_flat = act_sh.reshape(-1, act_sh.shape[-1])
+        if mesh is None:
+            obs_sh = obs_sh.reshape(-1, obs_sh.shape[-1])
+            act_sh = act_sh.reshape(-1, act_sh.shape[-1])
+        # mesh: keep [T, B, N, F] — bc_update gathers whole time rows
         t, losses = jax.lax.scan(
-            lambda tt, _: bc_update(tt, obs_flat, act_flat),
+            lambda tt, _: bc_update(tt, obs_sh, act_sh),
             t, None, length=bc_steps_per_iter,
         )
         return (t, states), losses

@@ -77,6 +77,27 @@ def test_distill_persistent_envs_run():
     assert np.isfinite(losses).all()
 
 
+def test_distill_on_mesh():
+    """distill(mesh=...): the fused generate+clone program on a (data,
+    agents) mesh — sharded rollouts, time-row BC minibatches. Losses
+    finite and improving (same teacher class as the single-device pin)."""
+    from nenbody_tpu.parallel import mesh as mesh_lib
+
+    env = _tiny_env()
+    mesh = mesh_lib.make_mesh({"data": 2, "agents": 4})
+    teacher = lambda obs: scripted.seek_brightest(obs, gain=0.8)
+    params, apply_fn, losses = distill(
+        env, teacher, jax.random.key(2),
+        iters=4, num_envs=2, horizon=4, bc_steps_per_iter=8,
+        batch_size=128, lr=3e-3, policy=MLPPolicy(hidden=(16,), use_bf16=False),
+        mesh=mesh,
+    )
+    assert losses.shape == (4 * 8,)
+    assert np.isfinite(losses).all()
+    first, last = losses[:8].mean(), losses[-8:].mean()
+    assert last < first, (first, last)
+
+
 def test_fit_streaming_device_shards():
     """BC from the DATAGEN collector's device-resident shards
     (rl.bc.fit_streaming, VERDICT r2 #9): the behavior policy is a

@@ -175,15 +175,18 @@ def test_mesh_helpers():
     assert mesh_lib.data_axis_of(mesh_lib.make_mesh()) is None
 
 
-def test_batched_env_fns_agents_only_mesh(ring_mesh):
+def test_batched_env_fns_agents_only_mesh():
     """The trainers/eval shared env fns on an AGENTS-ONLY mesh (the CLI's
     --mesh auto): the env batch replicates (data_axis_of -> None) instead
     of raising KeyError('data'); observe/step match the single-device
     vmapped env at fp32 tolerances. Visibility rewards must come from the
-    step's own render (no re-render through the unsharded path)."""
+    step's own render (no re-render through the unsharded path). A 2-device
+    mesh is enough — this pins the data-axis plumbing, not ring mechanics
+    (those keep >=4-hop coverage in the tests above)."""
     from nenbody_tpu.rl.env import VisionEnv
     from nenbody_tpu.rl.train import _batched_env_fns
 
+    ring_mesh = mesh_lib.make_mesh({"agents": 2}, devices=jax.devices()[:2])
     cfg = SimConfig(n=8, controller="gravity", vision=VisionConfig(width=16))
     env = VisionEnv(cfg, reward_mode="visibility")
     keys = jax.random.split(jax.random.key(2), 2)
