@@ -13,6 +13,7 @@ snapshots at a low rate for logging, capture, recording, and checkpoints.
     python -m nenbody_tpu gif --preset gravity-vision-1024 --steps 400
     python -m nenbody_tpu gif --n 64 --vision-width 32 --policy pol.npz
     python -m nenbody_tpu datagen --out-dir out/ds && python -m nenbody_tpu bc --data out/ds
+    python -m nenbody_tpu export --policy pol.npz --out step.nxs --check
     python -m nenbody_tpu bench
     python -m nenbody_tpu info
 """
@@ -741,6 +742,61 @@ def cmd_bench(args) -> int:  # noqa: ARG001
     return 0
 
 
+def cmd_export(args) -> int:
+    """AOT-serialize a trained policy's closed-loop step (StableHLO blob,
+    params baked in): the serving artifact — loadable via
+    utils.export.load_policy_step with no checkpoint/net/env at the site."""
+    import jax
+
+    from .utils import export as export_lib
+
+    env = _train_env(args)
+    if env is None:
+        return 2
+    try:
+        pol, params = _load_policy(env, args.policy, args.net)
+    except (ValueError, FileNotFoundError) as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+    platforms = [p for p in args.platforms.split(",") if p] or None
+    num_envs = args.envs if args.envs > 0 else None
+    try:
+        blob = export_lib.export_policy_step(
+            env, pol.apply, params, num_envs=num_envs, platforms=platforms
+        )
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+    with open(args.out, "wb") as f:
+        f.write(blob)
+    if args.check:
+        import numpy as np
+
+        from .state import spawn, spawn_batch
+
+        step = export_lib.load_policy_step(args.out)
+        if num_envs is None:
+            st = spawn(jax.random.key(args.seed), env.cfg)
+        else:
+            st = spawn_batch(jax.random.key(args.seed), env.cfg, num_envs)
+        pos, vel, action = step(st.pos, st.vel)
+        ok = bool(
+            np.isfinite(np.asarray(pos)).all()
+            and np.isfinite(np.asarray(action)).all()
+        )
+        if not ok:
+            print("error: exported artifact produced non-finite outputs",
+                  file=sys.stderr)
+            return 1
+    print(json.dumps({
+        "out": args.out, "bytes": len(blob),
+        "platforms": platforms or [jax.default_backend()],
+        "agents": args.agents, "vision_width": args.vision_width,
+        "envs": num_envs, "checked": bool(args.check),
+    }))
+    return 0
+
+
 def cmd_info(args) -> int:  # noqa: ARG001
     import jax
 
@@ -876,6 +932,35 @@ def main(argv=None) -> int:
         "or 'auto'; the exported shards are identical either way",
     )
     p.set_defaults(fn=cmd_datagen)
+
+    p = sub.add_parser(
+        "export",
+        help="AOT-serialize a trained policy step (StableHLO serving blob)",
+    )
+    p.add_argument("--policy", required=True, help="trained params npz")
+    p.add_argument(
+        "--net", choices=["mlp", "conv"], default="mlp",
+        help="feedforward family the params were trained with (gru stays "
+        "on the live playback path — its carry is stateful)",
+    )
+    p.add_argument("--agents", type=int, default=64)
+    p.add_argument("--vision-width", type=int, default=64)
+    p.add_argument(
+        "--envs", type=int, default=0,
+        help="leading env-batch dim baked into the artifact (0 = unbatched)",
+    )
+    p.add_argument(
+        "--platforms", default="",
+        help="comma-separated lowering targets, e.g. cpu,tpu (dense-routed "
+        "envs export portably; default: current backend)",
+    )
+    p.add_argument("--out", default="policy_step.nxs")
+    p.add_argument(
+        "--check", action="store_true",
+        help="reload the artifact and run one step on fresh spawns",
+    )
+    p.add_argument("--seed", type=int, default=0)
+    p.set_defaults(fn=cmd_export)
 
     p = sub.add_parser("gif", help="record a rollout gif (demo-video analog)")
     _add_sim_flags(p)

@@ -1,0 +1,82 @@
+"""Serialized serving artifacts: the perception->policy->dynamics step as a
+self-contained StableHLO blob (jax.export).
+
+The reference ships a binary whose scene loop is fixed at build time
+(/root/reference/src/main.rs:649-734); the TPU-native serving analog is an
+AOT-SERIALIZED step — trained params baked in as module constants — that a
+deployment process loads and calls WITHOUT the policy checkpoint, the net
+definition, or any retracing:
+
+    blob = export_policy_step(env, apply_fn, params, num_envs=None)
+    step = load_policy_step(blob)          # or a path
+    pos, vel, action = step(pos, vel)      # one closed-loop step
+
+Artifacts record the lowering platform(s): an env routed to the dense
+(pure-jnp) paths exports portably (cpu AND tpu via platforms=[...]); an env
+routed to the Pallas kernels pins the artifact to TPU. Shapes are static —
+export one artifact per serving shape, exactly like the compiled-executable
+cache the live path uses (scene.py rollout cache).
+"""
+
+from __future__ import annotations
+
+import io
+from typing import Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import export as jax_export
+
+from ..state import SceneState
+
+
+def make_policy_step(env, apply_fn, params) -> Callable:
+    """(pos, vel) -> (next_pos, next_vel, action): one deterministic
+    closed-loop step — observe, mean policy action, reference dynamics.
+    The serving unit; also usable live (it is an ordinary jittable fn)."""
+
+    def step(pos: jax.Array, vel: jax.Array):
+        state = SceneState(
+            pos=pos, vel=vel, key=jax.random.key(0), t=jnp.int32(0)
+        )
+        obs = env.observe(state)
+        action, _ = apply_fn(params, obs)
+        nxt = env.dynamics(state, action)
+        return nxt.pos, nxt.vel, action
+
+    return step
+
+
+def export_policy_step(
+    env,
+    apply_fn,
+    params,
+    num_envs: Optional[int] = None,
+    platforms: Optional[Sequence[str]] = None,
+) -> bytes:
+    """Serialize the policy step for (num_envs?, N, 2) inputs.
+
+    platforms: lowering targets (e.g. ["cpu", "tpu"] for a portable dense
+    artifact); None = the current backend. Params are baked into the module
+    as constants — the blob is the whole deployment."""
+    step = make_policy_step(env, apply_fn, params)
+    if num_envs is not None:
+        step = jax.vmap(step)
+    lead = () if num_envs is None else (num_envs,)
+    spec = jax.ShapeDtypeStruct(lead + (env.cfg.n, 2), jnp.float32)
+    exp = jax_export.export(
+        jax.jit(step),
+        platforms=tuple(platforms) if platforms is not None else None,
+    )(spec, spec)
+    return exp.serialize()
+
+
+def load_policy_step(blob) -> Callable:
+    """bytes or path -> the callable (pos, vel) -> (pos, vel, action).
+
+    Only deserializes the StableHLO module: no policy checkpoint, net
+    definition, or env config needed at the serving site."""
+    if not isinstance(blob, (bytes, bytearray)):
+        with io.open(blob, "rb") as f:  # str / PathLike
+            blob = f.read()
+    return jax_export.deserialize(bytes(blob)).call

@@ -1,0 +1,89 @@
+"""Serving artifacts (utils.export): the policy step serialized as a
+self-contained StableHLO blob — params baked in, loadable and exact without
+the checkpoint/net/env at the serving site."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from nenbody_tpu import SimConfig, VisionConfig
+from nenbody_tpu.rl import train as train_lib
+from nenbody_tpu.rl.env import VisionEnv
+from nenbody_tpu.state import spawn, spawn_batch
+from nenbody_tpu.utils import export as export_lib
+
+
+def _env_and_params(n=8, w=16):
+    env = VisionEnv(SimConfig(n=n, controller="gravity",
+                              vision=VisionConfig(width=w)))
+    ts, apply_fn, _ = train_lib.init_train_state(
+        env, num_envs=2, key=jax.random.key(0), optimizer=optax.adam(1e-3)
+    )
+    return env, apply_fn, ts.params
+
+
+def test_export_roundtrip_matches_live_step(tmp_path):
+    env, apply_fn, params = _env_and_params()
+    blob = export_lib.export_policy_step(env, apply_fn, params)
+    path = str(tmp_path / "step.nxs")
+    with open(path, "wb") as f:
+        f.write(blob)
+    step = export_lib.load_policy_step(path)  # from disk, bytes-free caller
+    live = jax.jit(export_lib.make_policy_step(env, apply_fn, params))
+    st = spawn(jax.random.key(1), env.cfg)
+    got = step(st.pos, st.vel)
+    want = live(st.pos, st.vel)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=1e-6, atol=1e-7)
+
+
+def test_export_batched_and_multi_step(tmp_path):
+    """A batched artifact steps a fleet of envs; chaining its own outputs
+    advances the sim (the serving loop)."""
+    env, apply_fn, params = _env_and_params()
+    blob = export_lib.export_policy_step(env, apply_fn, params, num_envs=2)
+    step = export_lib.load_policy_step(blob)
+    st = spawn_batch(jax.random.key(2), env.cfg, 2)
+    pos, vel = st.pos, st.vel
+    for _ in range(3):
+        pos, vel, action = step(pos, vel)
+    assert pos.shape == (2, env.cfg.n, 2) and action.shape == pos.shape
+    assert np.isfinite(np.asarray(pos)).all()
+    # it actually moved
+    assert float(np.abs(np.asarray(pos) - np.asarray(st.pos)).max()) > 0
+
+
+def test_export_cli(tmp_path, capsys):
+    from nenbody_tpu.cli import main
+    from nenbody_tpu.utils import checkpoint as ck
+
+    env, apply_fn, params = _env_and_params()
+    pol = str(tmp_path / "pol.npz")
+    ck.save_pytree(pol, params)
+    out = str(tmp_path / "step.nxs")
+    rc = main([
+        "export", "--policy", pol, "--agents", "8", "--vision-width", "16",
+        "--out", out, "--check",
+    ])
+    assert rc == 0 and os.path.getsize(out) > 0
+    meta = json.loads([l for l in capsys.readouterr().out.splitlines()
+                       if l.startswith("{")][-1])
+    assert meta["checked"] and meta["bytes"] == os.path.getsize(out)
+    # gru is the live-playback-only family: rejected at the flag level
+    with pytest.raises(SystemExit):
+        main([
+            "export", "--policy", pol, "--net", "gru", "--agents", "8",
+            "--vision-width", "16", "--out", out,
+        ])
+    # missing policy file errors cleanly
+    rc = main([
+        "export", "--policy", str(tmp_path / "nope.npz"), "--agents", "8",
+        "--vision-width", "16", "--out", out,
+    ])
+    assert rc == 2 and "not found" in capsys.readouterr().err
