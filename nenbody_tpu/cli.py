@@ -743,30 +743,41 @@ def cmd_bench(args) -> int:  # noqa: ARG001
 
 
 def cmd_export(args) -> int:
-    """AOT-serialize a trained policy's closed-loop step (StableHLO blob,
-    params baked in): the serving artifact — loadable via
+    """AOT-serialize a serving step (StableHLO blob): with --policy, the
+    trained closed-loop step (params baked in); without, `--steps`
+    controller steps (sim-as-a-service). Loadable via
     utils.export.load_policy_step with no checkpoint/net/env at the site."""
     import jax
 
     from .utils import export as export_lib
 
-    env = _train_env(args)
-    if env is None:
-        return 2
-    try:
-        pol, params = _load_policy(env, args.policy, args.net)
-    except (ValueError, FileNotFoundError) as e:
-        print(f"error: {e}", file=sys.stderr)
-        return 2
     platforms = [p for p in args.platforms.split(",") if p] or None
     num_envs = args.envs if args.envs > 0 else None
-    try:
-        blob = export_lib.export_policy_step(
-            env, pol.apply, params, num_envs=num_envs, platforms=platforms
-        )
-    except ValueError as e:
-        print(f"error: {e}", file=sys.stderr)
-        return 2
+    if args.policy:
+        env = _train_env(args)
+        if env is None:
+            return 2
+        cfg = env.cfg
+        try:
+            pol, params = _load_policy(env, args.policy, args.net)
+            blob = export_lib.export_policy_step(
+                env, pol.apply, params, num_envs=num_envs,
+                platforms=platforms, steps=args.steps,
+            )
+        except (ValueError, FileNotFoundError) as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
+    else:
+        from .config import SimConfig
+
+        cfg = SimConfig(n=args.agents, controller=args.controller)
+        try:
+            blob = export_lib.export_sim_step(
+                cfg, num_envs=num_envs, platforms=platforms, steps=args.steps
+            )
+        except ValueError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
     with open(args.out, "wb") as f:
         f.write(blob)
     if args.check:
@@ -776,22 +787,19 @@ def cmd_export(args) -> int:
 
         step = export_lib.load_policy_step(args.out)
         if num_envs is None:
-            st = spawn(jax.random.key(args.seed), env.cfg)
+            st = spawn(jax.random.key(args.seed), cfg)
         else:
-            st = spawn_batch(jax.random.key(args.seed), env.cfg, num_envs)
-        pos, vel, action = step(st.pos, st.vel)
-        ok = bool(
-            np.isfinite(np.asarray(pos)).all()
-            and np.isfinite(np.asarray(action)).all()
-        )
-        if not ok:
+            st = spawn_batch(jax.random.key(args.seed), cfg, num_envs)
+        out = step(st.pos, st.vel)  # (pos, vel[, action])
+        if not all(np.isfinite(np.asarray(o)).all() for o in out):
             print("error: exported artifact produced non-finite outputs",
                   file=sys.stderr)
             return 1
     print(json.dumps({
         "out": args.out, "bytes": len(blob),
         "platforms": platforms or [jax.default_backend()],
-        "agents": args.agents, "vision_width": args.vision_width,
+        "mode": "policy" if args.policy else f"sim:{args.controller}",
+        "agents": args.agents, "steps": args.steps,
         "envs": num_envs, "checked": bool(args.check),
     }))
     return 0
@@ -935,9 +943,22 @@ def main(argv=None) -> int:
 
     p = sub.add_parser(
         "export",
-        help="AOT-serialize a trained policy step (StableHLO serving blob)",
+        help="AOT-serialize a serving step (StableHLO blob): trained "
+        "policy loop or plain controller sim",
     )
-    p.add_argument("--policy", required=True, help="trained params npz")
+    p.add_argument(
+        "--policy", default="",
+        help="trained params npz; omit to export the plain controller sim",
+    )
+    p.add_argument(
+        "--controller", choices=["gravity", "boids"], default="gravity",
+        help="sim-mode controller (ignored with --policy; the random "
+        "walk stays live — it consumes PRNG state)",
+    )
+    p.add_argument(
+        "--steps", type=int, default=1,
+        help="sim steps baked per artifact call (scan chunking)",
+    )
     p.add_argument(
         "--net", choices=["mlp", "conv"], default="mlp",
         help="feedforward family the params were trained with (gru stays "

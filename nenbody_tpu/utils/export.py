@@ -30,12 +30,14 @@ from jax import export as jax_export
 from ..state import SceneState
 
 
-def make_policy_step(env, apply_fn, params) -> Callable:
-    """(pos, vel) -> (next_pos, next_vel, action): one deterministic
-    closed-loop step — observe, mean policy action, reference dynamics.
-    The serving unit; also usable live (it is an ordinary jittable fn)."""
+def make_policy_step(env, apply_fn, params, steps: int = 1) -> Callable:
+    """(pos, vel) -> (next_pos, next_vel, action): `steps` deterministic
+    closed-loop steps — observe, mean policy action, reference dynamics —
+    with the final step's action returned. The serving unit; also usable
+    live (it is an ordinary jittable fn). steps>1 bakes a scan, the CLI run
+    loop's chunking trick: one dispatch per K sim steps."""
 
-    def step(pos: jax.Array, vel: jax.Array):
+    def one(pos: jax.Array, vel: jax.Array):
         state = SceneState(
             pos=pos, vel=vel, key=jax.random.key(0), t=jnp.int32(0)
         )
@@ -44,7 +46,61 @@ def make_policy_step(env, apply_fn, params) -> Callable:
         nxt = env.dynamics(state, action)
         return nxt.pos, nxt.vel, action
 
-    return step
+    if steps == 1:
+        return one
+
+    def chunk(pos: jax.Array, vel: jax.Array):
+        def body(carry, _):
+            p, v = carry
+            p, v, a = one(p, v)
+            return (p, v), a
+
+        (pos, vel), actions = jax.lax.scan(
+            body, (pos, vel), None, length=steps
+        )
+        return pos, vel, actions[-1]
+
+    return chunk
+
+
+def make_sim_step(cfg, steps: int = 1) -> Callable:
+    """(pos, vel) -> (next_pos, next_vel): `steps` controller steps — the
+    reference's core loop (main.rs:649-734) as a pure function. Gravity and
+    boids only: the random-walk controller consumes PRNG state, which a
+    (pos, vel) artifact cannot thread (use the live Scene path)."""
+    if cfg.controller == "random":
+        raise ValueError(
+            "sim export supports gravity/boids; the random controller "
+            "consumes PRNG state the (pos, vel) artifact cannot carry"
+        )
+    from ..scene import make_step_fn
+
+    step1 = make_step_fn(cfg)
+
+    def chunk(pos: jax.Array, vel: jax.Array):
+        state = SceneState(
+            pos=pos, vel=vel, key=jax.random.key(0), t=jnp.int32(0)
+        )
+
+        def body(s, _):
+            return step1(s), None
+
+        state, _ = jax.lax.scan(body, state, None, length=steps)
+        return state.pos, state.vel
+
+    return chunk
+
+
+def _serialize(step, n: int, num_envs: Optional[int], platforms) -> bytes:
+    if num_envs is not None:
+        step = jax.vmap(step)
+    lead = () if num_envs is None else (num_envs,)
+    spec = jax.ShapeDtypeStruct(lead + (n, 2), jnp.float32)
+    exp = jax_export.export(
+        jax.jit(step),
+        platforms=tuple(platforms) if platforms is not None else None,
+    )(spec, spec)
+    return exp.serialize()
 
 
 def export_policy_step(
@@ -53,26 +109,35 @@ def export_policy_step(
     params,
     num_envs: Optional[int] = None,
     platforms: Optional[Sequence[str]] = None,
+    steps: int = 1,
 ) -> bytes:
     """Serialize the policy step for (num_envs?, N, 2) inputs.
 
     platforms: lowering targets (e.g. ["cpu", "tpu"] for a portable dense
     artifact); None = the current backend. Params are baked into the module
     as constants — the blob is the whole deployment."""
-    step = make_policy_step(env, apply_fn, params)
-    if num_envs is not None:
-        step = jax.vmap(step)
-    lead = () if num_envs is None else (num_envs,)
-    spec = jax.ShapeDtypeStruct(lead + (env.cfg.n, 2), jnp.float32)
-    exp = jax_export.export(
-        jax.jit(step),
-        platforms=tuple(platforms) if platforms is not None else None,
-    )(spec, spec)
-    return exp.serialize()
+    return _serialize(
+        make_policy_step(env, apply_fn, params, steps=steps),
+        env.cfg.n, num_envs, platforms,
+    )
+
+
+def export_sim_step(
+    cfg,
+    num_envs: Optional[int] = None,
+    platforms: Optional[Sequence[str]] = None,
+    steps: int = 1,
+) -> bytes:
+    """Serialize `steps` controller steps (no policy): (pos, vel) ->
+    (pos, vel). The sim-as-a-service artifact."""
+    return _serialize(
+        make_sim_step(cfg, steps=steps), cfg.n, num_envs, platforms
+    )
 
 
 def load_policy_step(blob) -> Callable:
-    """bytes or path -> the callable (pos, vel) -> (pos, vel, action).
+    """bytes or path -> the artifact callable: (pos, vel) -> (pos, vel,
+    action) for policy artifacts, (pos, vel) -> (pos, vel) for sim ones.
 
     Only deserializes the StableHLO module: no policy checkpoint, net
     definition, or env config needed at the serving site."""

@@ -59,6 +59,47 @@ def test_export_batched_and_multi_step(tmp_path):
     assert float(np.abs(np.asarray(pos) - np.asarray(st.pos)).max()) > 0
 
 
+def test_export_sim_step_matches_scene(tmp_path):
+    """Sim-as-a-service: the --policy-free artifact advances (pos, vel)
+    exactly like Scene.step, with `steps` baked as one scanned call."""
+    from nenbody_tpu import Scene
+
+    cfg = SimConfig(n=16, controller="boids")
+    blob = export_lib.export_sim_step(cfg, steps=3)
+    step = export_lib.load_policy_step(blob)
+    scene = Scene(cfg)
+    st = scene.spawn(seed=5)
+    pos, vel = step(st.pos, st.vel)
+    want = st
+    for _ in range(3):
+        want = scene.step(want)
+    np.testing.assert_allclose(np.asarray(pos), np.asarray(want.pos),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(vel), np.asarray(want.vel),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_export_sim_rejects_random_controller():
+    with pytest.raises(ValueError, match="random"):
+        export_lib.export_sim_step(SimConfig(n=8, controller="random"))
+
+
+def test_export_multi_step_policy_matches_chained_single(tmp_path):
+    """A steps=2 policy artifact equals two chained steps=1 calls (same
+    closed loop, one dispatch)."""
+    env, apply_fn, params = _env_and_params()
+    one = export_lib.load_policy_step(
+        export_lib.export_policy_step(env, apply_fn, params))
+    two = export_lib.load_policy_step(
+        export_lib.export_policy_step(env, apply_fn, params, steps=2))
+    st = spawn(jax.random.key(3), env.cfg)
+    p, v, a = one(*one(st.pos, st.vel)[:2])
+    p2, v2, a2 = two(st.pos, st.vel)
+    for g, w in zip((p2, v2, a2), (p, v, a)):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=1e-6, atol=1e-6)
+
+
 def test_export_cli(tmp_path, capsys):
     from nenbody_tpu.cli import main
     from nenbody_tpu.utils import checkpoint as ck
@@ -87,3 +128,13 @@ def test_export_cli(tmp_path, capsys):
         "--vision-width", "16", "--out", out,
     ])
     assert rc == 2 and "not found" in capsys.readouterr().err
+    # sim mode: no policy, controller baked, multi-step, checked
+    sim_out = str(tmp_path / "sim.nxs")
+    rc = main([
+        "export", "--agents", "8", "--controller", "boids", "--steps", "4",
+        "--envs", "2", "--out", sim_out, "--check",
+    ])
+    assert rc == 0 and os.path.getsize(sim_out) > 0
+    meta = json.loads([l for l in capsys.readouterr().out.splitlines()
+                       if l.startswith("{")][-1])
+    assert meta["mode"] == "sim:boids" and meta["steps"] == 4
