@@ -287,6 +287,10 @@ def cmd_train(args) -> int:
         print("error: --net conv is feedforward; reinforce-gru is its "
               "own (recurrent) net", file=sys.stderr)
         return 2
+    if args.critic == "central" and args.algo != "ppo":
+        print("error: --critic central is currently a PPO option",
+              file=sys.stderr)
+        return 2
     net = _feedforward_net(args.net, env.cfg.vision.width)
     if args.algo == "ac":
         from .rl import ac as ac_lib
@@ -316,14 +320,20 @@ def cmd_train(args) -> int:
     elif args.algo == "ppo":
         from .rl import ppo as ppo_lib
 
+        central = args.critic == "central"
+        value = None
+        if central:
+            from .rl.policy import CentralValueMLP
+
+            value = CentralValueMLP()
         ts, pol_apply, val_apply = ppo_lib.init_ppo_state(
             env, key=jax.random.key(args.seed), optimizer=opt, policy=net,
-            mesh=mesh,
+            value=value, mesh=mesh,
         )
         step = jax.jit(
             ppo_lib.make_ppo_step(
                 env, pol_apply, val_apply, opt, horizon=args.horizon,
-                num_envs=args.envs, mesh=mesh,
+                num_envs=args.envs, mesh=mesh, central_critic=central,
             )
         )
     elif args.algo == "es":
@@ -846,6 +856,11 @@ def main(argv=None) -> int:
         "--algo",
         choices=["reinforce", "reinforce-gru", "ppo", "ac", "es", "apg"],
         default="reinforce",
+    )
+    p.add_argument(
+        "--critic", choices=["agent", "central"], default="agent",
+        help="ppo value baseline: per-agent V(obs_i) or the centralized "
+        "pooled V(s) (MAPPO — the variance winner for --reward-mode team)",
     )
     p.add_argument("--population", type=int, default=8, help="ES antithetic pairs")
     p.add_argument("--envs", type=int, default=64)

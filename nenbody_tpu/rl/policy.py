@@ -58,6 +58,36 @@ class ValueMLP(nn.Module):
         return v[..., 0]
 
 
+class CentralValueMLP(nn.Module):
+    """Centralized critic V(s) over ALL agents' observations (the MAPPO
+    baseline for shared/team rewards): per-agent embedding -> mean pool
+    over the agent axis (permutation-invariant, any N) -> value head. The
+    output broadcasts back over agents, so it drops in anywhere ValueMLP
+    fits — but inputs must KEEP the [..., N, W] agent axis (PPO's
+    central_critic flag preserves it through minibatching)."""
+
+    embed: Sequence[int] = (128,)
+    head: Sequence[int] = (128,)
+    use_bf16: bool = True
+
+    @nn.compact
+    def __call__(self, obs: jax.Array) -> jax.Array:
+        """obs: [..., N, W] -> V [..., N] (same value for every agent)."""
+        x = obs
+        dtype = jnp.bfloat16 if self.use_bf16 else jnp.float32
+        if self.use_bf16:
+            x = x.astype(jnp.bfloat16)
+        for h in self.embed:
+            x = nn.Dense(h, dtype=dtype)(x)
+            x = nn.tanh(x)
+        g = jnp.mean(x, axis=-2)  # pool the agent axis
+        for h in self.head:
+            g = nn.Dense(h, dtype=dtype)(g)
+            g = nn.tanh(g)
+        v = nn.Dense(1, dtype=jnp.float32)(g.astype(jnp.float32))[..., 0]
+        return jnp.broadcast_to(v[..., None], obs.shape[:-1])
+
+
 class ConvPolicy(nn.Module):
     """1D-conv Gaussian policy over the eye line.
 

@@ -96,6 +96,7 @@ def make_ppo_step(
     ent_coef: float = 0.0,
     episodic: bool = True,
     mesh: Optional[Mesh] = None,
+    central_critic: bool = False,
 ):
     """Build the jitted PPO step: rollout -> GAE -> epochs x minibatches of
     clipped surrogate + value regression. episodic=True respawns envs each
@@ -105,7 +106,11 @@ def make_ppo_step(
 
     mesh: shard envs over the data axis and agents over the ppermute ring
     (see module docstring for the time-axis minibatch scheme). Requires
-    horizon % num_minibatches == 0 in mesh mode."""
+    horizon % num_minibatches == 0 in mesh mode.
+
+    central_critic: value_apply pools over the agent axis (MAPPO's V(s) —
+    policy.CentralValueMLP), so single-device minibatches flatten only
+    (T, B) and keep [N, W] rows intact; the mesh path already does."""
     from .train import _batched_env_fns
 
     if mesh is not None and horizon % num_minibatches:
@@ -177,9 +182,13 @@ def make_ppo_step(
         adv, ret = gae(reward, value, last_value, gamma, lam)
 
         if mesh is None:
-            # flatten (T, B, N) -> samples; standardize advantages per batch
+            # flatten (T, B, N) -> samples; standardize advantages per
+            # batch. A central critic pools over agents, so its samples
+            # are whole [N, ...] rows: flatten (T, B) only.
+            keep = 2 if central_critic else 3
+
             def flat(x):
-                return x.reshape((-1,) + x.shape[3:])
+                return x.reshape((-1,) + x.shape[keep:])
 
             obs_f, act_f, logp_f = flat(obs), flat(action), flat(logp_old)
             adv_f, ret_f = flat(adv), flat(ret)
@@ -241,11 +250,18 @@ def init_ppo_state(
     """Init params/optimizer; with a mesh, replicate both across it (the
     policy/value nets are small — DP with replicated params is the right
     sharding; XLA psums the gradients)."""
+    from .policy import CentralValueMLP
+
     policy = policy or MLPPolicy()
     value = value or ValueMLP()
     kp, kv, kr = jax.random.split(key, 3)
     dummy = jnp.zeros((1, env.obs_width), jnp.float32)
-    params = PPOParams(policy.init(kp, dummy), value.init(kv, dummy))
+    vdummy = (
+        jnp.zeros((1, env.cfg.n, env.obs_width), jnp.float32)
+        if isinstance(value, CentralValueMLP)
+        else dummy
+    )
+    params = PPOParams(policy.init(kp, dummy), value.init(kv, vdummy))
     opt_state = optimizer.init(params)
     if mesh is not None:
         repl = NamedSharding(mesh, P())

@@ -159,6 +159,27 @@ def test_ppo_save_normalizes_to_policy_subtree(tmp_path, capsys):
     assert rc == 0 and os.path.exists(out)
 
 
+def test_ppo_central_critic_cli(tmp_path, capsys):
+    """--critic central (MAPPO pooled V(s)) trains via the CLI with team
+    rewards; the save still normalizes to the policy subtree. Non-PPO algos
+    reject the flag."""
+    params = str(tmp_path / "mappo.npz")
+    rc = main([
+        "train", "--algo", "ppo", "--critic", "central", "--reward-mode",
+        "team", "--envs", "2", "--agents", "8", "--vision-width", "16",
+        "--horizon", "4", "--iters", "1", "--save", params,
+    ])
+    assert rc == 0 and os.path.exists(params)
+    lines = [json.loads(l) for l in capsys.readouterr().out.splitlines()
+             if l.startswith("{")]
+    assert np.isfinite(lines[-1]["loss"])
+    rc = main([
+        "train", "--algo", "reinforce", "--critic", "central", "--envs", "2",
+        "--agents", "8", "--vision-width", "16", "--iters", "1",
+    ])
+    assert rc == 2 and "PPO option" in capsys.readouterr().err
+
+
 def test_policy_advance_gru_threads_carry(tmp_path):
     """--net gru playback: the hidden state persists across advance()
     calls, so identical states can map to different actions over time."""

@@ -60,6 +60,55 @@ def test_ppo_step_runs_and_updates():
     assert any(jax.tree.leaves(changed))
 
 
+def test_central_value_permutation_invariant():
+    """CentralValueMLP: V(s) pools the agent axis — permuting agents leaves
+    every output unchanged, all agents share one value, and any N works
+    with the same params (the pooled embedding is N-free)."""
+    from nenbody_tpu.rl.policy import CentralValueMLP
+
+    net = CentralValueMLP(use_bf16=False)
+    obs = jax.random.normal(jax.random.key(0), (3, 8, 10), jnp.float32)
+    params = net.init(jax.random.key(1), obs)
+    v = np.asarray(net.apply(params, obs))
+    assert v.shape == (3, 8)
+    assert np.allclose(v, v[:, :1])  # shared across agents
+    perm = jax.random.permutation(jax.random.key(2), 8)
+    v_p = np.asarray(net.apply(params, obs[:, perm]))
+    np.testing.assert_allclose(v_p, v, rtol=1e-5, atol=1e-6)
+    v_n4 = np.asarray(net.apply(params, obs[:, :4]))  # different N, same net
+    assert v_n4.shape == (3, 4)
+
+
+def test_ppo_central_critic_runs_and_updates():
+    """MAPPO-style PPO: centralized pooled critic, minibatches flatten only
+    (T, B) so [N, W] rows reach the pool intact. Single-device and mesh."""
+    from nenbody_tpu.parallel.mesh import make_mesh
+    from nenbody_tpu.rl.policy import CentralValueMLP
+
+    env = VisionEnv(
+        SimConfig(n=8, controller="gravity", vision=VisionConfig(width=8)),
+        reward_mode="team",
+    )
+    opt = optax.adam(1e-3)
+    for mesh in (None, make_mesh({"data": 2, "agents": 2})):
+        ts, pol_apply, val_apply = ppo_lib.init_ppo_state(
+            env, jax.random.key(0), opt,
+            policy=MLPPolicy(use_bf16=False),
+            value=CentralValueMLP(use_bf16=False), mesh=mesh,
+        )
+        step = jax.jit(ppo_lib.make_ppo_step(
+            env, pol_apply, val_apply, opt, horizon=4, num_envs=2,
+            epochs=2, num_minibatches=2, mesh=mesh, central_critic=True,
+        ))
+        ts2, metrics = step(ts)
+        assert all(np.isfinite(float(v)) for v in metrics.values()), metrics
+        changed = jax.tree.map(
+            lambda a, b: not np.allclose(np.asarray(a), np.asarray(b)),
+            ts.params, ts2.params,
+        )
+        assert any(jax.tree.leaves(changed))
+
+
 @pytest.mark.slow
 def test_ppo_learns_multiagent_cohesion_n64():
     """THE credit-assignment pin: PPO's per-agent GAE advantages + clipped
