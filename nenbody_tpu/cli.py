@@ -860,7 +860,7 @@ def main(argv=None) -> int:
     p.add_argument(
         "--critic", choices=["agent", "central"], default="agent",
         help="ppo value baseline: per-agent V(obs_i) or the centralized "
-        "pooled V(s) (MAPPO — the variance winner for --reward-mode team)",
+        "pooled V(s) (MAPPO-style, for team/shared rewards)",
     )
     p.add_argument("--population", type=int, default=8, help="ES antithetic pairs")
     p.add_argument("--envs", type=int, default=64)
