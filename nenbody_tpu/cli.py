@@ -287,17 +287,22 @@ def cmd_train(args) -> int:
         print("error: --net conv is feedforward; reinforce-gru is its "
               "own (recurrent) net", file=sys.stderr)
         return 2
-    if args.critic == "central" and args.algo != "ppo":
-        print("error: --critic central is currently a PPO option",
-              file=sys.stderr)
+    if args.critic == "central" and args.algo not in ("ppo", "ac"):
+        print("error: --critic central needs a learned value baseline "
+              "(--algo ppo or ac)", file=sys.stderr)
         return 2
     net = _feedforward_net(args.net, env.cfg.vision.width)
     if args.algo == "ac":
         from .rl import ac as ac_lib
 
+        ac_value = None
+        if args.critic == "central":
+            from .rl.policy import CentralValueMLP
+
+            ac_value = CentralValueMLP()
         ts, policy_apply, value_apply = ac_lib.init_ac_state(
             env, num_envs=args.envs, key=jax.random.key(args.seed),
-            optimizer=opt, policy=net,
+            optimizer=opt, policy=net, value=ac_value,
         )
         step = jax.jit(
             ac_lib.make_ac_step(
@@ -859,7 +864,7 @@ def main(argv=None) -> int:
     )
     p.add_argument(
         "--critic", choices=["agent", "central"], default="agent",
-        help="ppo value baseline: per-agent V(obs_i) or the centralized "
+        help="ppo/ac value baseline: per-agent V(obs_i) or the centralized "
         "pooled V(s) (MAPPO-style, for team/shared rewards)",
     )
     p.add_argument("--population", type=int, default=8, help="ES antithetic pairs")

@@ -100,12 +100,21 @@ def init_ac_state(
     policy: Optional[MLPPolicy] = None,
     value: Optional[ValueMLP] = None,
 ) -> Tuple[ACState, Callable, Callable]:
+    from .policy import CentralValueMLP
+
     policy = policy or MLPPolicy()
     value = value or ValueMLP()
     kp, kv, ke, kr = jax.random.split(key, 4)
     env_states = spawn_batch(ke, env.cfg, num_envs)
     dummy = jnp.zeros((1, env.obs_width), jnp.float32)
-    params = {"policy": policy.init(kp, dummy), "value": value.init(kv, dummy)}
+    # the centralized (pooled) critic consumes whole [N, W] rows; AC's loss
+    # is full-batch [T, B, N, W], so it drops in with no other change
+    vdummy = (
+        jnp.zeros((1, env.cfg.n, env.obs_width), jnp.float32)
+        if isinstance(value, CentralValueMLP)
+        else dummy
+    )
+    params = {"policy": policy.init(kp, dummy), "value": value.init(kv, vdummy)}
     opt_state = optimizer.init(params)
     return (
         ACState(params, opt_state, env_states, kr),

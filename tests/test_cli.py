@@ -174,10 +174,19 @@ def test_ppo_central_critic_cli(tmp_path, capsys):
              if l.startswith("{")]
     assert np.isfinite(lines[-1]["loss"])
     rc = main([
+        "train", "--algo", "ac", "--critic", "central", "--reward-mode",
+        "team", "--envs", "2", "--agents", "8", "--vision-width", "16",
+        "--horizon", "4", "--iters", "1",
+    ])
+    assert rc == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.splitlines()
+             if l.startswith("{")]
+    assert np.isfinite(lines[-1]["value_loss"])
+    rc = main([
         "train", "--algo", "reinforce", "--critic", "central", "--envs", "2",
         "--agents", "8", "--vision-width", "16", "--iters", "1",
     ])
-    assert rc == 2 and "PPO option" in capsys.readouterr().err
+    assert rc == 2 and "value baseline" in capsys.readouterr().err
 
 
 def test_policy_advance_gru_threads_carry(tmp_path):
