@@ -131,6 +131,21 @@ def _check_mesh_envs(mesh, envs: int) -> None:
         )
 
 
+def _mesh_from_args(args):
+    """Parse + validate --mesh for a subcommand with --envs. Returns the
+    Mesh (None when --mesh is unset) or an int rc on a reported error —
+    callers do `if isinstance(mesh, int): return mesh`."""
+    if not args.mesh:
+        return None
+    try:
+        mesh = _parse_mesh(args.mesh)
+        _check_mesh_envs(mesh, args.envs)
+        return mesh
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+
+
 def _add_policy_flags(p: argparse.ArgumentParser):
     p.add_argument(
         "--policy", default="",
@@ -274,14 +289,9 @@ def cmd_train(args) -> int:
     if env is None:
         return 2
     opt = optax.adam(args.lr)
-    mesh = None
-    if args.mesh:
-        try:
-            mesh = _parse_mesh(args.mesh)
-            _check_mesh_envs(mesh, args.envs)
-        except ValueError as e:
-            print(f"error: {e}", file=sys.stderr)
-            return 2
+    mesh = _mesh_from_args(args)
+    if isinstance(mesh, int):
+        return mesh
     # --net picks the function family; trainer defaults (None) mean MLP
     if args.net == "conv" and args.algo == "reinforce-gru":
         print("error: --net conv is feedforward; reinforce-gru is its "
@@ -335,12 +345,19 @@ def cmd_train(args) -> int:
             env, key=jax.random.key(args.seed), optimizer=opt, policy=net,
             value=value, mesh=mesh,
         )
-        step = jax.jit(
-            ppo_lib.make_ppo_step(
-                env, pol_apply, val_apply, opt, horizon=args.horizon,
-                num_envs=args.envs, mesh=mesh, central_critic=central,
+        try:
+            # make_ppo_step validates its minibatch scheme (mesh-mode
+            # horizon divisibility, empty-minibatch guard) — report those
+            # as clean rc-2 errors like every other flag problem
+            step = jax.jit(
+                ppo_lib.make_ppo_step(
+                    env, pol_apply, val_apply, opt, horizon=args.horizon,
+                    num_envs=args.envs, mesh=mesh, central_critic=central,
+                )
             )
-        )
+        except ValueError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
     elif args.algo == "es":
         from .rl import es as es_lib
 
@@ -445,14 +462,9 @@ def cmd_datagen(args) -> int:
             env, jax.random.key(0), optax.adam(1e-3)
         )
         params = ck.load_pytree(args.policy, ts.params)
-    mesh = None
-    if args.mesh:
-        try:
-            mesh = _parse_mesh(args.mesh)
-            _check_mesh_envs(mesh, args.envs)
-        except ValueError as e:
-            print(f"error: {e}", file=sys.stderr)
-            return 2
+    mesh = _mesh_from_args(args)
+    if isinstance(mesh, int):
+        return mesh
     total_frames = 0
     for i, chunk in dg.collect(
         env, num_envs=args.envs, total_steps=args.steps,
@@ -624,14 +636,9 @@ def cmd_eval(args) -> int:
         except (ValueError, FileNotFoundError) as e:
             print(f"error: {e}", file=sys.stderr)
             return 2
-    mesh = None
-    if args.mesh:
-        try:
-            mesh = _parse_mesh(args.mesh)
-            _check_mesh_envs(mesh, args.envs)
-        except ValueError as e:
-            print(f"error: {e}", file=sys.stderr)
-            return 2
+    mesh = _mesh_from_args(args)
+    if isinstance(mesh, int):
+        return mesh
     states = spawn_batch(jax.random.key(args.seed), cfg, args.envs)
 
     @jax.jit
@@ -805,7 +812,12 @@ def cmd_export(args) -> int:
             st = spawn(jax.random.key(args.seed), cfg)
         else:
             st = spawn_batch(jax.random.key(args.seed), cfg, num_envs)
-        out = step(st.pos, st.vel)  # (pos, vel[, action])
+        try:
+            out = step(st.pos, st.vel)  # (pos, vel[, action])
+        except Exception as e:  # e.g. --platforms excludes this backend
+            print(f"error: artifact written but --check could not execute "
+                  f"it here: {e}", file=sys.stderr)
+            return 1
         if not all(np.isfinite(np.asarray(o)).all() for o in out):
             print("error: exported artifact produced non-finite outputs",
                   file=sys.stderr)

@@ -100,7 +100,7 @@ def init_ac_state(
     policy: Optional[MLPPolicy] = None,
     value: Optional[ValueMLP] = None,
 ) -> Tuple[ACState, Callable, Callable]:
-    from .policy import CentralValueMLP
+    from .policy import value_init_obs
 
     policy = policy or MLPPolicy()
     value = value or ValueMLP()
@@ -109,11 +109,7 @@ def init_ac_state(
     dummy = jnp.zeros((1, env.obs_width), jnp.float32)
     # the centralized (pooled) critic consumes whole [N, W] rows; AC's loss
     # is full-batch [T, B, N, W], so it drops in with no other change
-    vdummy = (
-        jnp.zeros((1, env.cfg.n, env.obs_width), jnp.float32)
-        if isinstance(value, CentralValueMLP)
-        else dummy
-    )
+    vdummy = value_init_obs(value, env.cfg.n, env.obs_width)
     params = {"policy": policy.init(kp, dummy), "value": value.init(kv, vdummy)}
     opt_state = optimizer.init(params)
     return (

@@ -96,20 +96,14 @@ def dataset_from_trajectory(path: str, env: VisionEnv, chunk: int = 64) -> dict:
     return {"obs": obs, "action": act}
 
 
-def make_bc_step(
+def _bc_update_fn(
     apply_fn: Callable,
     optimizer: optax.GradientTransformation,
-    batch_size: int = 4096,
-    time_minibatch: bool = False,
+    batch_size: int,
+    time_minibatch: bool,
 ):
-    """Jitted minibatch step over device-resident (obs, action) arrays.
-
-    time_minibatch: obs/act arrive UNflattened [T, B, N, F] and minibatches
-    are whole time rows (ceil(batch_size / B*N) of them) — on a (data,
-    agents) mesh a flat [T*B*N] gather would interleave the sharded B/N
-    dims into dim 0 and force GSPMD to all-gather every minibatch (the
-    rl/ppo.py mesh-minibatch rule), while a T-row gather leaves the sharded
-    dims whole."""
+    """The un-jitted minibatch update shared by make_bc_step (standalone
+    jit) and distill (inlined in its fused generate+clone scan)."""
 
     def bc_step(ts: BCState, obs: jax.Array, act: jax.Array):
         key, sub = jax.random.split(ts.key)
@@ -129,7 +123,24 @@ def make_bc_step(
         params = optax.apply_updates(ts.params, updates)
         return BCState(params, opt_state, key, ts.step + 1), loss
 
-    return jax.jit(bc_step)
+    return bc_step
+
+
+def make_bc_step(
+    apply_fn: Callable,
+    optimizer: optax.GradientTransformation,
+    batch_size: int = 4096,
+    time_minibatch: bool = False,
+):
+    """Jitted minibatch step over device-resident (obs, action) arrays.
+
+    time_minibatch: obs/act arrive UNflattened [T, B, N, F] and minibatches
+    are whole time rows (ceil(batch_size / B*N) of them) — on a (data,
+    agents) mesh a flat [T*B*N] gather would interleave the sharded B/N
+    dims into dim 0 and force GSPMD to all-gather every minibatch (the
+    rl/ppo.py mesh-minibatch rule), while a T-row gather leaves the sharded
+    dims whole."""
+    return jax.jit(_bc_update_fn(apply_fn, optimizer, batch_size, time_minibatch))
 
 
 def distill(
@@ -183,25 +194,9 @@ def distill(
     ts = BCState(params, opt_state, kr, jnp.int32(0))
     shard = num_envs * horizon * env.cfg.n
     bs = min(batch_size, shard)
-    rows = max(1, -(-bs // (num_envs * env.cfg.n)))  # mesh: whole T rows
-
-    def bc_update(t: BCState, obs, act):
-        key, sub = jax.random.split(t.key)
-        if mesh is None:
-            idx = jax.random.randint(sub, (bs,), 0, obs.shape[0])
-        else:
-            idx = jax.random.randint(sub, (rows,), 0, obs.shape[0])
-        ob, ac = obs[idx], act[idx]
-
-        def loss_fn(p):
-            mean, log_std = policy.apply(p, ob)
-            return -jnp.mean(gaussian_log_prob(ac, mean, log_std))
-
-        loss, grads = jax.value_and_grad(loss_fn)(t.params)
-        updates, opt_state = opt.update(grads, t.opt_state, t.params)
-        return BCState(
-            optax.apply_updates(t.params, updates), opt_state, key, t.step + 1
-        ), loss
+    bc_update = _bc_update_fn(
+        policy.apply, opt, bs, time_minibatch=mesh is not None
+    )
 
     def iteration(carry, _):
         t, states = carry

@@ -88,6 +88,16 @@ class CentralValueMLP(nn.Module):
         return jnp.broadcast_to(v[..., None], obs.shape[:-1])
 
 
+def value_init_obs(value_net, n: int, obs_width: int) -> jax.Array:
+    """Zeros probe with the input rank `value_net` expects: CentralValueMLP
+    pools an agent axis ([1, N, W]); per-agent heads take flat rows
+    ([1, W]). Shared by the PPO/AC inits — flax params depend on shapes
+    only, so zeros are exact."""
+    if isinstance(value_net, CentralValueMLP):
+        return jnp.zeros((1, n, obs_width), jnp.float32)
+    return jnp.zeros((1, obs_width), jnp.float32)
+
+
 class ConvPolicy(nn.Module):
     """1D-conv Gaussian policy over the eye line.
 

@@ -118,6 +118,15 @@ def make_ppo_step(
             f"mesh-mode PPO draws minibatches along the time axis: horizon "
             f"{horizon} must divide into num_minibatches {num_minibatches}"
         )
+    n_samples = horizon * num_envs * (1 if central_critic else env.cfg.n)
+    if mesh is None and n_samples < num_minibatches:
+        raise ValueError(
+            f"num_minibatches {num_minibatches} exceeds the {n_samples} "
+            f"samples per update (horizon x envs"
+            f"{'' if central_critic else ' x agents'}; a central critic's "
+            f"samples are whole agent rows) — minibatches would be empty "
+            f"and every loss NaN"
+        )
     observe_b, step_b = _batched_env_fns(env, mesh)
 
     def constrain_states(states: SceneState) -> SceneState:
@@ -250,17 +259,13 @@ def init_ppo_state(
     """Init params/optimizer; with a mesh, replicate both across it (the
     policy/value nets are small — DP with replicated params is the right
     sharding; XLA psums the gradients)."""
-    from .policy import CentralValueMLP
+    from .policy import value_init_obs
 
     policy = policy or MLPPolicy()
     value = value or ValueMLP()
     kp, kv, kr = jax.random.split(key, 3)
     dummy = jnp.zeros((1, env.obs_width), jnp.float32)
-    vdummy = (
-        jnp.zeros((1, env.cfg.n, env.obs_width), jnp.float32)
-        if isinstance(value, CentralValueMLP)
-        else dummy
-    )
+    vdummy = value_init_obs(value, env.cfg.n, env.obs_width)
     params = PPOParams(policy.init(kp, dummy), value.init(kv, vdummy))
     opt_state = optimizer.init(params)
     if mesh is not None:

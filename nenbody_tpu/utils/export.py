@@ -37,6 +37,9 @@ def make_policy_step(env, apply_fn, params, steps: int = 1) -> Callable:
     live (it is an ordinary jittable fn). steps>1 bakes a scan, the CLI run
     loop's chunking trick: one dispatch per K sim steps."""
 
+    if steps < 1:
+        raise ValueError(f"steps must be >= 1, got {steps}")
+
     def one(pos: jax.Array, vel: jax.Array):
         state = SceneState(
             pos=pos, vel=vel, key=jax.random.key(0), t=jnp.int32(0)
@@ -68,6 +71,8 @@ def make_sim_step(cfg, steps: int = 1) -> Callable:
     reference's core loop (main.rs:649-734) as a pure function. Gravity and
     boids only: the random-walk controller consumes PRNG state, which a
     (pos, vel) artifact cannot thread (use the live Scene path)."""
+    if steps < 1:
+        raise ValueError(f"steps must be >= 1, got {steps}")
     if cfg.controller == "random":
         raise ValueError(
             "sim export supports gravity/boids; the random controller "

@@ -378,6 +378,14 @@ def test_train_cli_mesh(capsys):
         "--horizon", "2", "--mesh", "2x2",
     ])
     assert rc == 2 and "divide evenly" in capsys.readouterr().err
+    # ppo mesh minibatch-scheme validation also reports cleanly (was a raw
+    # ValueError traceback from make_ppo_step)
+    rc = main([
+        "train", "--algo", "ppo", "--envs", "2", "--agents", "8",
+        "--vision-width", "16", "--horizon", "2", "--iters", "1",
+        "--mesh", "2x2",
+    ])
+    assert rc == 2 and "time axis" in capsys.readouterr().err
 
 
 def test_cli_mismatch_and_edge_errors(tmp_path, capsys, trained):

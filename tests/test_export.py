@@ -84,6 +84,17 @@ def test_export_sim_rejects_random_controller():
         export_lib.export_sim_step(SimConfig(n=8, controller="random"))
 
 
+def test_export_rejects_nonpositive_steps():
+    """steps=0 would scan nothing: the policy artifact would crash on
+    actions[-1] and the sim artifact would be a silent identity."""
+    env, apply_fn, params = _env_and_params()
+    with pytest.raises(ValueError, match="steps"):
+        export_lib.export_policy_step(env, apply_fn, params, steps=0)
+    with pytest.raises(ValueError, match="steps"):
+        export_lib.export_sim_step(SimConfig(n=8, controller="gravity"),
+                                   steps=-1)
+
+
 def test_export_multi_step_policy_matches_chained_single(tmp_path):
     """A steps=2 policy artifact equals two chained steps=1 calls (same
     closed loop, one dispatch)."""

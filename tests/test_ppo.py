@@ -109,6 +109,26 @@ def test_ppo_central_critic_runs_and_updates():
         assert any(jax.tree.leaves(changed))
 
 
+def test_ppo_rejects_empty_minibatches():
+    """central_critic shrinks samples by a factor of N (whole agent rows);
+    a config whose minibatch count exceeds them must error at build, not
+    train on empty slices (silent NaN)."""
+    from nenbody_tpu.rl.policy import CentralValueMLP
+
+    env = VisionEnv(
+        SimConfig(n=8, controller="gravity", vision=VisionConfig(width=8))
+    )
+    opt = optax.adam(1e-3)
+    ts, papply, vapply = ppo_lib.init_ppo_state(
+        env, jax.random.key(0), opt, value=CentralValueMLP(use_bf16=False)
+    )
+    with pytest.raises(ValueError, match="minibatches would be empty"):
+        ppo_lib.make_ppo_step(
+            env, papply, vapply, opt, horizon=2, num_envs=1,
+            num_minibatches=4, central_critic=True,
+        )
+
+
 @pytest.mark.slow
 def test_ppo_learns_multiagent_cohesion_n64():
     """THE credit-assignment pin: PPO's per-agent GAE advantages + clipped
