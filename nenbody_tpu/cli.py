@@ -775,6 +775,13 @@ def cmd_export(args) -> int:
 
     platforms = [p for p in args.platforms.split(",") if p] or None
     num_envs = args.envs if args.envs > 0 else None
+    mesh = _mesh_from_args(args)
+    if isinstance(mesh, int):
+        return mesh
+    if mesh is not None and not args.policy:
+        print("error: --mesh export serializes the policy fleet step; "
+              "pass --policy", file=sys.stderr)
+        return 2
     if args.policy:
         env = _train_env(args)
         if env is None:
@@ -784,7 +791,7 @@ def cmd_export(args) -> int:
             pol, params = _load_policy(env, args.policy, args.net)
             blob = export_lib.export_policy_step(
                 env, pol.apply, params, num_envs=num_envs,
-                platforms=platforms, steps=args.steps,
+                platforms=platforms, steps=args.steps, mesh=mesh,
             )
         except (ValueError, FileNotFoundError) as e:
             print(f"error: {e}", file=sys.stderr)
@@ -812,6 +819,10 @@ def cmd_export(args) -> int:
             st = spawn(jax.random.key(args.seed), cfg)
         else:
             st = spawn_batch(jax.random.key(args.seed), cfg, num_envs)
+        if mesh is not None:
+            from .parallel.mesh import place_state_on_mesh
+
+            st = place_state_on_mesh(st, mesh)
         try:
             out = step(st.pos, st.vel)  # (pos, vel[, action])
         except Exception as e:  # e.g. --platforms excludes this backend
@@ -827,7 +838,8 @@ def cmd_export(args) -> int:
         "platforms": platforms or [jax.default_backend()],
         "mode": "policy" if args.policy else f"sim:{args.controller}",
         "agents": args.agents, "steps": args.steps,
-        "envs": num_envs, "checked": bool(args.check),
+        "envs": num_envs, "mesh": args.mesh or None,
+        "checked": bool(args.check),
     }))
     return 0
 
@@ -1008,6 +1020,12 @@ def main(argv=None) -> int:
         "envs export portably; default: current backend)",
     )
     p.add_argument("--out", default="policy_step.nxs")
+    p.add_argument(
+        "--mesh", default="",
+        help="serialize the MULTI-CHIP fleet step over a device mesh "
+        "(DATAxAGENTS or 'auto'); needs --policy and --envs, and the "
+        "serving site must provide the same device count",
+    )
     p.add_argument(
         "--check", action="store_true",
         help="reload the artifact and run one step on fresh spawns",

@@ -96,11 +96,55 @@ def make_sim_step(cfg, steps: int = 1) -> Callable:
     return chunk
 
 
-def _serialize(step, n: int, num_envs: Optional[int], platforms) -> bytes:
-    if num_envs is not None:
-        step = jax.vmap(step)
-    lead = () if num_envs is None else (num_envs,)
-    spec = jax.ShapeDtypeStruct(lead + (n, 2), jnp.float32)
+def make_fleet_step(env, apply_fn, params, mesh, steps: int = 1) -> Callable:
+    """(pos, vel) [B, N, 2] -> (next_pos, next_vel, last_action): `steps`
+    deterministic closed-loop steps for a FLEET of envs on a (data?,
+    agents) device mesh — envs shard over data, physics/vision run the
+    agent-axis ppermute ring, the policy is baked in replicated. The
+    observation threads through the scan carry (the trainers' rollout
+    structure), so each state renders once plus one initial render."""
+    if steps < 1:
+        raise ValueError(f"steps must be >= 1, got {steps}")
+    from ..rl.train import _batched_env_fns
+
+    observe_b, step_b = _batched_env_fns(env, mesh)
+
+    def chunk(pos: jax.Array, vel: jax.Array):
+        b = pos.shape[0]
+        states = SceneState(
+            pos=pos, vel=vel, key=jax.random.split(jax.random.key(0), b),
+            t=jnp.zeros((b,), jnp.int32),
+        )
+
+        def body(carry, _):
+            states, obs = carry
+            action, _ = apply_fn(params, obs)
+            nxt, next_obs, _ = step_b(states, action)
+            return (nxt, next_obs), action
+
+        (states, _), actions = jax.lax.scan(
+            body, (states, observe_b(states)), None, length=steps
+        )
+        return states.pos, states.vel, actions[-1]
+
+    return chunk
+
+
+def _serialize(step, n: int, num_envs: Optional[int], platforms,
+               mesh=None) -> bytes:
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.mesh import AGENT_AXIS, data_axis_of
+
+        sh = NamedSharding(mesh, P(data_axis_of(mesh), AGENT_AXIS, None))
+        spec = jax.ShapeDtypeStruct((num_envs, n, 2), jnp.float32,
+                                    sharding=sh)
+    else:
+        if num_envs is not None:
+            step = jax.vmap(step)
+        lead = () if num_envs is None else (num_envs,)
+        spec = jax.ShapeDtypeStruct(lead + (n, 2), jnp.float32)
     exp = jax_export.export(
         jax.jit(step),
         platforms=tuple(platforms) if platforms is not None else None,
@@ -115,12 +159,25 @@ def export_policy_step(
     num_envs: Optional[int] = None,
     platforms: Optional[Sequence[str]] = None,
     steps: int = 1,
+    mesh=None,
 ) -> bytes:
     """Serialize the policy step for (num_envs?, N, 2) inputs.
 
     platforms: lowering targets (e.g. ["cpu", "tpu"] for a portable dense
     artifact); None = the current backend. Params are baked into the module
-    as constants — the blob is the whole deployment."""
+    as constants — the blob is the whole deployment.
+
+    mesh: serialize the MULTI-CHIP fleet step (make_fleet_step) with
+    sharded input/output layouts recorded in the artifact; requires
+    num_envs, and the serving site must provide the same device count
+    (jax.export records nr_devices)."""
+    if mesh is not None:
+        if num_envs is None:
+            raise ValueError("mesh export serves an env fleet: pass num_envs")
+        return _serialize(
+            make_fleet_step(env, apply_fn, params, mesh, steps=steps),
+            env.cfg.n, num_envs, platforms, mesh=mesh,
+        )
     return _serialize(
         make_policy_step(env, apply_fn, params, steps=steps),
         env.cfg.n, num_envs, platforms,

@@ -111,6 +111,46 @@ def test_export_multi_step_policy_matches_chained_single(tmp_path):
                                    rtol=1e-6, atol=1e-6)
 
 
+def test_export_fleet_on_mesh_matches_live(tmp_path):
+    """Multi-chip serving: the fleet step over a (data, agents) mesh
+    serializes with its sharded layouts, reloads, executes with sharded
+    outputs, and matches the live jitted step at fp32 exactness."""
+    from nenbody_tpu.parallel.mesh import make_mesh, place_state_on_mesh
+
+    env, apply_fn, params = _env_and_params()
+    mesh = make_mesh({"data": 2, "agents": 4})
+    blob = export_lib.export_policy_step(
+        env, apply_fn, params, num_envs=2, steps=2, mesh=mesh
+    )
+    step = export_lib.load_policy_step(blob)
+    live = jax.jit(export_lib.make_fleet_step(env, apply_fn, params, mesh,
+                                              steps=2))
+    st = place_state_on_mesh(spawn_batch(jax.random.key(4), env.cfg, 2), mesh)
+    got = step(st.pos, st.vel)
+    want = live(st.pos, st.vel)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=1e-6, atol=1e-7)
+    # the artifact records the device requirement
+    assert "agents" in str(got[0].sharding.spec)
+
+
+def test_export_mesh_requires_envs_and_policy(tmp_path, capsys):
+    from nenbody_tpu.cli import main
+    from nenbody_tpu.parallel.mesh import make_mesh
+
+    env, apply_fn, params = _env_and_params()
+    with pytest.raises(ValueError, match="num_envs"):
+        export_lib.export_policy_step(
+            env, apply_fn, params, mesh=make_mesh({"data": 2, "agents": 4})
+        )
+    rc = main([
+        "export", "--agents", "8", "--mesh", "2x4", "--out",
+        str(tmp_path / "x.nxs"),
+    ])
+    assert rc == 2 and "--policy" in capsys.readouterr().err
+
+
 def test_export_cli(tmp_path, capsys):
     from nenbody_tpu.cli import main
     from nenbody_tpu.utils import checkpoint as ck
