@@ -533,13 +533,32 @@ COMPACT_WHOLE_BLOCK = True
 # Output-equal at fp tolerances, NOT bit-identical: interval endpoints ride
 # a division fp route, the per-pixel tests an FMA route, so a pixel sitting
 # within ~1 ulp of an edge boundary may flip (tests pin vs the dense oracle
-# at the route's usual tolerances). Default off until silicon measures it.
-COMPACT_INTERVAL_HIT = False
+# at the route's usual tolerances).
+# Measured on v5e (r3 _wf_quick sweep, n100/w1024 + unroll 2): IH wins AA
+# decisively (139.8 -> 106.2 us/step with unroll; the precompacted union +
+# dropped far test) but COSTS the plain row ~5 us (100.9 vs 95.5 — plain's
+# 7->3 op diet is outweighed by the 6 extra operand lanes it loads), so the
+# default is PER-MODE: None routes AA rows through interval-hit and plain
+# rows through the FMA hit test; True/False force one route for both modes
+# (the A/B switch the flag tests pin).
+COMPACT_INTERVAL_HIT = None
 # groups evaluated per dynamic-loop iteration (the loop boundary costs ~50
 # cycles; at ~4 in-range groups per (eye, block) that rivals the eval work).
 # BIT-identical to 1 at any value — duplicate tail groups merge as no-ops
-# (see the unroll comment in _wireframe_compact_kernel). Swept on hardware.
-COMPACT_GROUP_UNROLL = 1
+# (see the unroll comment in _wireframe_compact_kernel). Swept on v5e
+# (r3 _wf_quick): 2 wins every shape (plain 105.7 -> 95.5 us, AA+IH
+# 116.0 -> 106.2); 4 only pays without IH's shorter bodies; 8 regresses
+# everywhere (duplicate-tail waste at ~4 in-range groups per block).
+COMPACT_GROUP_UNROLL = 2
+
+
+def _interval_hit(aa: bool) -> bool:
+    """Resolve the tri-state COMPACT_INTERVAL_HIT for a sprite row mode.
+    Every layout/kernel/prologue site MUST resolve through this one
+    function — the operand lane count, the kernel's hit test, and the
+    backward's recompute have to agree."""
+    ih = COMPACT_INTERVAL_HIT
+    return aa if ih is None else ih
 
 
 def _compact_field_count(aa: bool, has_alb: bool) -> int:
@@ -549,13 +568,13 @@ def _compact_field_count(aa: bool, has_alb: bool) -> int:
     then albedo, then the sprite-union interval (AA + INTERVAL_HIT only).
     The kernel indexes lanes with the same 4*ei / 12+2*ei /
     _compact_alb_idx arithmetic."""
-    ih = COMPACT_INTERVAL_HIT
+    ih = _interval_hit(aa)
     return (12 + (6 if (aa or ih) else 0) + (1 if has_alb else 0)
             + (2 if (aa and ih) else 0))
 
 
 def _compact_alb_idx(aa: bool) -> int:
-    return 12 + (6 if (aa or COMPACT_INTERVAL_HIT) else 0)
+    return 12 + (6 if (aa or _interval_hit(aa)) else 0)
 
 
 def _compact_group_eval(fld, u_p, u_lo_px, u_hi_px, cfg: VisionConfig,
@@ -568,7 +587,7 @@ def _compact_group_eval(fld, u_p, u_lo_px, u_hi_px, cfg: VisionConfig,
     depth, pays tuple of (sub, WB) winner payloads); `q_only` skips the
     payload selects (the backward's cheap pass-1 winner recompute)."""
     aa = cfg.antialias
-    ih = COMPACT_INTERVAL_HIT
+    ih = _interval_hit(aa)
     qfar = 1.0 / cfg.far
     qnear = 1.0 / cfg.near
     hp = 1.0 / cfg.width
@@ -1203,9 +1222,9 @@ def _compact_candidates(pos, dirs, tgt, hdg, cfg: VisionConfig, albedo,
         e_hi = jnp.where(valid, e_hi_v, -4.0)
         sp_lo = e_lo if sp_lo is None else jnp.minimum(sp_lo, e_lo)
         sp_hi = e_hi if sp_hi is None else jnp.maximum(sp_hi, e_hi)
-        if aa or COMPACT_INTERVAL_HIT:
+        if aa or _interval_hit(aa):
             iv_fields += [e_lo, e_hi]
-    if aa or COMPACT_INTERVAL_HIT:
+    if aa or _interval_hit(aa):
         fields += iv_fields
         sent += [4.0, -4.0] * 3
     if has_alb:
@@ -1294,7 +1313,7 @@ def _compact_candidates(pos, dirs, tgt, hdg, cfg: VisionConfig, albedo,
             )
     # under AA + INTERVAL_HIT the sprite-union pair doubles as the kernel's
     # last two field lanes (cov loads it instead of re-uniting per edge)
-    keep_union = aa and COMPACT_INTERVAL_HIT
+    keep_union = aa and _interval_hit(aa)
     if packed:
         spc_lo, spc_hi = comp[:, :, -2], comp[:, :, -1]
         fld = comp if keep_union else comp[:, :, :-2]  # [n, K, F]
