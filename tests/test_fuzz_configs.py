@@ -160,7 +160,9 @@ def test_fuzz_compact_flags_match_dense(i):
              wireframe.COMPACT_WB, wireframe.COMPACT_PACKED_FIELDS,
              wireframe.COMPACT_WHOLE_BLOCK)
     try:
-        wireframe.COMPACT_INTERVAL_HIT = bool(rng.randint(2))
+        # tri-state: None is the shipping default (per-mode routing) and
+        # must be fuzzed too, not only exercised by untouched-default tests
+        wireframe.COMPACT_INTERVAL_HIT = [None, False, True][rng.randint(3)]
         wireframe.COMPACT_GROUP_UNROLL = int(rng.choice([1, 2, 4]))
         # 1024 engages only when the width divides (the ladder falls back)
         wireframe.COMPACT_WB = int(rng.choice([256, 512, 1024]))

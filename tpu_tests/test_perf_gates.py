@@ -483,6 +483,7 @@ def test_wireframe_compact_diff_silicon_parity():
         )
 
 
+@requires_tpu
 def test_wireframe_compact_diff_narrow_silicon_parity():
     """COMPACT_DIFF_NARROW on real silicon: the narrow-row diff route runs
     the compact kernels with sub-128-lane pixel blocks (W=64 pads to 128
