@@ -500,21 +500,34 @@ COMPACT_SUB = 8
 COMPACT_UNROLL = 8
 # above COMPACT_SORT_MIN_M targets, the prologue compacts with one stable
 # multi-operand co-sort instead of the comparison-count rank + one-hot
-# contraction (O(n m^2) + O(n m K F), both measured fine at m <= 256 but
-# quadratic/cubic past it); COMPACT_SORT_MAX_M bounds the kernel's
-# all-candidates VMEM block (te*K per field column)
-COMPACT_SORT_MIN_M = 256
-COMPACT_SORT_MAX_M = 4096
+# contraction; COMPACT_SORT_MAX_M bounds the kernel's all-candidates VMEM
+# block (te*K per field column). The sort edition was built to scale past
+# the rank's O(n m^2) / the one-hot's O(n m K F), but the r4 silicon
+# decomposition (_wf_prolog_quick.py) measured it 2.5x FASTER at m=100 too
+# (AA prologue 36.5 -> 14.2 us/step: the rank edition lowers to ~20 small
+# launch-bound fused kernels, the variadic lax.sort to a handful), which is
+# what finally put the full reference-parity AA eye over the BASELINE 1e6
+# line (107.0 -> 90.4 us/step). Default 0 = always sort; the rank edition
+# stays as the bit-identical cross-check (pinned by
+# tests/test_wireframe_kernel.py::test_compact_sort_prologue_bit_identical).
+COMPACT_SORT_MIN_M = 0
+# 1024: te=8 x K=1024 field blocks are 2 x 4 MB double-buffered = 8.4 MB
+# VMEM in the FORWARD (measured working, r4); K=2048 would be 16.8 MB and
+# die in the Mosaic compile helper exactly like the un-chunked backward
+# did. Routing m > 1024 wide rows falls back to streaming until the
+# forward grows the same candidate-chunking the backward has.
+COMPACT_SORT_MAX_M = 1024
 # operand layout A/B (hardware sweep via _wf_quick.py):
 # PACKED_FIELDS=True feeds the kernel ONE [TE*K, F] candidate-major operand
-# (a single contiguous reshape in the prologue) instead of F per-field
-# [TE*K, 1] columns (~20 slice-copy fusions per step — the measured ~30 us
-# XLA launch floor at N=100/W=1024). WHOLE_BLOCK=True additionally loads one
-# (sub, F) block per group iteration and extracts fields with STATIC lane
-# slices; False keeps per-field dynamic (sub, 1) loads from the packed
-# operand. CAUTION: an earlier [TE, K, F]-packed lane-sliced variant
-# measured 3x SLOWER end-to-end — this one loads each block once and slices
-# in registers, but keep the flags until silicon confirms.
+# instead of F per-field [TE*K, 1] columns. WHOLE_BLOCK=True additionally
+# loads one (sub, F) block per group iteration and extracts fields with
+# STATIC lane slices; False keeps per-field dynamic (sub, 1) loads.
+# History: packed won under the r3 RANK prologue (unpacked added ~20
+# per-field slice-copy fusions — the measured ~30 us XLA launch floor).
+# r4 re-tested unpacked under the sort prologue (the co-sort's outputs ARE
+# per-field columns, zero packing work) and it LOST anyway: the kernel-side
+# per-field [TE*K, 1] operand DMAs cost far more than the packed stack
+# (measured 145 vs 90 us/step at the reference AA shape). Packed stays.
 COMPACT_PACKED_FIELDS = True
 COMPACT_WHOLE_BLOCK = True
 # op-diet A/B (hardware sweep via _wf_quick.py): INTERVAL_HIT=True swaps the
@@ -948,6 +961,18 @@ def _compact_diff_route_ok(cfg: VisionConfig, m: int) -> bool:
     )
 
 
+# the backward chunks its candidate axis so the (te*K_c, F) field block +
+# the dfld accumulator fit VMEM: VMEM tiles are (8, 128) f32, so each block
+# occupies te*K_c*128*4 bytes REGARDLESS of F (~20 lanes used of 128), and
+# Mosaic double-buffers both. Found on silicon (r4): the un-chunked
+# backward at te=8, K=1024 is 2 x 4 MB x 2 = 16 MB and the Mosaic compile
+# helper dies; te=8, K_c=512 is 8.4 MB and compiles. Chunks are
+# independent because the kernel's local-winner-vs-final-depth gate (built
+# for the ring's cross-block hops) already rejects pixels whose global
+# winner lives in another chunk.
+COMPACT_BWD_K_CHUNK = 512
+
+
 def _compact_wb(cfg: VisionConfig) -> int:
     """Pixel-block width ladder, shared by the compact forward launcher,
     the compact backward launcher, and the prologue group-range builders —
@@ -1195,103 +1220,137 @@ def _compact_candidates(pos, dirs, tgt, hdg, cfg: VisionConfig, albedo,
     has_alb = albedo is not None
     sub = COMPACT_SUB
     t = math.tan(math.radians(cfg.hfov_deg) * 0.5)
-    f_v, l_v = _project_verts_all(pos, dirs, tgt, hdg, cfg, m)
+    # pad TARGET SLOTS to K before the field computation (r4): padded slots
+    # project degenerate (f=-1, l=0), fail `member`, carry their sentinels
+    # from the pre-sentinel pass below, and stable-sort behind every real
+    # entry (ties at the +4 sentinel key break by index) — BIT-identical to
+    # the old pad-the-compacted-array-after structure (pinned by the
+    # sort-vs-rank and interpret-vs-dense tests) without materializing the
+    # [n, K, F] operand twice. Eyes stay UNPADDED here: padding them first
+    # was measured slower (the kernel would run real work on pad rows, and
+    # the eye-pad of the compacted operand is one small fused copy).
+    f_v, l_v = _project_verts_all(pos, dirs, tgt, hdg, cfg, K)
 
-    fields = []
-    sent = []
-    iv_fields = []  # per-edge (e_lo, e_hi), appended AFTER the 12 constants
-    sp_lo = sp_hi = None
-    for a, b in SPRITE_EDGES:
-        fa, la, fb, lb = f_v[a], l_v[a], f_v[b], l_v[b]
-        df = fb - fa
-        dl = lb - la
-        k_c = fa * dl - la * df
-        ok_k = jnp.abs(k_c) > 1e-30
-        inv_k = 1.0 / jnp.where(ok_k, k_c, 1.0)
-        valid, e_lo_v, e_hi_v, _, _ = _edge_slab_interval(fa, la, fb, lb, t, cfg)
-        gate = (ok_k & valid) if aa else ok_k
-        zero = jnp.zeros_like(k_c)
-        fields += [
-            jnp.where(gate, dl * inv_k, zero),  # A
-            jnp.where(gate, -(df * inv_k) * t, zero),  # Bu
-            jnp.where(gate, -(la * inv_k), zero),  # C
-            jnp.where(gate, (fa * inv_k) * t, zero),  # Du
-        ]
-        sent += [0.0, 0.0, 0.0, 0.0]
-        e_lo = jnp.where(valid, e_lo_v, 4.0)
-        e_hi = jnp.where(valid, e_hi_v, -4.0)
-        sp_lo = e_lo if sp_lo is None else jnp.minimum(sp_lo, e_lo)
-        sp_hi = e_hi if sp_hi is None else jnp.maximum(sp_hi, e_hi)
+    def build_fields(f_v, l_v, alb_col):
+        """Per-edge field columns + sentinel list from per-vert projections.
+        ONE function for both the pre-sort pass (member/key) and the sort
+        edition's post-sort recompute — the same op sequence on the same
+        (reordered) values is bit-identical, which is what lets the sort
+        carry only the 6 vert columns (see below)."""
+        fields = []
+        sent = []
+        iv_fields = []  # per-edge (e_lo, e_hi), AFTER the 12 constants
+        sp_lo = sp_hi = None
+        for a, b in SPRITE_EDGES:
+            fa, la, fb, lb = f_v[a], l_v[a], f_v[b], l_v[b]
+            df = fb - fa
+            dl = lb - la
+            k_c = fa * dl - la * df
+            ok_k = jnp.abs(k_c) > 1e-30
+            inv_k = 1.0 / jnp.where(ok_k, k_c, 1.0)
+            valid, e_lo_v, e_hi_v, _, _ = _edge_slab_interval(
+                fa, la, fb, lb, t, cfg
+            )
+            gate = (ok_k & valid) if aa else ok_k
+            zero = jnp.zeros_like(k_c)
+            fields += [
+                jnp.where(gate, dl * inv_k, zero),  # A
+                jnp.where(gate, -(df * inv_k) * t, zero),  # Bu
+                jnp.where(gate, -(la * inv_k), zero),  # C
+                jnp.where(gate, (fa * inv_k) * t, zero),  # Du
+            ]
+            sent += [0.0, 0.0, 0.0, 0.0]
+            e_lo = jnp.where(valid, e_lo_v, 4.0)
+            e_hi = jnp.where(valid, e_hi_v, -4.0)
+            sp_lo = e_lo if sp_lo is None else jnp.minimum(sp_lo, e_lo)
+            sp_hi = e_hi if sp_hi is None else jnp.maximum(sp_hi, e_hi)
+            if aa or _interval_hit(aa):
+                iv_fields += [e_lo, e_hi]
         if aa or _interval_hit(aa):
-            iv_fields += [e_lo, e_hi]
-    if aa or _interval_hit(aa):
-        fields += iv_fields
-        sent += [4.0, -4.0] * 3
-    if has_alb:
-        fields.append(jnp.broadcast_to(albedo[None, :], (n, m)))
-        sent.append(0.0)
-    # the last two "fields" are the sprite interval, compacted for the
-    # group-bound computation below and NOT passed to the kernel (in AA
-    # mode the kernel re-unions the per-edge intervals itself)
-    fields += [sp_lo, sp_hi]
-    sent += [4.0, -4.0]
+            fields += iv_fields
+            sent += [4.0, -4.0] * 3
+        if has_alb:
+            fields.append(alb_col)
+            sent.append(0.0)
+        # the last two "fields" are the sprite interval, compacted for the
+        # group-bound computation below and NOT passed to the kernel (in AA
+        # mode the kernel re-unions the per-edge intervals itself)
+        fields += [sp_lo, sp_hi]
+        sent += [4.0, -4.0]
+        return fields, sent, sp_lo, sp_hi
+
+    alb_col = (
+        jnp.broadcast_to(pad_axis(albedo, K)[None, :], (n, K))
+        if has_alb else None
+    )
+
+    # pre-sort pass: only the sprite union interval, for member/key (the
+    # sort edition recomputes the full field set post-sort; the rank
+    # edition reuses this pass's fields directly)
+    fields, sent, sp_lo, sp_hi = build_fields(f_v, l_v, alb_col)
 
     # a sprite can only touch pixels whose +-half-pixel box its margin-padded
     # interval overlaps; the margin absorbs the prologue-vs-kernel fp routes
     # (shared here, so only XLA fusion reassociation) plus the AA box
     margin = 1.0 / cfg.width + 1e-3
-    member = (sp_lo <= 1.0 + margin) & (sp_hi >= -1.0 - margin)  # [n, m]
+    member = (sp_lo <= 1.0 + margin) & (sp_hi >= -1.0 - margin)  # [n, K]
 
     key = jnp.where(member, sp_lo, 4.0)
     if use_sort:
-        # one STABLE multi-operand co-sort moves every field column into
-        # screen order without gathers; stable + non-members keyed at the
-        # +4 sentinel reproduces the rank path's (key, index) order
-        # exactly, so the two prologues are bit-identical (pinned by
-        # tests/test_wireframe_kernel.py) — this path just scales past the
-        # rank's O(n*m^2) / the one-hot's O(n*m*K*F)
+        # one STABLE co-sort moves candidates into screen order without
+        # gathers; stable + non-members keyed at the +4 sentinel reproduces
+        # the rank path's (key, index) order exactly, so the two prologues
+        # are bit-identical (pinned by tests/test_wireframe_kernel.py).
+        # Measured faster at EVERY m on silicon (r4 _wf_prolog_quick: the
+        # rank edition lowers to ~20 small launch-bound kernels). r4
+        # refinement: sort carries only the 6 PER-VERT projection columns
+        # (pre-sentineled to the degenerate behind-the-eye encoding for
+        # non-members — the same f=-1/l=0 that _project_verts_all gives
+        # padded/coincident targets) plus key and albedo, and the per-edge
+        # constants/intervals are recomputed from the sorted verts: the
+        # identical op sequence on identical (reordered) values is
+        # bit-identical, degenerate verts reproduce every field sentinel
+        # exactly (k_c=0 -> constants 0; slab-invalid -> +-4 intervals),
+        # and the sort — the prologue's dominant cost, linear in operand
+        # count — shrinks from F+2 ~ 15-22 columns to 7-8.
+        vert_cols = []
+        for v in range(3):
+            vert_cols.append(jnp.where(member, f_v[v], -1.0))
+            vert_cols.append(jnp.where(member, l_v[v], 0.0))
+        sort_ops = [key] + vert_cols
+        if has_alb:
+            sort_ops.append(jnp.where(member, alb_col, 0.0))
         ops = jax.lax.sort(
-            [key] + fields + [member.astype(jnp.float32)],
-            dimension=1, is_stable=True, num_keys=1,
+            sort_ops, dimension=1, is_stable=True, num_keys=1,
         )
-        filled = ops[-1] > 0.5  # [n, m]
+        sf_v = [ops[1], ops[3], ops[5]]
+        sl_v = [ops[2], ops[4], ops[6]]
+        salb = ops[7] if has_alb else None
+        fields, _, _, _ = build_fields(sf_v, sl_v, salb)
         if packed:
-            comp = jnp.stack(ops[1:-1], axis=-1)  # [n, m, F+2] screen-ordered
-            if K != m:
-                comp = jnp.pad(comp, ((0, 0), (0, K - m), (0, 0)))
-                filled = jnp.pad(filled, ((0, 0), (0, K - m)))
-            comp = jnp.where(
-                filled[:, :, None], comp, jnp.asarray(sent, jnp.float32)
-            )
+            comp = jnp.stack(fields, axis=-1)  # [n, K, F+2] ordered
         else:
-            comp = jnp.stack(ops[1:-1], axis=0)  # [F+2, n, m] screen-ordered
-            if K != m:
-                comp = jnp.pad(comp, ((0, 0), (0, 0), (0, K - m)))
-                filled = jnp.pad(filled, ((0, 0), (0, K - m)))
-            comp = jnp.where(
-                filled[None, :, :], comp,
-                jnp.asarray(sent, jnp.float32)[:, None, None],
-            )
+            comp = jnp.stack(fields, axis=0)  # [F+2, n, K] ordered
     else:
         # rank members by (interval left edge, index) via comparison
-        # counting — O(n*m^2) elementwise beats a sort primitive at this
-        # route's m <= 256
-        idx = jnp.arange(m)
-        key_t = key[:, :, None]  # [n, t, 1]
-        key_j = key[:, None, :]  # [n, 1, j]
+        # counting — the bit-identical cross-check edition (the sort wins
+        # on silicon at every m, see above)
+        idx = jnp.arange(K)
+        key_t = key[:, :, None]  # [n_pad_e, t, 1]
+        key_j = key[:, None, :]  # [n_pad_e, 1, j]
         rank = jnp.sum(
             (key_j < key_t)
             | ((key_j == key_t) & (idx[None, None, :] < idx[None, :, None])),
             axis=2,
             dtype=jnp.int32,
-        )  # [n, m]
+        )  # [n_pad_e, K]
         onehot = (
             member[:, :, None]
             & (rank[:, :, None] == jnp.arange(K)[None, None, :])
-        ).astype(jnp.float32)  # [n, m, K]
+        ).astype(jnp.float32)  # [n_pad_e, K, K]
 
-        fstack = jnp.stack(fields, axis=-1)  # [n, m, F+2]
-        filled = jnp.sum(onehot, axis=1) > 0.5  # [n, K]
+        fstack = jnp.stack(fields, axis=-1)  # [n_pad_e, K, F+2]
+        filled = jnp.sum(onehot, axis=1) > 0.5  # [n_pad_e, K]
         if packed:
             comp = jnp.einsum(
                 "etk,etf->ekf", onehot, fstack,
@@ -1375,8 +1434,8 @@ def _render_compact_outs(pos, dirs, tgt, hdg, cfg: VisionConfig, te, albedo,
     aa = cfg.antialias
     wb = _compact_wb(cfg)
     P = cfg.width // wb
-    n_pad_e = round_up(n, te)
     K = round_up(m, COMPACT_SUB)
+    n_pad_e = round_up(n, te)
     F = _compact_field_count(aa, has_alb)
     n_out = _wf_num_outputs(raw, has_alb, aa)
     fld, ks, ke = _compact_candidates(
@@ -1619,7 +1678,17 @@ def _compact_bwd_call(fld, ks, ke, depth, cots, cfg: VisionConfig,
     """Launch _compact_bwd_kernel: (packed fld, group ranges, forward depth,
     cotangent rows in forward-output order) -> dfld [n_pad_e*K, F]. `wb`
     MUST be the pixel-block width the prologue baked into ks/ke (callers
-    pass their _compact_wb)."""
+    pass their _compact_wb).
+
+    K > COMPACT_BWD_K_CHUNK splits the CANDIDATE axis across independent
+    kernel launches (the VMEM cap — see the chunk constant's comment): each
+    chunk's pass-1 recompute finds its chunk-LOCAL winner and the existing
+    local-winner-vs-final-depth gate rejects pixels whose global winner
+    lives in another chunk — exactly the ring cross-hop semantics, so a
+    cross-chunk EXACT depth tie between distinct sprites can double-seed
+    (measure-zero for fp32 scenes, the same documented edge as in-kernel
+    ties). Found on silicon (r4): without this, the narrow RL diff shape
+    (N=1024) could not compile at all."""
     F = _compact_field_count(cfg.antialias, has_alb)
     n_cot = _wf_num_outputs(raw, has_alb, cfg.antialias)
     assert len(cots) == n_cot, (len(cots), n_cot)
@@ -1627,6 +1696,29 @@ def _compact_bwd_call(fld, ks, ke, depth, cots, cfg: VisionConfig,
     n_pad_e = fld.shape[0] // K
     dep = pad_axis(depth, n_pad_e)
     cotp = [pad_axis(c, n_pad_e) for c in cots]  # zero cots on padded eyes
+
+    if K > COMPACT_BWD_K_CHUNK:
+        sub = COMPACT_SUB
+        kc = COMPACT_BWD_K_CHUNK
+        fld3 = fld.reshape(n_pad_e, K, F)
+        parts = []
+        for c0 in range(0, K, kc):
+            k_c = min(kc, K - c0)
+            g0 = c0 // sub
+            g1 = (c0 + k_c) // sub
+            # clamp-shift the group ranges into this chunk's frame; ranges
+            # disjoint from the chunk clamp to an empty [g, g) loop
+            ksc = jnp.clip(ks, g0, g1) - g0
+            kec = jnp.clip(ke, g0, g1) - g0
+            fldc = fld3[:, c0:c0 + k_c].reshape(n_pad_e * k_c, F)
+            parts.append(
+                _compact_bwd_call(
+                    fldc, ksc, kec, depth, cots, cfg, k_c, te, wb,
+                    raw=raw, has_alb=has_alb,
+                ).reshape(n_pad_e, k_c, F)
+            )
+        return jnp.concatenate(parts, axis=1).reshape(n_pad_e * K, F)
+
     kernel = functools.partial(
         _compact_bwd_kernel, cfg=cfg, n_fields=F, K=K, raw=raw,
         has_alb=has_alb,

@@ -191,11 +191,15 @@ def test_compact_diff_sorted_prologue_gradients_bit_equal():
         sh, dep = wireframe.render_rows_wireframe_diff(p, v, cfg)
         return jnp.sum(sh * cu) + jnp.sum(dep * cd)
 
-    g_rank = jax.grad(loss, argnums=(0, 1))(pos, vel)
     old = wireframe.COMPACT_SORT_MIN_M
     try:
-        wireframe.COMPACT_SORT_MIN_M = 8  # force use_sort at m=16
+        # r4 made always-sort the default, so force the RANK edition for
+        # the cross-check arm (it exists exactly for pins like this one)
+        wireframe.COMPACT_SORT_MIN_M = 1 << 30
         jax.clear_caches()  # trace-time global, not a jit key
+        g_rank = jax.grad(loss, argnums=(0, 1))(pos, vel)
+        wireframe.COMPACT_SORT_MIN_M = 8  # force use_sort at m=16
+        jax.clear_caches()
         g_sort = jax.grad(loss, argnums=(0, 1))(pos, vel)
     finally:
         wireframe.COMPACT_SORT_MIN_M = old
@@ -356,6 +360,41 @@ def test_compact_diff_narrow_matches_dense_autodiff(monkeypatch, request):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-4, err_msg=name)
     assert (np.abs(np.asarray(gk[1])) > 0).any()
+
+
+def test_compact_bwd_candidate_chunking_matches_unchunked(monkeypatch,
+                                                          request):
+    """K > COMPACT_BWD_K_CHUNK splits the backward's candidate axis across
+    kernel launches (the r4 VMEM fix: te=8 x K=1024 field blocks blew the
+    Mosaic compile on silicon). The chunk-local-winner gate must route the
+    same cotangents as one unchunked launch — pin chunked (tiny chunk so
+    CPU interpret stays cheap) against unchunked gradients on the same
+    scene; cross-chunk exact ties are measure-zero for random spawns."""
+    monkeypatch.setattr(wireframe, "COMPACT_DIFF_NARROW", True)
+    jax.clear_caches()  # trace-time globals, not jit keys
+    request.addfinalizer(jax.clear_caches)
+    cfg = VisionConfig(width=64, sprite_mode="wireframe", antialias=True,
+                       far=200.0)
+    n = 96
+    assert wireframe._compact_diff_route_ok(cfg, n)
+    pos, vel = _scene(jax.random.key(11), n)
+    ku, kd = jax.random.split(jax.random.key(21))
+    cu = jax.random.normal(ku, (n, cfg.width), jnp.float32)
+    cd = 0.01 * jax.random.normal(kd, (n, cfg.width), jnp.float32)
+
+    def loss_k(p, v):
+        sh, dep = wireframe.render_rows_wireframe_diff(p, v, cfg)
+        return jnp.sum(sh * cu) + jnp.sum(dep * cd)
+
+    g_one = jax.grad(loss_k, argnums=(0, 1))(pos, vel)
+    monkeypatch.setattr(wireframe, "COMPACT_BWD_K_CHUNK", 32)  # 3 chunks
+    jax.clear_caches()
+    g_chunk = jax.grad(loss_k, argnums=(0, 1))(pos, vel)
+    for a, b, name in zip(g_chunk, g_one, ("pos", "vel")):
+        np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b), err_msg=name
+        )
+    assert (np.abs(np.asarray(g_chunk[0])) > 0).any()
 
 
 @pytest.mark.slow

@@ -292,25 +292,57 @@ def test_wireframe_reference_config_gates():
     antialiased (main.rs:652), skin-textured (main.rs:322-356) eye at the
     shipping N=100 — through the compacted-candidate kernel.
 
-    Measured on v5e after the r3 flag sweep picked the shipping defaults
-    (_wf_quick: COMPACT_GROUP_UNROLL=2 everywhere, interval-hit on AA rows
-    only): plain 1.047e6 (the BASELINE >=1e6 line, met with the EXACT
-    sprite at the reference's own width), +AA 9.4e5, +AA+texture 8.3e5
-    agent-frames/s — 17-21x the reference's own ~5e4 cap (500 frames/s at
-    N=100, main.rs:837-845). The AA shapes sit ~6-17% under 1e6: the XLA
-    candidate prologue alone measures ~54 us of the ~106 us AA step
-    (DESIGN.md §4f has the breakdown), so the remaining line is a
-    prologue-fusion problem, not kernel op-mix. Gates hold plain AT the
-    1e6 BASELINE line (measured +4.7% over it; slope spread ~3%) and the
-    AA shapes ~12% under their measurements."""
+    Measured on v5e after the r4 prologue rework (DESIGN.md §4f: the
+    always-sort compaction prologue carrying only the 6 per-vert projection
+    columns, per-edge fields recomputed bit-identically post-sort): plain
+    1.451e6, +AA 1.264e6, +AA+texture 1.098e6 agent-frames/s — ALL THREE
+    now over the BASELINE 1e6 line with the EXACT sprite at the reference's
+    own width, 22-29x the reference's own ~5e4 cap (500 frames/s at N=100,
+    main.rs:837-845). Floors sit ~9-14% under measurement; the full-parity
+    aatex shape holds AT the 1e6 BASELINE line."""
     plain = _wireframe_ref_rate(aa=False, texture=False)
     assert plain >= 1e6, f"wireframe n100/w1024 rate {plain:.3e} < 1e6"
+    assert plain >= 1.25e6, (
+        f"regression: wireframe n100/w1024 rate {plain:.3e} < 1.25e6 "
+        f"(was ~1.45e6)"
+    )
     aa = _wireframe_ref_rate(aa=True, texture=False)
-    assert aa >= 8.2e5, f"wireframe+AA n100/w1024 rate {aa:.3e} < 8.2e5"
+    assert aa >= 1.1e6, f"wireframe+AA n100/w1024 rate {aa:.3e} < 1.1e6 (was ~1.26e6)"
     aatex = _wireframe_ref_rate(aa=True, texture=True)
-    assert aatex >= 7.3e5, f"wireframe+AA+tex n100/w1024 rate {aatex:.3e} < 7.3e5"
+    assert aatex >= 1e6, (
+        f"wireframe+AA+tex n100/w1024 rate {aatex:.3e} < 1e6 (the BASELINE "
+        f"line at the FULL reference-parity eye; was ~1.10e6)"
+    )
     # the "beats the reference at its own configuration" line: >= 10x its hw
     assert aatex >= 10 * 5e4, f"full-parity rate {aatex:.3e} < 10x reference"
+
+
+@requires_tpu
+def test_wireframe_wide_stress_gate():
+    """VERDICT r3 #5: the many-target wide-eye stress shape — N=1,024
+    agents x 1,024-px antialiased wireframe eyes (main.rs:653's 2048-entity
+    ambition x main.rs:694's eye width) — was the only benched shape with
+    no regression protection. Measured on v5e: 4.7e4 full-work (r2) ->
+    9.8e4 sorted compaction (r3) -> 1.59e5 after the r4 verts-only sort
+    prologue. Gate ~18% under."""
+    from nenbody_tpu.config import VisionConfig
+    from nenbody_tpu.ops import wireframe
+
+    vcfg = VisionConfig(width=1024, sprite_mode="wireframe", antialias=True)
+    kp, kv = jax.random.split(jax.random.key(13))
+    pos = jax.random.uniform(kp, (1024, 2), minval=-100, maxval=100,
+                             dtype=jnp.float32)
+    vel = jax.random.uniform(kv, (1024, 2), minval=-1, maxval=1,
+                             dtype=jnp.float32)
+
+    def body(c):
+        p, v = c
+        s = wireframe.render_rows_wireframe_tiled(p, v, vcfg)[0]
+        return p + 1e-7 * s[:, :2], v
+
+    dt = _scan_time(body, (pos, vel), steps=20, sync=lambda c: c[0][:1])
+    rate = 1024 / dt
+    assert rate >= 1.3e5, f"wide-stress wireframe rate {rate:.3e} < 1.3e5"
 
 
 @requires_tpu
