@@ -306,6 +306,29 @@ def main():
     )
     vision_fps_batched = benvs * bn / dt_v
 
+    # same batched datagen config through the EXACT sprite (env axis folded
+    # into the Pallas grid — ops.wireframe.render_rows_wireframe_batched;
+    # VERDICT r3 #8: vmap serialized per-env instances ~3 orders under this)
+    from nenbody_tpu.ops import wireframe as _wf
+
+    wcfg = VisionConfig(width=bw, sprite_mode="wireframe", antialias=True)
+
+    @jax.jit
+    def vis_roll_batched_wf(c):
+        p, v = c
+
+        def body(p, _):
+            s = _wf.render_rows_wireframe_batched(p, v, wcfg)[0]
+            return p + 1e-7 * s[..., :2], ()
+
+        p, _ = jax.lax.scan(body, p, None, length=kv_steps)
+        return p, v
+
+    vision_fps_batched_wf = _rate_or_zero(
+        vis_roll_batched_wf, (bpos, bvel), benvs * bn, kv_steps,
+        "vision-batched-wireframe", 6, compile_times,
+    )
+
     # -- vision: single-env shapes --------------------------------------------
     k1 = 100 if on_tpu else 2
     vision_fps_single = vis_shape(1024, 64, k1, "vision-n1024-w64")
@@ -482,6 +505,7 @@ def main():
                     "gravity_pair_evals_per_s_approx_reciprocal": pair_evals_fast,
                     "boids_pair_evals_per_s": boids_pairs_per_s,
                     "vision_agent_frames_per_s_batched_1024x256_w64": vision_fps_batched,
+                    "vision_agent_frames_per_s_wireframe_batched_1024x256_w64": vision_fps_batched_wf,
                     "vision_agent_frames_per_s_n1024_w64": vision_fps_single,
                     "vision_agent_frames_per_s_wireframe_n1024_w64": vision_fps_wireframe,
                     "vision_agent_frames_per_s_n100_w1024": vision_fps_ref100,
@@ -499,6 +523,11 @@ def main():
                     "vision_vs_1e6_target": vision_fps_batched / 1e6,
                     "vision_single_vs_1e6_target": vision_fps_single / 1e6,
                     "compile_seconds": compile_times,
+                    # VERDICT r3 #7: every benched label must stay under a
+                    # 30 s warm-cache compile; the max makes regressions
+                    # one-glance visible
+                    "compile_seconds_max": max(compile_times.values())
+                    if compile_times else 0.0,
                     "backend_init_s": backend_init_s,
                     "gravity_warm_load_s": gravity_warm_load_s,
                     "compilation_cache_dir": cache_dir,

@@ -563,6 +563,13 @@ COMPACT_INTERVAL_HIT = None
 # 116.0 -> 106.2); 4 only pays without IH's shorter bodies; 8 regresses
 # everywhere (duplicate-tail waste at ~4 in-range groups per block).
 COMPACT_GROUP_UNROLL = 2
+# many-target (G >= COMPACT_MANY_G groups) forward launches unroll deeper:
+# long group ranges amortize the ~50-cycle dynamic loop boundary (r4 v5e
+# sweep at N=1024/W=1024 AA: R=2 1.64e5, R=4 1.82e5, R=6 1.88e5, R=8
+# 1.88e5 — the plateau says the boundary is amortized by 6; R at the
+# few-target reference shapes stays COMPACT_GROUP_UNROLL)
+COMPACT_GROUP_UNROLL_MANY = 6
+COMPACT_MANY_G = 64
 
 
 def _interval_hit(aa: bool) -> bool:
@@ -692,6 +699,7 @@ def _wireframe_compact_kernel(
     K: int,
     has_alb: bool = False,
     raw: bool = False,
+    group_unroll: int | None = None,
 ):
     """Compacted-candidate inverse-depth wireframe kernel for few-target
     wide rows (the reference's own N=100 x W=1024 eye, src/main.rs:654+694).
@@ -806,7 +814,8 @@ def _wireframe_compact_kernel(
         )
         ks = ks_ref[e, p]
         ke = ke_ref[e, p]
-        if COMPACT_GROUP_UNROLL <= 1:
+        R_cfg = COMPACT_GROUP_UNROLL if group_unroll is None else group_unroll
+        if R_cfg <= 1:
             acc_q, acc_p = jax.lax.fori_loop(ks, ke, grp, init)
         else:
             # unrolled group loop: the dynamic-bound loop boundary costs
@@ -818,7 +827,7 @@ def _wireframe_compact_kernel(
             # and the tail clamps to the LAST in-range group, whose
             # duplicate max/strict-greater merges are no-ops. Clamping to
             # ke-1 (not G-1) keeps the loop inside this eye's slots.
-            R = COMPACT_GROUP_UNROLL
+            R = R_cfg
             last = jnp.maximum(ks, ke - 1)  # ks==ke: empty loop, unused
 
             def grp_r(i, carry):
@@ -933,17 +942,25 @@ def _compact_route_ok(cfg: VisionConfig, m: int) -> bool:
     )
 
 
-# narrow-row compact DIFF route (r3, unmeasured on hardware): the streaming
-# backward costs ~constant-per-(eye, target-chunk) FULL n x m vjp work at
-# ANY width, so at the RL observation shape (N=1024 agents, W=64 rows) the
-# diff path measured only ~1.2e4 agent-frames/s while the FORWARD is fine.
-# The compact backward inherits group-range culling (~4x at spawn
-# visibility) and the cheap inverse-depth winner recompute; even with
-# 64-of-128 lane padding the cycle model says ~10x. Narrow rows stay OFF
-# the plain forward route (streaming wins there) — this flag widens ONLY
-# render_rows_wireframe_diff / the textured diff, where the backward
-# dominates. Default False until the silicon parity test + sweep
-# (_wf_diff_quick.py) validate the sub-128-lane Mosaic lowering.
+# narrow-row compact DIFF route (r3): the streaming backward costs
+# ~constant-per-(eye, target-chunk) FULL n x m vjp work at ANY width, so at
+# the RL observation shape (N=1024 agents, W=64 rows) the diff path
+# measured only ~1.2e4 agent-frames/s while the FORWARD is fine. The
+# compact backward inherits group-range culling and the cheap inverse-depth
+# winner recompute; the cycle model said ~10x.
+#
+# MEASURED NEGATIVE (r4, v5e) — stays False:
+# - perf: 1.32e4 vs 1.14e4 af/s at N=1024/W=64 — +16%, not 10x. W=64 is ONE
+#   pixel block, so the per-(eye, block) group ranges cover every visible
+#   candidate and the culling that pays at wide rows never engages; what
+#   remains is the op-diet win minus the sort-prologue cost.
+# - parity: at cluttered scenes (n=256, spread 100) the compact fp route
+#   flips near-tie winners vs dense autodiff on whole pixels: 4.1% of vel
+#   grad entries off at 2e-4 tolerance ON SILICON, 4.7% on CPU interpret —
+#   route-inherent (NOT a Mosaic lowering bug; the r3 n=64 clean-scene pin
+#   passed because clutter drives tie density). The streaming backward's
+#   trusted-depth route (bit-identical winner recompute) is exact by
+#   construction and is the shipped default instead (+18%, same order).
 COMPACT_DIFF_NARROW = False
 COMPACT_DIFF_NARROW_MIN_M = 32  # below: tiny scenes, streaming bwd is fine
 
@@ -1188,6 +1205,173 @@ def _stream_outs(pos, dirs, tgt, hdg, cfg: VisionConfig, te, tj, wb, albedo,
         interpret=interpret_mode(),
     )(*args)
     return list(outs)
+
+
+# batched routing: per-field f32 element budget for letting the vmapped
+# raster path materialize its 6 [B, n_pad, m_pad] projection tensors
+# (1 << 26 elems = 256 MB/field, ~1.6 GB total — comfortable in 16 GB HBM
+# alongside RL trajectories). Above it, the env axis folds into the
+# streaming kernel's grid instead (HBM stays at [B*N] position columns).
+BATCHED_RASTER_MAX_ELEMS = 1 << 26
+
+
+def render_rows_wireframe_batched(
+    pos: jax.Array,
+    vel: jax.Array,
+    cfg: VisionConfig,
+    te: int = EYES_PER_PROGRAM,
+    tj: int = TILE_J,
+    albedo: jax.Array | None = None,
+    texture: jax.Array | None = None,
+    force_streaming: bool = False,
+):
+    """Batched-env exact-sprite rendering: pos, vel [B, N, 2] ->
+    (shade, depth) [B, N, W], each env self-rendered against its own
+    sprites — the RL observation hot path (the reference renders all N
+    eyes per frame in one pass, src/main.rs:584-647; batched RL adds the
+    env axis on top).
+
+    Two routes, picked by memory footprint (r4, measured on v5e at the
+    RL shape class B=1024 x n=256 x W=64):
+
+    - RASTER-VMAP (default while the 6 per-vert projection tensors fit
+      BATCHED_RASTER_MAX_ELEMS): jax.vmap over the single-env tiled
+      launcher. vmap's pallas batching rule prepends the env axis as a
+      leading GRID dimension, so this is already one fused launch over
+      all B*N eyes — 2.0e6 af/s, vs 3.2e5 for the hand-folded streaming
+      grid below (whose W=64 pixel block uses half a VREG's lanes and
+      re-projects every target per eye-tile instead of once per env).
+    - STREAMING-GRID (huge N, or force_streaming): program (i, p) renders
+      eye tile i against the TARGET BLOCK OF ENV i // (n_pad_e // te) (a
+      pure BlockSpec index map — the kernel body is the unmodified
+      streaming kernel). HBM cost stays [B*N, 1] position columns where
+      the raster tensors would be [B, N, N_pad] — the only batched route
+      past ~64M-element scenes.
+
+    NOT differentiable (plain pallas_call): score-function trainers never
+    backprop through observations (rl/train._batched_observe_fast); APG
+    keeps vmapping render_rows_wireframe_diff.
+
+    `albedo` is per-env per-target [B, N]; `texture` [Ht, Wt] is shared
+    (the reference shares one skin.png across agents, main.rs:322-356) and
+    decoded in the usual XLA epilogue.
+    """
+    if cfg.sprite_mode != "wireframe":
+        raise ValueError(
+            "render_rows_wireframe_batched needs sprite_mode='wireframe'"
+        )
+    if pos.ndim != 3 or pos.shape[-1] != 2:
+        raise ValueError("render_rows_wireframe_batched takes [B, N, 2] inputs")
+    b, n = pos.shape[0], pos.shape[1]
+    if (
+        not force_streaming
+        and b * round_up(n, 8) * round_up(n, 128) <= BATCHED_RASTER_MAX_ELEMS
+    ):
+        if albedo is None:
+            fn = lambda p, v: render_rows_wireframe_tiled(
+                p, v, cfg, te, tj, texture=texture
+            )
+            return jax.vmap(fn)(pos, vel)
+        fn = lambda p, v, a: render_rows_wireframe_tiled(
+            p, v, cfg, te, tj, albedo=a, texture=texture
+        )
+        return jax.vmap(fn)(pos, vel, albedo)
+    return _render_rows_wireframe_batched_stream(
+        pos, vel, cfg, te, tj, albedo, texture
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "te", "tj"))
+def _render_rows_wireframe_batched_stream(
+    pos: jax.Array,
+    vel: jax.Array,
+    cfg: VisionConfig,
+    te: int = EYES_PER_PROGRAM,
+    tj: int = TILE_J,
+    albedo: jax.Array | None = None,
+    texture: jax.Array | None = None,
+):
+    """The streaming-grid route of render_rows_wireframe_batched (see its
+    docstring): B*N eyes through one launch, env-indexed target blocks."""
+    b, n = pos.shape[0], pos.shape[1]
+    raw = texture is not None
+    has_alb = albedo is not None
+
+    if cfg.width <= 128:
+        wb = cfg.width
+    elif cfg.width % 128 == 0:
+        wb = 128
+    elif cfg.width <= 256:
+        wb = cfg.width
+    else:
+        raise ValueError(
+            f"the Pallas render path needs vision width <= 256 or a multiple "
+            f"of 128, got {cfg.width}; use backend='dense' for odd widths"
+        )
+
+    # self-render: sprite orientation IS the eye heading (tvel == vel)
+    dirs = camera.unit_heading(vel.reshape(b * n, 2)).reshape(b, n, 2)
+    tj = fit_tile(tj, n, 8)
+    n_pad_e = round_up(n, te)
+    n_pad_t = round_up(n, tj)
+
+    def flat_e(x):  # [B, N] -> [B*n_pad_e, 1], per-env padding kept aligned
+        return col(pad_axis(x, n_pad_e, axis=1).reshape(b * n_pad_e))
+
+    def flat_t(x):  # [B, N] -> [B*n_pad_t, 1]
+        return col(pad_axis(x, n_pad_t, axis=1).reshape(b * n_pad_t))
+
+    args = [
+        flat_e(pos[..., 0]), flat_e(pos[..., 1]),
+        flat_e(dirs[..., 0]), flat_e(dirs[..., 1]),
+        flat_t(pos[..., 0]), flat_t(pos[..., 1]),
+        flat_t(dirs[..., 0]), flat_t(dirs[..., 1]),
+        flat_t(jnp.ones((b, n), jnp.float32)),
+    ]
+
+    tiles_per_env = n_pad_e // te  # te | n_pad_e: programs never straddle envs
+    grid = (b * tiles_per_env, cfg.width // wb)
+    kernel = functools.partial(
+        _wireframe_stream_kernel, cfg=cfg, tj=tj, has_alb=has_alb, raw=raw
+    )
+    espec = lambda: pl.BlockSpec(
+        (te, 1), lambda i, p: (i, 0), memory_space=pltpu.VMEM
+    )
+    tspec = lambda: pl.BlockSpec(
+        (n_pad_t, 1), lambda i, p: (i // tiles_per_env, 0),
+        memory_space=pltpu.VMEM,
+    )
+    ospec = lambda: pl.BlockSpec(
+        (te, wb), lambda i, p: (i, p), memory_space=pltpu.VMEM
+    )
+    in_specs = [espec()] * 4 + [tspec()] * 5
+    if has_alb:
+        in_specs.append(tspec())
+        args.append(flat_t(albedo))
+    n_out = _wf_num_outputs(raw, has_alb, cfg.antialias)
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[ospec() for _ in range(n_out)],
+        out_shape=[
+            jax.ShapeDtypeStruct((b * n_pad_e, cfg.width), jnp.float32)
+            for _ in range(n_out)
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=70 * b * n_pad_e * n_pad_t * cfg.width,
+            bytes_accessed=(
+                4 * b * n_pad_e + 5 * b * n_pad_t + 2 * b * n_pad_e * cfg.width
+            )
+            * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret_mode(),
+    )(*args)
+    outs = [o.reshape(b, n_pad_e, cfg.width)[:, :n] for o in outs]
+    if raw:
+        return _decode_textured_wf(outs, cfg, texture, has_alb, aa=cfg.antialias)
+    return outs[0], outs[1]
 
 
 def _compact_candidates(pos, dirs, tgt, hdg, cfg: VisionConfig, albedo,
@@ -1443,9 +1627,16 @@ def _render_compact_outs(pos, dirs, tgt, hdg, cfg: VisionConfig, te, albedo,
         use_sort=m > COMPACT_SORT_MIN_M,
     )
 
+    # many-target shapes carry long per-block group ranges, so the dynamic
+    # loop boundary amortizes over more groups: R=4 measured 1.82e5 vs
+    # 1.64e5 af/s at N=1024/W=1024 AA on v5e (r4 sweep; R=2 stays the
+    # few-target default — at G~13 the clamped duplicate tail would grow).
+    # Bit-identical at any R (see the kernel's unroll invariance note).
+    gu = (COMPACT_GROUP_UNROLL_MANY if K // COMPACT_SUB >= COMPACT_MANY_G
+          else None)
     kernel = functools.partial(
         _wireframe_compact_kernel, cfg=cfg, n_fields=F, K=K,
-        has_alb=has_alb, raw=raw,
+        has_alb=has_alb, raw=raw, group_unroll=gu,
     )
     if COMPACT_PACKED_FIELDS:
         # one packed operand; its F lanes equal the array's lane count
@@ -1910,7 +2101,10 @@ BWD_EYES_PER_PROGRAM_WF = 8
 # vjp residual budget: TJ*WBLK element ceiling per tile (v5e-validated 4096;
 # 8k OOM'd the 16 MB scoped stack). WF_BWD_REMAT=True wraps the tile in
 # jax.checkpoint — residuals shrink to the tile INPUTS (recompute in the
-# transpose), the lever for raising the ceiling on hardware.
+# transpose). MEASURED DEAD on silicon (r4): Mosaic has no lowering for the
+# remat2 primitive inside a TPU kernel body (NotImplementedError at every
+# tile size tried: 8k/16k/32k), so the ceiling lever only exists in
+# interpret mode; 4096 stays the hardware cap.
 WF_BWD_TILE_ELEMS = 1 << 12
 WF_BWD_REMAT = False
 
@@ -2232,14 +2426,15 @@ def _rrwd_bwd(cfg, res, cot):
     if _compact_diff_route_ok(cfg, pos.shape[0]):
         return _rrwd_bwd_compact(cfg, pos, vel, depth, us, ud)
     dirs, pull_dirs = jax.vjp(camera.unit_heading, vel)
-    # trusted_depth=True would skip the backward's pass-1 depth recompute
-    # (~25-30% of its work): _rrwd_fwd forces the streaming forward, whose
-    # depth is bit-identical to the backward's recomputation in interpret
-    # mode. SHIPPED False until tpu_tests test_wireframe_trusted_depth_canary
-    # confirms the identity holds across the two MOSAIC lowerings on real
-    # silicon (a contraction divergence would silently drop cotangents).
+    # trusted_depth=True skips the backward's pass-1 depth recompute:
+    # _rrwd_fwd forces the streaming forward, whose depth is bit-identical
+    # to the backward's recomputation. The identity crosses two Mosaic
+    # lowerings; it was gated off until measured on silicon — r4 v5e:
+    # trusted and untrusted gradients are np.array_equal (the canary
+    # condition, tpu_tests test_wireframe_trusted_depth_canary) and the
+    # RL diff shape N=1024/W=64 runs 1.34e4 vs 1.14e4 af/s (+18%).
     deye, ddirs, dtgt, dhdg = render_rows_wireframe_vjp_cross(
-        pos, dirs, depth, us, ud, cfg, trusted_depth=False
+        pos, dirs, depth, us, ud, cfg, trusted_depth=True
     )
     # eyes look along AND sprites orient to the same unit_heading(vel)
     (dvel,) = pull_dirs(ddirs + dhdg)

@@ -38,6 +38,37 @@ class TrainState(NamedTuple):
     key: jax.Array
 
 
+def _batched_observe_fast(env: VisionEnv):
+    """A batched wireframe observe through the env-in-the-grid Pallas
+    kernel (ops.wireframe.render_rows_wireframe_batched), or None when the
+    config can't route there. Score-function trainers never differentiate
+    through the observation, so the forward-only batched kernel replaces
+    vmap(render_rows_wireframe_diff) — under vmap each env serializes as
+    its own grid instance and the RL shape class measured ~3 orders under
+    the batched disc path. APG (which DOES backprop through perception)
+    keeps vmapping the custom-VJP single-env renderer."""
+    cfg = env.cfg
+    if (
+        cfg.vision is None
+        or cfg.vision.sprite_mode != "wireframe"
+        or env.backend != "pallas"
+    ):
+        return None
+    from ..ops.common import kernel_width_ok
+
+    if not kernel_width_ok(cfg.vision.width):
+        return None
+    from ..ops import wireframe
+
+    def observe(states):
+        lines = wireframe.render_rows_wireframe_batched(
+            states.pos, states.vel, cfg.vision
+        )[0]
+        return jnp.concatenate([lines, states.vel], axis=-1)
+
+    return observe
+
+
 def _batched_env_fns(env: VisionEnv, mesh: Optional[Mesh]):
     """(observe, step) over batched states [B, N, 2].
 
@@ -47,7 +78,20 @@ def _batched_env_fns(env: VisionEnv, mesh: Optional[Mesh]):
     re-rendering via env.reward would double per-step render cost AND run
     it through the unsharded single-chip path."""
     if mesh is None:
-        return jax.vmap(env.observe), jax.vmap(env.step)
+        observe_fast = _batched_observe_fast(env)
+        if observe_fast is None:
+            return jax.vmap(env.observe), jax.vmap(env.step)
+
+        dynamics_b = jax.vmap(env.dynamics)
+
+        def step(states, action):
+            nxt = dynamics_b(states, action)
+            obs = observe_fast(nxt)
+            if env.reward_mode == "visibility":
+                return nxt, obs, env.reward_obs(obs)
+            return nxt, obs, jax.vmap(env.reward)(nxt)
+
+        return observe_fast, step
 
     from ..parallel import ring
     from ..parallel.mesh import data_axis_of

@@ -493,3 +493,53 @@ def test_reinforce_learns_brake_task():
     # training reward must approach 0 (perfect braking) from ~-0.006
     assert float(m["reward_mean"]) > float(m0["reward_mean"]) + 1e-3
     assert float(m["reward_mean"]) > -2e-3
+
+
+def test_batched_wireframe_observe_matches_vmap():
+    """The env-in-the-grid batched wireframe observe (rl/train
+    _batched_observe_fast -> ops.wireframe.render_rows_wireframe_batched)
+    must agree with vmap(env.observe) — same obs, same step outputs — so
+    the score-function trainers' fast path cannot drift from the
+    per-env route APG keeps using."""
+    env = env_lib.VisionEnv(
+        SimConfig(n=24, controller="gravity", backend="pallas",
+                  vision=VisionConfig(width=32, sprite_mode="wireframe",
+                                      antialias=True))
+    )
+    assert env.backend == "pallas"
+    observe_b, step_b = train_lib._batched_env_fns(env, mesh=None)
+    assert train_lib._batched_observe_fast(env) is not None
+
+    keys = jax.random.split(jax.random.key(4), 2)
+    states0, _ = jax.vmap(env.reset)(keys)
+    obs_fast = observe_b(states0)
+    obs_ref = jax.vmap(env.observe)(states0)
+    np.testing.assert_allclose(np.asarray(obs_fast), np.asarray(obs_ref),
+                               rtol=1e-5, atol=2e-4)
+
+    action = 0.01 * jnp.ones((2, 24, 2))
+    nxt, obs, reward = step_b(states0, action)
+    nxt_ref, obs_r, reward_ref = jax.vmap(env.step)(states0, action)
+    np.testing.assert_allclose(np.asarray(nxt.pos), np.asarray(nxt_ref.pos),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(obs), np.asarray(obs_r),
+                               rtol=1e-5, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(reward), np.asarray(reward_ref),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_batched_observe_fast_gates():
+    """Routing: dense backend, disc sprites, and kernel-hostile widths all
+    decline the fast path (None -> the plain vmap fallback)."""
+    disc = env_lib.VisionEnv(
+        SimConfig(n=8, vision=VisionConfig(width=32), backend="pallas"))
+    assert train_lib._batched_observe_fast(disc) is None
+    odd = env_lib.VisionEnv(
+        SimConfig(n=8, backend="pallas",
+                  vision=VisionConfig(width=96 * 3,
+                                      sprite_mode="wireframe")))
+    assert train_lib._batched_observe_fast(odd) is None
+    dense_env = env_lib.VisionEnv(
+        SimConfig(n=8, backend="dense",
+                  vision=VisionConfig(width=32, sprite_mode="wireframe")))
+    assert train_lib._batched_observe_fast(dense_env) is None

@@ -446,3 +446,42 @@ def test_compact_interval_hit_diff_matches_default_grads():
         a, b = np.asarray(a), np.asarray(b)
         assert np.abs(b).max() > 0
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+
+
+@pytest.mark.parametrize("aa,texture,albedo,streaming", [
+    (False, False, False, False),   # raster-vmap route
+    (True, True, True, False),
+    (False, False, False, True),    # env-in-the-grid streaming route
+    (True, True, True, True),
+])
+def test_batched_matches_dense(aa, texture, albedo, streaming):
+    """render_rows_wireframe_batched vs the dense oracle per env, on BOTH
+    batched routes (raster-vmap and the env-indexed streaming grid) —
+    incl. a non-te-divisible agent count so per-env eye padding and the
+    env-indexed target BlockSpec both bite."""
+    b, n, w = 3, 42, 64
+    cfg = VisionConfig(width=w, sprite_mode="wireframe", far=200.0,
+                       antialias=aa)
+    kp, kv = jax.random.split(jax.random.key(5))
+    pos = jax.random.uniform(kp, (b, n, 2), minval=-40.0, maxval=40.0)
+    vel = jax.random.uniform(kv, (b, n, 2), minval=-1.0, maxval=1.0)
+    tex = render.checker_texture(8, 2) if texture else None
+    alb = (jax.random.uniform(jax.random.key(11), (b, n), minval=0.3,
+                              maxval=1.0) if albedo else None)
+    got = wireframe.render_rows_wireframe_batched(
+        pos, vel, cfg, albedo=alb, texture=tex, force_streaming=streaming)
+    for e in range(b):
+        want = render.render_rows(
+            pos[e], vel[e], cfg,
+            albedo=None if alb is None else alb[e], texture=tex)
+        _assert_rows_close((got[0][e], got[1][e]), want)
+
+
+def test_batched_rejects_bad_rank_and_mode():
+    cfg = VisionConfig(width=64, sprite_mode="wireframe")
+    pos, vel = _spawnish(jax.random.key(2), 16)
+    with pytest.raises(ValueError, match=r"\[B, N, 2\]"):
+        wireframe.render_rows_wireframe_batched(pos, vel, cfg)
+    with pytest.raises(ValueError, match="wireframe"):
+        wireframe.render_rows_wireframe_batched(
+            pos[None], vel[None], VisionConfig(width=64))

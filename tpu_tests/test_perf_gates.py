@@ -263,6 +263,35 @@ def test_wireframe_kernel_gate():
     assert rate >= 3e5, f"wireframe kernel rate {rate:.3e} < 3e5 (was ~7e5)"
 
 
+@requires_tpu
+def test_wireframe_batched_gate():
+    """VERDICT r3 #8: batched-env EXACT-sprite observations must hold the
+    1e6 line (the batched disc path holds 7e6; exact sprites were ~3
+    orders under it through the vmapped forced-streaming diff forward).
+    Measured on v5e (r4): render_rows_wireframe_batched raster-vmap route
+    2.01e6 af/s at B=1024 x n=256 x W=64 AA (3.67e6 at B=256 x n=64).
+    Gate ~20% under at the bench shape."""
+    from nenbody_tpu.config import VisionConfig
+    from nenbody_tpu.ops import wireframe
+
+    benvs, bn = 1024, 256
+    vcfg = VisionConfig(width=64, sprite_mode="wireframe", antialias=True)
+    kp, kv = jax.random.split(jax.random.key(7))
+    pos = jax.random.uniform(kp, (benvs, bn, 2), minval=-100, maxval=100,
+                             dtype=jnp.float32)
+    vel = jax.random.uniform(kv, (benvs, bn, 2), minval=-1, maxval=1,
+                             dtype=jnp.float32)
+
+    def body(c):
+        p, v = c
+        s = wireframe.render_rows_wireframe_batched(p, v, vcfg)[0]
+        return p + 1e-7 * s[..., :2], v
+
+    dt = _scan_time(body, (pos, vel), steps=5, sync=lambda c: c[0][:1, :1])
+    rate = benvs * bn / dt
+    assert rate >= 1.6e6, f"batched wireframe rate {rate:.3e} < 1.6e6"
+
+
 def _wireframe_ref_rate(aa, texture, steps=400):
     from nenbody_tpu.config import VisionConfig
     from nenbody_tpu.ops import wireframe
@@ -323,8 +352,9 @@ def test_wireframe_wide_stress_gate():
     agents x 1,024-px antialiased wireframe eyes (main.rs:653's 2048-entity
     ambition x main.rs:694's eye width) — was the only benched shape with
     no regression protection. Measured on v5e: 4.7e4 full-work (r2) ->
-    9.8e4 sorted compaction (r3) -> 1.59e5 after the r4 verts-only sort
-    prologue. Gate ~18% under."""
+    9.8e4 sorted compaction (r3) -> 1.59e5 r4 verts-only sort prologue ->
+    1.88e5 r4 many-target group unroll (COMPACT_GROUP_UNROLL_MANY=6).
+    Gate ~15% under."""
     from nenbody_tpu.config import VisionConfig
     from nenbody_tpu.ops import wireframe
 
@@ -342,7 +372,7 @@ def test_wireframe_wide_stress_gate():
 
     dt = _scan_time(body, (pos, vel), steps=20, sync=lambda c: c[0][:1])
     rate = 1024 / dt
-    assert rate >= 1.3e5, f"wide-stress wireframe rate {rate:.3e} < 1.3e5"
+    assert rate >= 1.6e5, f"wide-stress wireframe rate {rate:.3e} < 1.6e5"
 
 
 @requires_tpu
@@ -350,17 +380,19 @@ def test_wireframe_diff_gates():
     """VERDICT r2 #6: differentiable exact-sprite perception (forward +
     backward through the wireframe VJP kernels) holds its measured order.
 
-    Measured on v5e (r2, both shapes then streaming): 1.14e4
-    agent-frames/s at N=1024/W=64 and 1.23e4 at N=100/W=1024 — ~85 us/eye,
-    ~50x the forward. Since then the N=100/W=1024 shape routes the COMPACT
-    backward (group-range culling + inverse-depth diet; r3, unmeasured on
-    hardware when written) — re-measure with _wf_diff_quick.py and LIFT its
-    floor once the compact number is on record; N=1024/W=64 still pins the
-    streaming backward and its TJ*WB <= 4096 tile cap."""
+    Measured on v5e: N=1024/W=64 (streaming backward) 1.14e4 r2 -> 1.34e4
+    r4 with trusted_depth=True shipped (pass-1 recompute skipped; canary
+    bit-exact). The compact-narrow alternative and the remat residual
+    lever were both measured dead in r4 (DESIGN.md §4f), so ~1.3e4 is the
+    honest rate at the TJ*WB <= 4096 tile cap — floor ~18% under.
+    N=100/W=1024 routes the COMPACT backward: 1.23e4 r2 streaming ->
+    1.074e5 r4 (group-range-culled compact bwd, K-chunked) — the
+    differentiable FULL-reference-eye shape clears the 1e5 order VERDICT
+    r3 #2 asked for; floor ~16% under."""
     from nenbody_tpu.config import VisionConfig
     from nenbody_tpu.ops import wireframe
 
-    for n, w, steps, floor in ((1024, 64, 20, 5e3), (100, 1024, 20, 5e3)):
+    for n, w, steps, floor in ((1024, 64, 20, 1.1e4), (100, 1024, 20, 9e4)):
         vcfg = VisionConfig(width=w, sprite_mode="wireframe", antialias=True,
                             far=200.0)
         kp, kv = jax.random.split(jax.random.key(17))
@@ -516,6 +548,16 @@ def test_wireframe_compact_diff_silicon_parity():
 
 
 @requires_tpu
+@pytest.mark.xfail(
+    strict=False,
+    reason="r4 measured: the compact route flips near-tie winners vs dense "
+    "autodiff at cluttered scenes — 4.1% of vel grad entries off on v5e AND "
+    "4.7% on CPU interpret (route-inherent, not a lowering bug). Paired "
+    "with a perf negative (+16%, not the modeled 10x: W=64 is one pixel "
+    "block, group-range culling never engages), COMPACT_DIFF_NARROW stays "
+    "False. This test remains the flag-flip criterion: it must PASS before "
+    "any future default flip.",
+)
 def test_wireframe_compact_diff_narrow_silicon_parity():
     """COMPACT_DIFF_NARROW on real silicon: the narrow-row diff route runs
     the compact kernels with sub-128-lane pixel blocks (W=64 pads to 128
