@@ -159,6 +159,22 @@ def _add_policy_flags(p: argparse.ArgumentParser):
     )
 
 
+def _add_train_vision_flags(p: argparse.ArgumentParser):
+    """Observation appearance for the train-family commands (train/eval/
+    datagen/bc/export share _train_env). Wireframe observations route the
+    score-function trainers through the batched exact-sprite kernel
+    (ops.wireframe.render_rows_wireframe_batched)."""
+    p.add_argument(
+        "--sprite-mode", choices=["disc", "wireframe"], default=None,
+        help="eye-line sprite model for the observations: disc (fast, "
+        "default) or wireframe (the reference's exact LineStrip triangle)",
+    )
+    p.add_argument(
+        "--antialias", action="store_true",
+        help="MSAA-analog soft sprite edges in the observations",
+    )
+
+
 def _train_env(args, reward_mode: str = "cohesion"):
     """The train-family env (gravity + control dynamics, vision obs) from
     --agents/--vision-width. Prints a clean error and returns None on
@@ -172,7 +188,11 @@ def _train_env(args, reward_mode: str = "cohesion"):
         return None
     cfg = SimConfig(
         n=args.agents, controller="gravity",
-        vision=VisionConfig(width=args.vision_width),
+        vision=VisionConfig(
+            width=args.vision_width,
+            sprite_mode=getattr(args, "sprite_mode", None) or "disc",
+            antialias=bool(getattr(args, "antialias", False)),
+        ),
     )
     try:
         return VisionEnv(cfg, reward_mode=reward_mode)
@@ -889,12 +909,14 @@ def main(argv=None) -> int:
     p.add_argument(
         "--critic", choices=["agent", "central"], default="agent",
         help="ppo/ac value baseline: per-agent V(obs_i) or the centralized "
-        "pooled V(s) (MAPPO-style, for team/shared rewards)",
+        "pooled V(s) (MAPPO-style, for team/shared rewards; at 2,048-env "
+        "scale: ~13%% lower held-out value MSE — DESIGN.md §5)",
     )
     p.add_argument("--population", type=int, default=8, help="ES antithetic pairs")
     p.add_argument("--envs", type=int, default=64)
     p.add_argument("--agents", type=int, default=64)
     p.add_argument("--vision-width", type=int, default=64)
+    _add_train_vision_flags(p)
     p.add_argument("--horizon", type=int, default=8)
     p.add_argument("--iters", type=int, default=10)
     p.add_argument("--lr", type=float, default=1e-3)
@@ -937,6 +959,7 @@ def main(argv=None) -> int:
                    help=".nentraj recording (stride-1, from run --record)")
     p.add_argument("--agents", type=int, default=64)
     p.add_argument("--vision-width", type=int, default=64)
+    _add_train_vision_flags(p)
     p.add_argument("--steps", type=int, default=500, help="gradient steps")
     p.add_argument("--batch-size", type=int, default=4096)
     p.add_argument("--lr", type=float, default=1e-3)
@@ -955,6 +978,7 @@ def main(argv=None) -> int:
     p.add_argument("--envs", type=int, default=16)
     p.add_argument("--agents", type=int, default=64)
     p.add_argument("--vision-width", type=int, default=64)
+    _add_train_vision_flags(p)
     p.add_argument("--horizon", type=int, default=64)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument(
@@ -973,6 +997,7 @@ def main(argv=None) -> int:
     p.add_argument("--envs", type=int, default=256)
     p.add_argument("--agents", type=int, default=64)
     p.add_argument("--vision-width", type=int, default=64)
+    _add_train_vision_flags(p)
     p.add_argument("--steps", type=int, default=128)
     p.add_argument("--horizon", type=int, default=32, help="steps per shard")
     p.add_argument("--out-dir", default="out/dataset")
@@ -1010,6 +1035,7 @@ def main(argv=None) -> int:
     )
     p.add_argument("--agents", type=int, default=64)
     p.add_argument("--vision-width", type=int, default=64)
+    _add_train_vision_flags(p)
     p.add_argument(
         "--envs", type=int, default=0,
         help="leading env-batch dim baked into the artifact (0 = unbatched)",

@@ -472,3 +472,42 @@ def test_build_cfg_sprite_mode():
     # default stays disc
     cfg = _build_cfg(p.parse_args(["--n", "16", "--vision-width", "32"]))
     assert cfg.vision.sprite_mode == "disc"
+
+
+def test_train_family_vision_flags(capsys):
+    """--sprite-mode/--antialias reach _train_env on every train-family
+    subcommand (plumbing only — the batched wireframe observe itself is
+    pinned in test_rl.py; a real wireframe train here would re-compile the
+    kernel graph for no extra coverage)."""
+    from nenbody_tpu.cli import _train_env
+    import argparse
+    import sys as _sys
+
+    ap = argparse.ArgumentParser()
+    sub = ap.add_subparsers(dest="cmd")
+    # mirror the registration: every _train_env consumer gets the flags
+    from nenbody_tpu.cli import _add_train_vision_flags
+
+    for name in ("train", "eval", "datagen", "bc", "export"):
+        p = sub.add_parser(name)
+        p.add_argument("--agents", type=int, default=8)
+        p.add_argument("--vision-width", type=int, default=16)
+        _add_train_vision_flags(p)
+
+    args = ap.parse_args(["train", "--sprite-mode", "wireframe", "--antialias"])
+    env = _train_env(args)
+    assert env.cfg.vision.sprite_mode == "wireframe"
+    assert env.cfg.vision.antialias
+    args = ap.parse_args(["eval"])
+    assert _train_env(args).cfg.vision.sprite_mode == "disc"
+
+    # the REAL parsers advertise the flags (--help exits 0, no jax work)
+    from nenbody_tpu.cli import main as _main
+    for name in ("train", "eval", "datagen", "bc", "export"):
+        try:
+            _main([name, "--help"])
+        except SystemExit as e:
+            assert e.code == 0
+        help_text = capsys.readouterr().out
+        assert "--sprite-mode" in help_text, name
+        assert "--antialias" in help_text, name

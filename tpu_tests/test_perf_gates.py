@@ -376,6 +376,44 @@ def test_wireframe_wide_stress_gate():
 
 
 @requires_tpu
+def test_wireframe_stress_compile_bound():
+    """VERDICT r3 #7: the (sorted-compact, AA, wide, many-target) unroll
+    ladder compiled for 90 s in r3 — the worst label by 6x, unbounded by
+    any gate. The r4 verts-only sort prologue cut its service-cold Mosaic
+    compile to ~20 s; every other benched label is <= 15 s. This pins the
+    worst-case label's FRESH in-process compile (persistent cache enabled,
+    like bench.py — a warm disk cache makes this ~1-2 s; service-cold ~20 s)
+    under 45 s so ladder growth can't silently regress. The 30 s/label
+    budget itself is asserted on the bench artifact (compile_seconds_max)."""
+    import time
+
+    from nenbody_tpu.config import VisionConfig
+    from nenbody_tpu.ops import wireframe
+    from nenbody_tpu.utils.profiling import enable_compilation_cache
+
+    enable_compilation_cache()
+    vcfg = VisionConfig(width=1024, sprite_mode="wireframe", antialias=True)
+    kp, kv = jax.random.split(jax.random.key(13))
+    pos = jax.random.uniform(kp, (1024, 2), minval=-100, maxval=100,
+                             dtype=jnp.float32)
+    vel = jax.random.uniform(kv, (1024, 2), minval=-1, maxval=1,
+                             dtype=jnp.float32)
+
+    @jax.jit
+    def once(p, v):
+        return wireframe.render_rows_wireframe_tiled(p, v, vcfg)[0]
+
+    jax.clear_caches()
+    t0 = time.perf_counter()
+    _ = np.asarray(once(pos, vel)[:1])
+    cs = time.perf_counter() - t0
+    assert cs <= 45.0, (
+        f"stress-shape compile took {cs:.1f}s (> 45s bound; was 90s in r3, "
+        f"~20s service-cold after the verts-only sort prologue)"
+    )
+
+
+@requires_tpu
 def test_wireframe_diff_gates():
     """VERDICT r2 #6: differentiable exact-sprite perception (forward +
     backward through the wireframe VJP kernels) holds its measured order.
