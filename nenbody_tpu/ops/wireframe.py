@@ -978,6 +978,19 @@ def _compact_diff_route_ok(cfg: VisionConfig, m: int) -> bool:
     )
 
 
+# the BACKWARD's prologue recompute runs under jax.vjp, and the two
+# compaction editions transpose very differently: the sort edition pulls
+# cotangents back through lax.sort (JAX lowers that to a scatter by the
+# inverse permutation — serial on TPU) plus a SECOND build_fields pass,
+# while the rank edition's one-hot contraction transposes to another
+# einsum (MXU work). The r4 switch to always-sort (COMPACT_SORT_MIN_M=0)
+# silently HALVED the n=100/W=1024 diff rate (BENCH_r03 2.17e5 ->
+# BENCH_r04 1.06e5) because the three bwd builds inherited the forward's
+# threshold. The editions are bit-identical (pinned), so the backward may
+# recompute with EITHER — keep rank in the backward at any m the rank's
+# O(n*m^2) comparison count tolerates, independent of the forward's route.
+COMPACT_BWD_SORT_MIN_M = 256
+
 # the backward chunks its candidate axis so the (te*K_c, F) field block +
 # the dfld accumulator fit VMEM: VMEM tiles are (8, 128) f32, so each block
 # occupies te*K_c*128*4 bytes REGARDLESS of F (~20 lanes used of 128), and
@@ -1964,7 +1977,7 @@ def _rrwd_bwd_compact(cfg, pos, vel, depth, us, ud):
         dirs = camera.unit_heading(vel)
         fld, ks, ke = _compact_candidates(
             pos, dirs, pos, dirs, cfg, None, n, m, n_pad_e, K, P, wb,
-            use_sort=m > COMPACT_SORT_MIN_M, packed=True,
+            use_sort=m > COMPACT_BWD_SORT_MIN_M, packed=True,
         )
         return fld, (ks, ke)
 
@@ -1992,7 +2005,7 @@ def render_rows_wireframe_vjp_cross_compact(pos, dirs, depth, us, ud,
     def build(pos, dirs, tgt, hdg):
         fld, ks, ke = _compact_candidates(
             pos, dirs, tgt, hdg, cfg, None, n, m, n_pad_e, K, P, wb,
-            use_sort=m > COMPACT_SORT_MIN_M, packed=True,
+            use_sort=m > COMPACT_BWD_SORT_MIN_M, packed=True,
         )
         return fld, (ks, ke)
 
@@ -2042,7 +2055,7 @@ def _crr_bwd(cfg, res, cots):
         dirs = camera.unit_heading(vel)
         fld, ks, ke = _compact_candidates(
             pos, dirs, pos, dirs, cfg, albedo, n, m, n_pad_e, K, P, wb,
-            use_sort=m > COMPACT_SORT_MIN_M, packed=True,
+            use_sort=m > COMPACT_BWD_SORT_MIN_M, packed=True,
         )
         return fld, (ks, ke)
 

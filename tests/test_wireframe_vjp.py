@@ -192,17 +192,23 @@ def test_compact_diff_sorted_prologue_gradients_bit_equal():
         return jnp.sum(sh * cu) + jnp.sum(dep * cd)
 
     old = wireframe.COMPACT_SORT_MIN_M
+    old_bwd = wireframe.COMPACT_BWD_SORT_MIN_M
     try:
-        # r4 made always-sort the default, so force the RANK edition for
-        # the cross-check arm (it exists exactly for pins like this one)
+        # r4 made always-sort the forward default and r5 split the
+        # BACKWARD's prologue recompute onto its own knob (the sort
+        # edition's lax.sort transpose halved the diff bench) — patch
+        # BOTH so each arm runs one edition end to end, fwd AND bwd
         wireframe.COMPACT_SORT_MIN_M = 1 << 30
+        wireframe.COMPACT_BWD_SORT_MIN_M = 1 << 30
         jax.clear_caches()  # trace-time global, not a jit key
         g_rank = jax.grad(loss, argnums=(0, 1))(pos, vel)
         wireframe.COMPACT_SORT_MIN_M = 8  # force use_sort at m=16
+        wireframe.COMPACT_BWD_SORT_MIN_M = 8
         jax.clear_caches()
         g_sort = jax.grad(loss, argnums=(0, 1))(pos, vel)
     finally:
         wireframe.COMPACT_SORT_MIN_M = old
+        wireframe.COMPACT_BWD_SORT_MIN_M = old_bwd
         jax.clear_caches()
     for a, b in zip(g_rank, g_sort):
         assert float(jnp.linalg.norm(a)) > 0

@@ -420,17 +420,19 @@ def test_wireframe_diff_gates():
 
     Measured on v5e: N=1024/W=64 (streaming backward) 1.14e4 r2 -> 1.34e4
     r4 with trusted_depth=True shipped (pass-1 recompute skipped; canary
-    bit-exact). The compact-narrow alternative and the remat residual
-    lever were both measured dead in r4 (DESIGN.md §4f), so ~1.3e4 is the
-    honest rate at the TJ*WB <= 4096 tile cap — floor ~18% under.
-    N=100/W=1024 routes the COMPACT backward: 1.23e4 r2 streaming ->
-    1.074e5 r4 (group-range-culled compact bwd, K-chunked) — the
-    differentiable FULL-reference-eye shape clears the 1e5 order VERDICT
-    r3 #2 asked for; floor ~16% under."""
+    bit-exact). N=100/W=1024 routes the COMPACT backward: 1.23e4 r2
+    streaming -> 2.17e5 r3 (group-range-culled compact bwd) -> 1.06e5 r4
+    (an UNACKNOWLEDGED regression: the always-sort prologue switch made
+    the backward's jax.vjp recompute pull cotangents through lax.sort's
+    scatter transpose) -> 2.09e5 r5 (COMPACT_BWD_SORT_MIN_M keeps the
+    rank/one-hot edition — whose transpose is an einsum — in the three
+    backward builds; bit-identical editions, so fwd stays on sort).
+    Floors sit ~18% under the BEST measured rate per shape, never a
+    regressed one."""
     from nenbody_tpu.config import VisionConfig
     from nenbody_tpu.ops import wireframe
 
-    for n, w, steps, floor in ((1024, 64, 20, 1.1e4), (100, 1024, 20, 9e4)):
+    for n, w, steps, floor in ((1024, 64, 20, 1.1e4), (100, 1024, 20, 1.7e5)):
         vcfg = VisionConfig(width=w, sprite_mode="wireframe", antialias=True,
                             far=200.0)
         kp, kv = jax.random.split(jax.random.key(17))
