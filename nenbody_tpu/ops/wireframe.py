@@ -229,9 +229,14 @@ def _finish(best_d, best_s, cfg: VisionConfig, cov=None):
     return shade, best_d
 
 
-def _pay_init(shape, cfg: VisionConfig, raw: bool, has_alb: bool, aa: bool):
+def _pay_init(shape, cfg: VisionConfig, raw: bool, has_alb: bool, aa: bool,
+              track_idx: bool = False):
     """Initial per-pixel payload carry: (shade,) or (uvx, uvy[, alb]),
-    plus the coverage stream (last) in AA mode."""
+    plus the coverage stream in AA mode, plus (always last) the winner
+    target-index stream when track_idx — +inf marks 'no winner yet', so
+    background pixels come out +inf and the min-reduce tie-break picks the
+    LOWEST index among equal-depth winners (the same tie the streaming
+    backward breaks with first-chunk/lowest-row wins)."""
     if not raw:
         init = [jnp.full(shape, cfg.background, jnp.float32)]
     else:
@@ -243,6 +248,8 @@ def _pay_init(shape, cfg: VisionConfig, raw: bool, has_alb: bool, aa: bool):
             init.append(jnp.full(shape, cfg.sprite_albedo, jnp.float32))
     if aa:
         init.append(jnp.zeros(shape, jnp.float32))
+    if track_idx:
+        init.append(jnp.full(shape, jnp.inf, jnp.float32))
     return tuple(init)
 
 
@@ -282,10 +289,14 @@ def _wireframe_raster_kernel(
     tj: int,
     has_alb: bool = False,
     raw: bool = False,
+    track_idx: bool = False,
 ):
     """Rasterize-only wireframe kernel over XLA-precomputed projections —
     the wireframe mirror of raycast._raster_kernel (pixels on sublanes,
-    targets on lanes, full lane packing)."""
+    targets on lanes, full lane packing). track_idx appends the winning
+    target's global index as one more min-reduced payload stream and one
+    more output row (LAST) — the residual the winner-index backward needs
+    (f32 indices are exact to 2^24, far past any kernel-tiled N)."""
     from .raycast import _unpack_rest
 
     aa = cfg.antialias
@@ -327,22 +338,31 @@ def _wireframe_raster_kernel(
             d_m, p_m = _merge_edges(
                 ut, f_v, l_v, alb, cfg, track_uv=raw, aa_ctx=aa_ctx
             )
+            if track_idx:
+                idx = jnp.float32(j0) + jax.lax.broadcasted_iota(
+                    jnp.int32, (1, tj), 1
+                ).astype(jnp.float32)
+                p_m = p_m + (jnp.broadcast_to(idx, d_m.shape),)
             return _reduce_chunk(d_m, p_m, best_d, best_p, 1, cfg)
 
         init = (
             jnp.full((wb, 1), cfg.far, jnp.float32),
-            _pay_init((wb, 1), cfg, raw, has_alb, aa),
+            _pay_init((wb, 1), cfg, raw, has_alb, aa, track_idx=track_idx),
         )
         best_d, best_p = jax.lax.fori_loop(0, num_chunks, body, init)
+        o_refs = out_refs
+        if track_idx:
+            o_refs[-1][pl.ds(e, 1), :] = jnp.transpose(best_p[-1])
+            best_p, o_refs = best_p[:-1], o_refs[:-1]
         if raw:
-            for ref, val in zip(out_refs, (*best_p, best_d)):
+            for ref, val in zip(o_refs, (*best_p, best_d)):
                 ref[pl.ds(e, 1), :] = jnp.transpose(val)
             return 0
         shade, depth = _finish(
             best_d, best_p[0], cfg, cov=best_p[-1] if aa else None
         )
-        out_refs[0][pl.ds(e, 1), :] = jnp.transpose(shade)
-        out_refs[1][pl.ds(e, 1), :] = jnp.transpose(depth)
+        o_refs[0][pl.ds(e, 1), :] = jnp.transpose(shade)
+        o_refs[1][pl.ds(e, 1), :] = jnp.transpose(depth)
         return 0
 
     run_eyes_unrolled(eye_body, te, _unroll_cap(aa=aa))
@@ -380,6 +400,7 @@ def _wireframe_stream_kernel(
     tj: int,
     has_alb: bool = False,
     raw: bool = False,
+    track_idx: bool = False,
 ):
     """Streaming wireframe kernel: per target chunk the 3 sprite verts are
     rotated to the target heading and projected into the eye frame as
@@ -438,29 +459,39 @@ def _wireframe_stream_kernel(
             d_m, p_m = _merge_edges(
                 ut, f_v, l_v, alb, cfg, track_uv=raw, aa_ctx=aa_ctx
             )
+            if track_idx:
+                idx = jnp.float32(j0) + jax.lax.broadcasted_iota(
+                    jnp.int32, (tj, 1), 0
+                ).astype(jnp.float32)
+                p_m = p_m + (jnp.broadcast_to(idx, d_m.shape),)
             return _reduce_chunk(d_m, p_m, best_d, best_p, 0, cfg)
 
         init = (
             jnp.full((1, wb), cfg.far, jnp.float32),
-            _pay_init((1, wb), cfg, raw, has_alb, aa),
+            _pay_init((1, wb), cfg, raw, has_alb, aa, track_idx=track_idx),
         )
         best_d, best_p = jax.lax.fori_loop(0, num_chunks, body, init)
+        o_refs = out_refs
+        if track_idx:
+            o_refs[-1][pl.ds(e, 1), :] = best_p[-1]
+            best_p, o_refs = best_p[:-1], o_refs[:-1]
         if raw:
-            for ref, val in zip(out_refs, (*best_p, best_d)):
+            for ref, val in zip(o_refs, (*best_p, best_d)):
                 ref[pl.ds(e, 1), :] = val
             return 0
         shade, depth = _finish(
             best_d, best_p[0], cfg, cov=best_p[-1] if aa else None
         )
-        out_refs[0][pl.ds(e, 1), :] = shade
-        out_refs[1][pl.ds(e, 1), :] = depth
+        o_refs[0][pl.ds(e, 1), :] = shade
+        o_refs[1][pl.ds(e, 1), :] = depth
         return 0
 
     # wide-pixel-block shapes (small-m wide-row routing) additionally bound
     # unroll x live-(TJ, WB)-temporaries; the per-edge live set is ~10
-    # (TJ, WB) f32 streams (~16 with the AA coverage/interval extras)
+    # (TJ, WB) f32 streams (~16 with the AA coverage/interval extras; +2
+    # when the winner-index stream rides along)
     cap = _unroll_cap(streaming=True, aa=aa)
-    per_eye_bytes = wb * tj * 4 * (16 if aa else 10)
+    per_eye_bytes = wb * tj * 4 * ((16 if aa else 10) + (2 if track_idx else 0))
     cap = max(1, min(cap, (6 << 20) // max(per_eye_bytes, 1)))
     run_eyes_unrolled(eye_body, te, cap)
 
@@ -911,12 +942,16 @@ def _project_verts_all(pos, dirs, tgt, hdg, cfg: VisionConfig, n_pad_t: int):
 _PRECOMPUTE_MAX_ELEMS = 1 << 23
 
 
-def _wf_num_outputs(raw: bool, has_alb: bool, aa: bool) -> int:
+def _wf_num_outputs(raw: bool, has_alb: bool, aa: bool,
+                    track_idx: bool = False) -> int:
     """(shade, depth) normally — AA coverage is blended in-kernel; raw mode
-    emits (uvx, uvy[, alb][, cov], depth) for the XLA texture epilogue."""
+    emits (uvx, uvy[, alb][, cov], depth) for the XLA texture epilogue;
+    track_idx appends the winner-index row LAST in either mode."""
     if not raw:
-        return 2
-    return 3 + (1 if has_alb else 0) + (1 if aa else 0)
+        return 2 + (1 if track_idx else 0)
+    return 3 + (1 if has_alb else 0) + (1 if aa else 0) + (
+        1 if track_idx else 0
+    )
 
 
 def _compact_small_m_wide(cfg: VisionConfig, m: int) -> bool:
@@ -1015,7 +1050,9 @@ def _compact_wb(cfg: VisionConfig) -> int:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "te", "tj", "force_streaming", "force_compact"),
+    static_argnames=(
+        "cfg", "te", "tj", "force_streaming", "force_compact", "track_idx",
+    ),
 )
 def render_rows_wireframe_tiled(
     pos: jax.Array,
@@ -1029,6 +1066,7 @@ def render_rows_wireframe_tiled(
     texture: jax.Array | None = None,
     force_streaming: bool = False,
     force_compact: bool = False,
+    track_idx: bool = False,
 ):
     """Pallas counterpart of vision.render.render_rows with
     sprite_mode='wireframe'. pos, vel: [N, 2] -> (shade [N, W], depth [N, W]).
@@ -1039,6 +1077,11 @@ def render_rows_wireframe_tiled(
     the skin at the winner's interpolated edge uv (scene.frag:11-14): the
     kernels track (uvx, uvy) winner streams and the bilinear lookup runs in
     an XLA epilogue outside Mosaic.
+
+    `track_idx=True` appends the winner's global target index [N, W] as a
+    LAST return (f32; +inf at background pixels) — the winner-index
+    backward's residual. Routes to raster/streaming only (the compact
+    kernel's candidates are permuted; its own backward covers it).
     """
     if cfg.sprite_mode != "wireframe":
         raise ValueError("render_rows_wireframe_tiled needs sprite_mode='wireframe'")
@@ -1075,7 +1118,11 @@ def render_rows_wireframe_tiled(
     # kernel, whose op order its backward recomputes; force_compact is the
     # narrow-row DIFF route (its culled backward only speaks compact)
     small_m_wide = _compact_small_m_wide(cfg, m)
-    if (force_compact or _compact_route_ok(cfg, m)) and not force_streaming:
+    if (
+        (force_compact or _compact_route_ok(cfg, m))
+        and not force_streaming
+        and not track_idx
+    ):
         return _render_compact(
             pos, dirs, tgt, hdg, cfg, te, albedo, texture, n, m
         )
@@ -1109,7 +1156,7 @@ def render_rows_wireframe_tiled(
         grid = (n_pad_e_p // te_p, cfg.width // wb)
         kernel = functools.partial(
             _wireframe_raster_kernel, cfg=cfg, tj=tj_p, has_alb=has_alb,
-            raw=raw,
+            raw=raw, track_idx=track_idx,
         )
         pspec = lambda: pl.BlockSpec(
             (te_p, n_pad_t_p), lambda i, p: (i, 0), memory_space=pltpu.VMEM
@@ -1126,7 +1173,7 @@ def render_rows_wireframe_tiled(
                 )
             )
             args.append(row(pad_axis(albedo, n_pad_t_p)))
-        n_out = _wf_num_outputs(raw, has_alb, cfg.antialias)
+        n_out = _wf_num_outputs(raw, has_alb, cfg.antialias, track_idx)
         outs = pl.pallas_call(
             kernel,
             grid=grid,
@@ -1147,23 +1194,38 @@ def render_rows_wireframe_tiled(
             interpret=interpret_mode(),
         )(*args)
         outs = [o[:n] for o in outs]
-        if raw:
-            return _decode_textured_wf(outs, cfg, texture, has_alb, aa=cfg.antialias)
-        return outs[0], outs[1]
+        return _wf_finish_outs(outs, cfg, texture, has_alb, raw, track_idx)
 
     # streaming path
     tj = fit_tile(tj, m, 8)
     outs = _stream_outs(
-        pos, dirs, tgt, hdg, cfg, te, tj, wb, albedo, n, m, n_pad_e, raw
+        pos, dirs, tgt, hdg, cfg, te, tj, wb, albedo, n, m, n_pad_e, raw,
+        track_idx=track_idx,
     )
     outs = [o[:n] for o in outs]
+    return _wf_finish_outs(outs, cfg, texture, has_alb, raw, track_idx)
+
+
+def _wf_finish_outs(outs, cfg: VisionConfig, texture, has_alb: bool,
+                    raw: bool, track_idx: bool):
+    """Shared launcher epilogue: texture-decode raw streams, and split the
+    winner-index row (always the kernels' LAST output) back out."""
+    widx = None
+    if track_idx:
+        widx, outs = outs[-1], outs[:-1]
     if raw:
-        return _decode_textured_wf(outs, cfg, texture, has_alb, aa=cfg.antialias)
-    return outs[0], outs[1]
+        shade, depth = _decode_textured_wf(
+            outs, cfg, texture, has_alb, aa=cfg.antialias
+        )
+    else:
+        shade, depth = outs[0], outs[1]
+    if track_idx:
+        return shade, depth, widx
+    return shade, depth
 
 
 def _stream_outs(pos, dirs, tgt, hdg, cfg: VisionConfig, te, tj, wb, albedo,
-                 n, m, n_pad_e, raw: bool):
+                 n, m, n_pad_e, raw: bool, track_idx: bool = False):
     """The streaming pallas_call: pads inputs, returns the UNSLICED
     [n_pad_e, W] output list (callers slice and texture-decode)."""
     has_alb = albedo is not None
@@ -1180,7 +1242,8 @@ def _stream_outs(pos, dirs, tgt, hdg, cfg: VisionConfig, te, tj, wb, albedo,
 
     grid = (n_pad_e // te, cfg.width // wb)
     kernel = functools.partial(
-        _wireframe_stream_kernel, cfg=cfg, tj=tj, has_alb=has_alb, raw=raw
+        _wireframe_stream_kernel, cfg=cfg, tj=tj, has_alb=has_alb, raw=raw,
+        track_idx=track_idx,
     )
     espec = lambda: pl.BlockSpec(
         (te, 1), lambda i, p: (i, 0), memory_space=pltpu.VMEM
@@ -1199,7 +1262,7 @@ def _stream_outs(pos, dirs, tgt, hdg, cfg: VisionConfig, te, tj, wb, albedo,
     if has_alb:
         in_specs.append(tspec())
         args.append(col(pad_axis(albedo, n_pad_t)))
-    n_out = _wf_num_outputs(raw, has_alb, cfg.antialias)
+    n_out = _wf_num_outputs(raw, has_alb, cfg.antialias, track_idx)
     outs = pl.pallas_call(
         kernel,
         grid=grid,
@@ -1237,6 +1300,7 @@ def render_rows_wireframe_batched(
     albedo: jax.Array | None = None,
     texture: jax.Array | None = None,
     force_streaming: bool = False,
+    track_idx: bool = False,
 ):
     """Batched-env exact-sprite rendering: pos, vel [B, N, 2] ->
     (shade, depth) [B, N, W], each env self-rendered against its own
@@ -1282,19 +1346,19 @@ def render_rows_wireframe_batched(
     ):
         if albedo is None:
             fn = lambda p, v: render_rows_wireframe_tiled(
-                p, v, cfg, te, tj, texture=texture
+                p, v, cfg, te, tj, texture=texture, track_idx=track_idx
             )
             return jax.vmap(fn)(pos, vel)
         fn = lambda p, v, a: render_rows_wireframe_tiled(
-            p, v, cfg, te, tj, albedo=a, texture=texture
+            p, v, cfg, te, tj, albedo=a, texture=texture, track_idx=track_idx
         )
         return jax.vmap(fn)(pos, vel, albedo)
     return _render_rows_wireframe_batched_stream(
-        pos, vel, cfg, te, tj, albedo, texture
+        pos, vel, cfg, te, tj, albedo, texture, track_idx=track_idx
     )
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "te", "tj"))
+@functools.partial(jax.jit, static_argnames=("cfg", "te", "tj", "track_idx"))
 def _render_rows_wireframe_batched_stream(
     pos: jax.Array,
     vel: jax.Array,
@@ -1303,6 +1367,7 @@ def _render_rows_wireframe_batched_stream(
     tj: int = TILE_J,
     albedo: jax.Array | None = None,
     texture: jax.Array | None = None,
+    track_idx: bool = False,
 ):
     """The streaming-grid route of render_rows_wireframe_batched (see its
     docstring): B*N eyes through one launch, env-indexed target blocks."""
@@ -1345,7 +1410,8 @@ def _render_rows_wireframe_batched_stream(
     tiles_per_env = n_pad_e // te  # te | n_pad_e: programs never straddle envs
     grid = (b * tiles_per_env, cfg.width // wb)
     kernel = functools.partial(
-        _wireframe_stream_kernel, cfg=cfg, tj=tj, has_alb=has_alb, raw=raw
+        _wireframe_stream_kernel, cfg=cfg, tj=tj, has_alb=has_alb, raw=raw,
+        track_idx=track_idx,
     )
     espec = lambda: pl.BlockSpec(
         (te, 1), lambda i, p: (i, 0), memory_space=pltpu.VMEM
@@ -1361,7 +1427,7 @@ def _render_rows_wireframe_batched_stream(
     if has_alb:
         in_specs.append(tspec())
         args.append(flat_t(albedo))
-    n_out = _wf_num_outputs(raw, has_alb, cfg.antialias)
+    n_out = _wf_num_outputs(raw, has_alb, cfg.antialias, track_idx)
     outs = pl.pallas_call(
         kernel,
         grid=grid,
@@ -1382,9 +1448,7 @@ def _render_rows_wireframe_batched_stream(
         interpret=interpret_mode(),
     )(*args)
     outs = [o.reshape(b, n_pad_e, cfg.width)[:, :n] for o in outs]
-    if raw:
-        return _decode_textured_wf(outs, cfg, texture, has_alb, aa=cfg.antialias)
-    return outs[0], outs[1]
+    return _wf_finish_outs(outs, cfg, texture, has_alb, raw, track_idx)
 
 
 def _compact_candidates(pos, dirs, tgt, hdg, cfg: VisionConfig, albedo,
@@ -2076,17 +2140,12 @@ def render_rows_wireframe_textured_diff(pos, vel, cfg: VisionConfig,
     winner streams come from the compact kernel pair (custom VJP), and the
     bilinear texture decode (_decode_textured_wf — gather-free einsum
     sampling) runs under plain XLA autodiff, so gradients flow to pos, vel,
-    albedo AND the texture itself. Compact-eligible shapes only (wide rows,
-    or narrow rows under COMPACT_DIFF_NARROW); the dense renderer
-    (vision.render.render_rows with texture) stays the differentiable
-    fallback at any width."""
-    if not _compact_diff_route_ok(cfg, pos.shape[0]):
-        raise ValueError(
-            "render_rows_wireframe_textured_diff needs a compact-eligible "
-            f"shape (width >= 512 and a 128-multiple, or the narrow-row "
-            f"diff route), got width={cfg.width}, n={pos.shape[0]}; use "
-            f"the dense renderer there"
-        )
+    albedo AND the texture itself. Compact-eligible shapes route the
+    compact pair; every other kernel-tileable shape routes the
+    winner-index VJP (r5); the dense renderer (vision.render.render_rows
+    with texture) stays the differentiable fallback at odd widths."""
+    if _wf_diff_route(cfg, pos.shape[0]) != "compact":
+        return _winner_rows_textured(pos, vel, albedo, texture, cfg)
     outs = _compact_raw_rows(pos, vel, albedo, cfg)
     return _decode_textured_wf(
         list(outs), cfg, texture, albedo is not None, aa=cfg.antialias
@@ -2407,6 +2466,241 @@ def render_rows_wireframe_vjp_cross(
     return deye, ddirs, dtgt, dhdg
 
 
+# -- winner-index backward (r5) ------------------------------------------------
+#
+# The streaming backward kernel re-renders EVERY (eye, target-chunk) tile
+# under an in-kernel jax.vjp — O(N*M*W) transpose work dominated by
+# fragments that LOSE the depth race (measured 1.34e4 af/s at N=1024/W=64,
+# ~50x under its own forward). But the forward already knows each pixel's
+# winner: with track_idx=True the kernels carry the winning target's global
+# index as one more min-reduced payload stream (+1 output row, near-zero
+# marginal kernel cost), and the backward collapses to O(N*W) ELEMENTWISE
+# work in plain XLA — gather the winner's fields per pixel, re-evaluate the
+# single winning fragment (the kernels' exact _merge_edges math), pull the
+# cotangents back with jax.vjp, and scatter-add the target/heading grads
+# with one segment_sum. No Pallas backward kernel, no winner
+# re-identification, no fp-route matching (the index IS the forward's
+# decision, so the forward may take its FASTEST route — raster — instead of
+# being forced onto the streaming fp route). Gradient semantics match the
+# streaming backward: each pixel's cotangent is spent on exactly the
+# fragment the forward rendered (lowest-global-index tie-break both
+# places). And the route batches for free: the forward through the batched
+# router (env axis in the grid), the backward is jnp.
+#
+# Matches /root/reference/shaders/scene.frag:11-16 — the fragment math
+# being differentiated — at the reference's instancing ambition
+# (main.rs:653).
+
+WF_WINNER_BWD = True
+# prefer winner-index over the compact backward on compact-eligible wide
+# shapes too (the compact pair measured 2.09e5 af/s at n=100/W=1024; the
+# winner route's backward is ~free but its forward falls back to
+# raster/streaming) — default set by silicon A/B, see DESIGN §4f.
+WF_WINNER_OVER_COMPACT = False
+
+
+def _wf_diff_route(cfg: VisionConfig, m: int) -> str:
+    """'compact' | 'winner' | 'streaming' — THE routing decision for the
+    single-env diff path, shared by _rrwd_fwd and _rrwd_bwd (they must
+    agree on what the third residual means: final depth for the
+    kernel-backward routes, winner index for the winner route)."""
+    if _compact_diff_route_ok(cfg, m) and not (
+        WF_WINNER_BWD and WF_WINNER_OVER_COMPACT
+    ):
+        return "compact"
+    if WF_WINNER_BWD:
+        return "winner"
+    return "streaming"
+
+
+def _winner_fragment_rows(px, py, hx, hy, tx, ty, cth, sth, alb, texture,
+                          u_p, cfg: VisionConfig):
+    """Re-evaluate each pixel's WINNING sprite fragment, elementwise over
+    [N, W] streams in plain XLA: the same vert rotation + projection
+    (_project_chunk_verts' fp route) and 3-edge merge (_merge_edges) the
+    kernels run, at the pixel-center column u_p [1, W]. Texture mode
+    mirrors _decode_textured_wf inline so texture/uv gradients flow.
+    Returns (shade, depth)."""
+    t = math.tan(math.radians(cfg.hfov_deg) * 0.5)
+    hp = 1.0 / cfg.width
+    r = cfg.sprite_radius
+    raw = texture is not None
+    f_v, l_v = [], []
+    for vx, vy in SPRITE_VERTS:
+        wxr = (vx * r) * cth - (vy * r) * sth
+        wyr = (vx * r) * sth + (vy * r) * cth
+        relx = tx + wxr - px
+        rely = ty + wyr - py
+        f_v.append(relx * hx + rely * hy)
+        l_v.append(relx * hy - rely * hx)
+    ut = u_p * t
+    aa_ctx = (u_p, t, hp) if cfg.antialias else None
+    d_m, pays = _merge_edges(
+        ut, f_v, l_v, alb, cfg, track_uv=raw, aa_ctx=aa_ctx
+    )
+    if not raw:
+        return _finish(
+            d_m, pays[0], cfg, cov=pays[-1] if cfg.antialias else None
+        )
+    from ..vision.render import sample_texture_auto as sample_texture
+
+    uvx, uvy = pays[0], pays[1]
+    mag2 = (uvx - 0.5) ** 2 + (uvy - 0.5) ** 2
+    val = alb * sample_texture(
+        texture, jnp.stack([uvx, uvy], axis=-1)
+    ) * (1.0 - mag2)
+    if cfg.antialias:
+        val = cfg.background + pays[-1] * (val - cfg.background)
+    shade = jnp.where(d_m < cfg.far, val, cfg.background)
+    return shade, d_m
+
+
+def _winner_pullback(pos, vel, widx, us, ud, cfg: VisionConfig,
+                     albedo=None, texture=None):
+    """(d shade, d depth) [N, W] -> (d pos, d vel[, d albedo][, d texture])
+    through the winner-index route (self-render: targets ARE the eyes).
+
+    widx is the forward kernels' winner stream (+inf at background pixels,
+    whose cotangents are zeroed here — forward shade/depth are constants
+    there). Eye grads arrive pre-reduced by vjp broadcasting ([N, 1]
+    inputs); target/heading/albedo grads scatter-add by winner index with a
+    drop bucket for background."""
+    n = pos.shape[0]
+    w = cfg.width
+    u_p = row(2.0 * (jnp.arange(w, dtype=jnp.float32) + 0.5) / w - 1.0)
+    valid = widx < jnp.float32(n)
+    j = jnp.where(valid, widx, 0.0).astype(jnp.int32)
+    usm = jnp.where(valid, us, 0.0)
+    udm = jnp.where(valid, ud, 0.0)
+
+    dirs, pull_dirs = jax.vjp(camera.unit_heading, vel)
+    has_alb = albedo is not None
+    has_tex = texture is not None
+    diff_args = [
+        pos[:, 0:1], pos[:, 1:2], dirs[:, 0:1], dirs[:, 1:2],
+        pos[:, 0][j], pos[:, 1][j], dirs[:, 0][j], dirs[:, 1][j],
+    ]
+    if has_alb:
+        diff_args.append(albedo[j])
+    if has_tex:
+        diff_args.append(texture)
+
+    def frag(*a):
+        alb = a[8] if has_alb else cfg.sprite_albedo
+        tex = a[-1] if has_tex else None
+        return _winner_fragment_rows(
+            a[0], a[1], a[2], a[3], a[4], a[5], a[6], a[7], alb, tex, u_p,
+            cfg,
+        )
+
+    _, pull = jax.vjp(frag, *diff_args)
+    grads = pull((usm, udm))
+    seg = jnp.where(valid, j, n).reshape(-1)
+
+    def scat(g):
+        return jax.ops.segment_sum(g.reshape(-1), seg, num_segments=n + 1)[:n]
+
+    deye = jnp.concatenate([grads[0], grads[1]], axis=1)
+    ddirs = jnp.concatenate([grads[2], grads[3]], axis=1)
+    dtgt = jnp.stack([scat(grads[4]), scat(grads[5])], axis=1)
+    dhdg = jnp.stack([scat(grads[6]), scat(grads[7])], axis=1)
+    # eyes look along AND sprites orient to the same unit_heading(vel)
+    (dvel,) = pull_dirs(ddirs + dhdg)
+    out = [deye + dtgt, dvel]
+    if has_alb:
+        out.append(scat(grads[8]))
+    if has_tex:
+        out.append(grads[-1])
+    return tuple(out)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _winner_rows_textured(pos, vel, albedo, texture, cfg):
+    """Textured exact-sprite rows with the winner-index VJP — the
+    any-shape sibling of _compact_raw_rows + decode (which stays the
+    compact-eligible route). Gradients flow to pos, vel, albedo AND the
+    texture (the per-pixel fragment recompute samples it under autodiff)."""
+    return render_rows_wireframe_tiled(
+        pos, vel, cfg, albedo=albedo, texture=texture
+    )
+
+
+def _wrt_fwd(pos, vel, albedo, texture, cfg):
+    shade, depth, widx = render_rows_wireframe_tiled(
+        pos, vel, cfg, albedo=albedo, texture=texture, track_idx=True
+    )
+    return (shade, depth), (pos, vel, albedo, texture, widx)
+
+
+def _wrt_bwd(cfg, res, cot):
+    pos, vel, albedo, texture, widx = res
+    us, ud = cot
+    grads = _winner_pullback(
+        pos, vel, widx, us, ud, cfg, albedo=albedo, texture=texture
+    )
+    i = 2
+    dalb = None
+    if albedo is not None:
+        dalb = grads[i]
+        i += 1
+    return grads[0], grads[1], dalb, grads[i]
+
+
+_winner_rows_textured.defvjp(_wrt_fwd, _wrt_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def render_rows_wireframe_batched_diff(pos, vel, cfg: VisionConfig,
+                                       albedo=None, texture=None):
+    """Batched-env DIFFERENTIABLE exact-sprite rendering: [B, N, 2] ->
+    (shade, depth) [B, N, W] with a winner-index VJP — APG-through-
+    perception at batched-training scale (VERDICT r4 #1). The forward is
+    the batched router (env axis in the Pallas grid, the same launch that
+    measured 2.03e6 af/s non-diff); the backward is the per-env winner
+    pullback, vmapped — pure XLA elementwise + segment_sum, so the env
+    axis costs nothing extra. `albedo` [B, N]; `texture` [Ht, Wt] shared
+    (its cotangent sums over envs)."""
+    return render_rows_wireframe_batched(
+        pos, vel, cfg, albedo=albedo, texture=texture
+    )
+
+
+def _rrwbd_fwd(pos, vel, cfg, albedo=None, texture=None):
+    shade, depth, widx = render_rows_wireframe_batched(
+        pos, vel, cfg, albedo=albedo, texture=texture, track_idx=True
+    )
+    return (shade, depth), (pos, vel, albedo, texture, widx)
+
+
+def _rrwbd_bwd(cfg, res, cot):
+    pos, vel, albedo, texture, widx = res
+    us, ud = cot
+    has_alb = albedo is not None
+    has_tex = texture is not None
+    if has_alb:
+        grads = jax.vmap(
+            lambda p, v, w, a, b, al: _winner_pullback(
+                p, v, w, a, b, cfg, albedo=al, texture=texture
+            )
+        )(pos, vel, widx, us, ud, albedo)
+    else:
+        grads = jax.vmap(
+            lambda p, v, w, a, b: _winner_pullback(
+                p, v, w, a, b, cfg, texture=texture
+            )
+        )(pos, vel, widx, us, ud)
+    i = 2
+    dalb = None
+    if has_alb:
+        dalb = grads[i]
+        i += 1
+    dtex = jnp.sum(grads[i], axis=0) if has_tex else None
+    return grads[0], grads[1], dalb, dtex
+
+
+render_rows_wireframe_batched_diff.defvjp(_rrwbd_fwd, _rrwbd_bwd)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def render_rows_wireframe_diff(pos: jax.Array, vel: jax.Array,
                                cfg: VisionConfig):
@@ -2418,25 +2712,34 @@ def render_rows_wireframe_diff(pos: jax.Array, vel: jax.Array,
 
 
 def _rrwd_fwd(pos, vel, cfg):
-    # compact-eligible shapes run the compact forward and its culled
-    # backward (both recompute winners on the compact fp route); everything
-    # else forces the streaming forward, bit-consistent with the streaming
-    # backward kernel's recomputation (same projection op order), so the
-    # gradient always corresponds to the fragment the forward rendered.
-    # The DIFF predicate additionally admits narrow rows (backward-bound
-    # shapes) under COMPACT_DIFF_NARROW — fwd and bwd must pick the same
-    # route, hence force_compact rather than the launcher's own router
-    compact = _compact_diff_route_ok(cfg, pos.shape[0])
+    # three routes (see _wf_diff_route): compact-eligible shapes run the
+    # compact forward and its culled backward (both recompute winners on
+    # the compact fp route); the winner-index route lets the launcher pick
+    # its FASTEST forward and saves the winner stream instead of matching
+    # fp routes; the streaming fallback forces the streaming forward,
+    # bit-consistent with the streaming backward kernel's recomputation
+    route = _wf_diff_route(cfg, pos.shape[0])
+    if route == "winner":
+        shade, depth, widx = render_rows_wireframe_tiled(
+            pos, vel, cfg, track_idx=True
+        )
+        return (shade, depth), (pos, vel, widx)
     shade, depth = render_rows_wireframe_tiled(
-        pos, vel, cfg, force_streaming=not compact, force_compact=compact
+        pos, vel, cfg,
+        force_streaming=route == "streaming",
+        force_compact=route == "compact",
     )
     return (shade, depth), (pos, vel, depth)
 
 
 def _rrwd_bwd(cfg, res, cot):
-    pos, vel, depth = res
+    pos, vel, res3 = res  # final depth, or the winner route's index stream
     us, ud = cot
-    if _compact_diff_route_ok(cfg, pos.shape[0]):
+    route = _wf_diff_route(cfg, pos.shape[0])
+    if route == "winner":
+        return _winner_pullback(pos, vel, res3, us, ud, cfg)
+    depth = res3
+    if route == "compact":
         return _rrwd_bwd_compact(cfg, pos, vel, depth, us, ud)
     dirs, pull_dirs = jax.vjp(camera.unit_heading, vel)
     # trusted_depth=True skips the backward's pass-1 depth recompute:

@@ -67,9 +67,9 @@ def test_kernel_vjp_matches_dense_autodiff(antialias, width, n):
 
 
 def test_kernel_vjp_forward_matches_oracle():
-    """The diff wrapper's forced-streaming forward is still the oracle's
-    forward (the raster/streaming variants agree; streaming is forced so
-    the backward's recomputation is bit-consistent with it)."""
+    """The diff wrapper's forward is still the oracle's forward (r5: the
+    winner-index route lets the launcher pick its fastest variant — the
+    index stream, not fp-route matching, identifies winners)."""
     cfg = VisionConfig(width=64, sprite_mode="wireframe", antialias=True,
                        far=200.0)
     pos, vel = _scene(jax.random.key(5), 100)
@@ -315,13 +315,39 @@ def test_compact_diff_edge_cases_no_nans():
     assert np.isfinite(g3).all()
 
 
-def test_textured_diff_rejects_narrow_widths():
-    cfg = VisionConfig(width=64, sprite_mode="wireframe", antialias=True)
-    pos = jnp.zeros((4, 2), jnp.float32)
-    vel = jnp.ones((4, 2), jnp.float32)
+def test_textured_diff_narrow_routes_winner():
+    """Narrow widths used to raise from the textured diff entry (the
+    compact pair was its only kernel route); the r5 winner-index VJP covers
+    every kernel-tileable shape — gradient parity with the dense textured
+    oracle at the RL width class, texture included."""
+    cfg = VisionConfig(width=64, sprite_mode="wireframe", antialias=True,
+                       far=200.0)
+    n = 16
+    kp, kv, ka = jax.random.split(jax.random.key(5), 3)
+    pos = jax.random.uniform(kp, (n, 2), minval=-40, maxval=40,
+                             dtype=jnp.float32)
+    vel = jax.random.uniform(kv, (n, 2), minval=-1, maxval=1,
+                             dtype=jnp.float32)
+    albedo = jax.random.uniform(ka, (n,), minval=0.3, maxval=1.0)
     tex = render.checker_texture(8, 2)
-    with pytest.raises(ValueError, match="compact-eligible"):
-        wireframe.render_rows_wireframe_textured_diff(pos, vel, cfg, tex)
+    assert wireframe._wf_diff_route(cfg, n) == "winner"
+
+    def loss_k(p, v, a, t):
+        sh, dep = wireframe.render_rows_wireframe_textured_diff(
+            p, v, cfg, t, albedo=a
+        )
+        return jnp.sum(sh * sh) + 1e-3 * jnp.sum(dep)
+
+    def loss_d(p, v, a, t):
+        sh, dep = render.render_rows(p, v, cfg, albedo=a, texture=t)
+        return jnp.sum(sh * sh) + 1e-3 * jnp.sum(dep)
+
+    gk = jax.grad(loss_k, argnums=(0, 1, 2, 3))(pos, vel, albedo, tex)
+    gd = jax.grad(loss_d, argnums=(0, 1, 2, 3))(pos, vel, albedo, tex)
+    for a, b, name in zip(gk, gd, ("pos", "vel", "albedo", "texture")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-4, err_msg=name)
+        assert (np.abs(np.asarray(b)) > 0).any(), f"{name} oracle grads zero"
 
 
 def test_compact_diff_narrow_matches_dense_autodiff(monkeypatch, request):
@@ -505,12 +531,17 @@ def test_remat_flag_compiles_and_grads_live():
         return jnp.sum(s * s) + 1e-3 * jnp.sum(jnp.where(d < cfg.far, d, 0.0))
 
     old = wireframe.WF_BWD_REMAT
+    old_w = wireframe.WF_WINNER_BWD
     try:
         wireframe.WF_BWD_REMAT = True
+        # r5 routes narrow shapes to the winner-index backward by default;
+        # the remat flag lives in the STREAMING backward kernel
+        wireframe.WF_WINNER_BWD = False
         jax.clear_caches()  # trace-time flag, not a jit key
         gk = jax.grad(loss, argnums=(0, 1))(pos, vel)
     finally:
         wireframe.WF_BWD_REMAT = old
+        wireframe.WF_WINNER_BWD = old_w
         jax.clear_caches()
     for a in gk:
         a = np.asarray(a)
@@ -535,14 +566,20 @@ def test_remat_flag_gradients_bit_equal():
         s, d = wireframe.render_rows_wireframe_diff(p, v, cfg)
         return jnp.sum(s * s) + 1e-3 * jnp.sum(jnp.where(d < cfg.far, d, 0.0))
 
-    g0 = jax.grad(loss, argnums=(0, 1))(pos, vel)
     old = wireframe.WF_BWD_REMAT
+    old_w = wireframe.WF_WINNER_BWD
     try:
+        # both arms must run the STREAMING backward (the remat flag's home;
+        # r5 winner-index is the narrow-shape default route)
+        wireframe.WF_WINNER_BWD = False
+        jax.clear_caches()
+        g0 = jax.grad(loss, argnums=(0, 1))(pos, vel)
         wireframe.WF_BWD_REMAT = True
         jax.clear_caches()  # trace-time flag, not a jit key
         g1 = jax.grad(loss, argnums=(0, 1))(pos, vel)
     finally:
         wireframe.WF_BWD_REMAT = old
+        wireframe.WF_WINNER_BWD = old_w
         jax.clear_caches()
     for a, b in zip(g0, g1):
         assert float(jnp.linalg.norm(a)) > 0
