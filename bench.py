@@ -248,6 +248,36 @@ def main():
     )
     boids_pairs_per_s = n * n / dt_b
 
+    # -- BASELINE config 3: N=4,096 flocking + W=256 visibility --------------
+    # (preset boids-4096; BASELINE.md:28-30) — the fused per-step pipeline
+    # the app's `run --preset boids-4096` executes: boids velocity update +
+    # every agent rendering its 256-px eye line against the moved swarm
+    n3 = 4096
+    c3cfg = VisionConfig(width=256)
+    kp3, kv3 = jax.random.split(jax.random.key(23))
+    p3 = jax.random.uniform(kp3, (n3, 2), minval=-100, maxval=100,
+                            dtype=jnp.float32)
+    v3 = jax.random.uniform(kv3, (n3, 2), minval=-1, maxval=1,
+                            dtype=jnp.float32)
+    k3 = 50 if on_tpu else 2
+
+    @jax.jit
+    def config3_roll(c):
+        def body(c, _):
+            p, v = c
+            nv = boids_ops.boids_velocity_tiled(p, v, bcfg)
+            pn = p + nv * bcfg.dt  # boids velocity-replacement semantics
+            s = raycast.render_rows_tiled(pn, nv, c3cfg)[0]
+            return (pn + 1e-7 * s[:, :2], nv), ()  # consume obs (no DCE)
+
+        c, _ = jax.lax.scan(body, c, None, length=k3)
+        return c
+
+    config3_fps = _rate_or_zero(
+        config3_roll, (p3, v3), n3, k3, "config3-boids4096-vision256", 4,
+        compile_times,
+    )
+
     # -- vision helpers -------------------------------------------------------
     def vis_roll_single(vcfg, k):
         @jax.jit
@@ -305,6 +335,20 @@ def main():
         sync_slice=lambda c: c[0][:1, :1], steps=kv_steps, label="vision-batched",
     )
     vision_fps_batched = benvs * bn / dt_v
+
+    # BASELINE config 5 at its ACTUAL batch: 4,096 envs x 256 agents (the
+    # 1,024-env label above stays the round-over-round comparison point;
+    # this one replaces the old "fps matches 4096" comment with a number)
+    benvs4 = 4096 if on_tpu else 16
+    kp4, kv4 = jax.random.split(jax.random.key(29))
+    b4pos = jax.random.uniform(kp4, (benvs4, bn, 2), minval=-100, maxval=100,
+                               dtype=jnp.float32)
+    b4vel = jax.random.uniform(kv4, (benvs4, bn, 2), minval=-1, maxval=1,
+                               dtype=jnp.float32)
+    vision_fps_batched_4096 = _rate_or_zero(
+        vis_roll_batched, (b4pos, b4vel), benvs4 * bn, kv_steps,
+        "vision-batched-4096", 4, compile_times,
+    )
 
     # same batched datagen config through the EXACT sprite (env axis folded
     # into the Pallas grid — ops.wireframe.render_rows_wireframe_batched;
@@ -491,6 +535,40 @@ def main():
         100, 1024, "vision-wireframe-tex-diff-n100-w1024", 50 if on_tpu else 2
     )
 
+    # batched DIFFERENTIABLE exact-sprite observations (VERDICT r4 #1): the
+    # RL training shape through render_rows_wireframe_batched_diff — the
+    # batched router forward (env axis in the Pallas grid) + the r5
+    # winner-index pullback (O(N*W) elementwise XLA + segment_sum)
+    bdenvs = 1024 if on_tpu else 4
+    kbd = 5 if on_tpu else 2
+    kpd, kvd = jax.random.split(jax.random.key(31))
+    bdpos = jax.random.uniform(kpd, (bdenvs, bn, 2), minval=-100, maxval=100,
+                               dtype=jnp.float32)
+    bdvel = jax.random.uniform(kvd, (bdenvs, bn, 2), minval=-1, maxval=1,
+                               dtype=jnp.float32)
+
+    @jax.jit
+    def wf_batched_diff_roll(c):
+        p, v = c
+
+        def body(p, _):
+            def loss(pq):
+                s, d = wireframe_ops.render_rows_wireframe_batched_diff(
+                    pq, v, wcfg
+                )
+                return jnp.sum(s * s) + 1e-3 * jnp.sum(d)
+
+            g = jax.grad(loss)(p)
+            return p + 1e-6 * g, ()
+
+        p, _ = jax.lax.scan(body, p, None, length=kbd)
+        return p, v
+
+    vision_fps_wf_batched_diff = _rate_or_zero(
+        wf_batched_diff_roll, (bdpos, bdvel), bdenvs * bn, kbd,
+        "vision-batched-wireframe-diff", 6, compile_times,
+    )
+
     print(
         json.dumps(
             {
@@ -504,8 +582,11 @@ def main():
                     "gravity_ms_per_step": dt * 1e3,
                     "gravity_pair_evals_per_s_approx_reciprocal": pair_evals_fast,
                     "boids_pair_evals_per_s": boids_pairs_per_s,
+                    "config3_agent_frames_per_s_boids4096_w256": config3_fps,
                     "vision_agent_frames_per_s_batched_1024x256_w64": vision_fps_batched,
+                    "vision_agent_frames_per_s_batched_4096x256_w64": vision_fps_batched_4096,
                     "vision_agent_frames_per_s_wireframe_batched_1024x256_w64": vision_fps_batched_wf,
+                    "vision_agent_frames_per_s_wireframe_diff_batched_1024x256_w64": vision_fps_wf_batched_diff,
                     "vision_agent_frames_per_s_n1024_w64": vision_fps_single,
                     "vision_agent_frames_per_s_wireframe_n1024_w64": vision_fps_wireframe,
                     "vision_agent_frames_per_s_n100_w1024": vision_fps_ref100,

@@ -139,11 +139,25 @@ def data_axis_of(mesh: Optional[Mesh]) -> Optional[str]:
     return None
 
 
+def agent_axis_of(mesh: Optional[Mesh]) -> Optional[str]:
+    """AGENT_AXIS when the mesh has one, else None. Data-only meshes (pure
+    DP over envs — the batched-kernel observation layout) keep each env's
+    agent axis device-local; callers treat agent_axis=None as "agents
+    unsharded"."""
+    if mesh is not None and AGENT_AXIS in mesh.axis_names:
+        return AGENT_AXIS
+    return None
+
+
 def place_state_on_mesh(states, mesh: Mesh):
-    """device_put a BATCHED SceneState onto the (data?, agents) layout —
+    """device_put a BATCHED SceneState onto the (data?, agents?) layout —
     the shared entry placement for trainers/datagen (agents-only meshes
-    replicate the env batch via data_axis_of)."""
-    specs = shard_state_specs(batch=True, data_axis=data_axis_of(mesh))
+    replicate the env batch via data_axis_of; data-only meshes keep agents
+    local via agent_axis_of)."""
+    specs = shard_state_specs(
+        batch=True, agent_axis=agent_axis_of(mesh),
+        data_axis=data_axis_of(mesh),
+    )
     return type(states)(
         **{
             name: jax.device_put(
@@ -154,10 +168,12 @@ def place_state_on_mesh(states, mesh: Mesh):
     )
 
 
-def shard_state_specs(batch: bool, agent_axis: str = AGENT_AXIS,
+def shard_state_specs(batch: bool,
+                      agent_axis: Optional[str] = AGENT_AXIS,
                       data_axis: Optional[str] = None):
     """PartitionSpecs for a SceneState's leaves: pos/vel get
-    (data?, agents, None); key/t get (data?,)."""
+    (data?, agents?, None); key/t get (data?,). agent_axis=None keeps the
+    per-env agent axis unsharded (data-only DP meshes)."""
     lead = (data_axis,) if batch else ()
     return {
         "pos": P(*lead, agent_axis, None),

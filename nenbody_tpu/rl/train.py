@@ -93,8 +93,12 @@ def _batched_env_fns(env: VisionEnv, mesh: Optional[Mesh]):
 
         return observe_fast, step
 
+    from ..parallel.mesh import AGENT_AXIS, data_axis_of
+
+    if AGENT_AXIS not in mesh.axis_names:
+        return _dp_mesh_env_fns(env, mesh)
+
     from ..parallel import ring
-    from ..parallel.mesh import data_axis_of
 
     cfg = env.cfg
     data_axis = data_axis_of(mesh)
@@ -119,6 +123,53 @@ def _batched_env_fns(env: VisionEnv, mesh: Optional[Mesh]):
         reward = env.reward_obs(obs) if from_obs else jax.vmap(env.reward)(nxt)
         return nxt, obs, reward
 
+    return observe, step
+
+
+def _dp_mesh_env_fns(env: VisionEnv, mesh: Mesh):
+    """(observe, step) for a DATA-ONLY mesh (make_mesh({"data": n}) — pure
+    DP over envs): each device runs its LOCAL env batch through the
+    single-chip batched machinery inside shard_map — including the
+    env-in-the-grid batched wireframe kernel (r4) and its winner-index
+    diff sibling (r5), which do not auto-partition under pjit (Pallas
+    needs shard_map). Physics stay per-env (vmapped), so no agent ring;
+    agents are device-local, envs shard over the data axis. This is the
+    scalable RL layout when one env fits a chip — the (data x agents) ring
+    mesh remains the route for envs BIGGER than a chip."""
+    from ..parallel.mesh import data_axis_of, shard_state_specs
+
+    data_axis = data_axis_of(mesh)
+    if data_axis is None:
+        raise ValueError(
+            "a mesh without an agent axis needs a data axis to shard envs "
+            f"over; got axes {mesh.axis_names}"
+        )
+    observe_local = _batched_observe_fast(env) or jax.vmap(env.observe)
+    dynamics_b = jax.vmap(env.dynamics)
+
+    def step_local(states, action):
+        nxt = dynamics_b(states, action)
+        obs = observe_local(nxt)
+        if env.reward_mode == "visibility":
+            return nxt, obs, env.reward_obs(obs)
+        return nxt, obs, jax.vmap(env.reward)(nxt)
+
+    specs = shard_state_specs(batch=True, agent_axis=None,
+                              data_axis=data_axis)
+    state_specs = SceneState(**specs)
+    pb = P(data_axis)
+    # check_vma=False: Pallas out_shapes carry no vma annotation (the
+    # ring/rdma shard_maps disable it for the same reason)
+    observe = jax.shard_map(
+        observe_local, mesh=mesh, in_specs=(state_specs,), out_specs=pb,
+        check_vma=False,
+    )
+    step = jax.shard_map(
+        step_local, mesh=mesh,
+        in_specs=(state_specs, pb),
+        out_specs=(state_specs, pb, pb),
+        check_vma=False,
+    )
     return observe, step
 
 
