@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -1291,6 +1292,24 @@ def _stream_outs(pos, dirs, tgt, hdg, cfg: VisionConfig, te, tj, wb, albedo,
 BATCHED_RASTER_MAX_ELEMS = 1 << 26
 
 
+def _batched_raster_elems(b: int, n: int, cfg: VisionConfig) -> int:
+    """Per-field f32 element count of the vmapped raster route's projection
+    tensors, computed with the LAUNCHER's actual padding — te_p/tj_p rules
+    mirrored from render_rows_wireframe_tiled's precompute branch (advisor
+    r4: the old round_up(n,8)*round_up(n,128) estimate undercounted the
+    real HBM footprint by up to ~2x at awkward n near the budget)."""
+    if cfg.width <= 128 or cfg.width % 128 != 0:
+        wb = cfg.width if cfg.width <= 256 else 128
+    else:
+        wb = 128
+    te_p = fit_tile(32, n, 8)
+    if round_up(n, 128) <= 128 and cfg.width % 128 == 0 and cfg.width > 128:
+        wb = next(d for d in (512, 256, 128) if cfg.width % d == 0)
+        te_p = fit_tile(16, n, 8)
+    tj_p = fit_tile(min(1024, max(128, (1 << 16) // wb)), n, 128)
+    return b * round_up(n, te_p) * round_up(n, tj_p)
+
+
 def render_rows_wireframe_batched(
     pos: jax.Array,
     vel: jax.Array,
@@ -1342,7 +1361,7 @@ def render_rows_wireframe_batched(
     b, n = pos.shape[0], pos.shape[1]
     if (
         not force_streaming
-        and b * round_up(n, 8) * round_up(n, 128) <= BATCHED_RASTER_MAX_ELEMS
+        and _batched_raster_elems(b, n, cfg) <= BATCHED_RASTER_MAX_ELEMS
     ):
         if albedo is None:
             fn = lambda p, v: render_rows_wireframe_tiled(
@@ -2179,6 +2198,13 @@ BWD_EYES_PER_PROGRAM_WF = 8
 # interpret mode; 4096 stays the hardware cap.
 WF_BWD_TILE_ELEMS = 1 << 12
 WF_BWD_REMAT = False
+# triage escape hatch (advisor r4): trusted_depth rests on a bit-exact
+# depth identity across two separate Mosaic lowerings, verified by a
+# hardware canary (tpu_tests test_wireframe_trusted_depth_canary). If
+# gradients ever look dead on a new compiler/hardware rev, set
+# NENBODY_WF_TRUSTED_DEPTH=0 to force the backward's pass-1 depth
+# recompute without a code change.
+WF_TRUSTED_DEPTH = os.environ.get("NENBODY_WF_TRUSTED_DEPTH", "1") != "0"
 
 
 def _wf_bwd_kernel(
@@ -2750,7 +2776,7 @@ def _rrwd_bwd(cfg, res, cot):
     # condition, tpu_tests test_wireframe_trusted_depth_canary) and the
     # RL diff shape N=1024/W=64 runs 1.34e4 vs 1.14e4 af/s (+18%).
     deye, ddirs, dtgt, dhdg = render_rows_wireframe_vjp_cross(
-        pos, dirs, depth, us, ud, cfg, trusted_depth=True
+        pos, dirs, depth, us, ud, cfg, trusted_depth=WF_TRUSTED_DEPTH
     )
     # eyes look along AND sprites orient to the same unit_heading(vel)
     (dvel,) = pull_dirs(ddirs + dhdg)
