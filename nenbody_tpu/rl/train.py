@@ -46,7 +46,9 @@ def _batched_observe_fast(env: VisionEnv):
     vmap(render_rows_wireframe_diff) — under vmap each env serializes as
     its own grid instance and the RL shape class measured ~3 orders under
     the batched disc path. APG (which DOES backprop through perception)
-    keeps vmapping the custom-VJP single-env renderer."""
+    routes its differentiable sibling instead
+    (rl.apg._batched_observe_diff -> render_rows_wireframe_batched_diff,
+    the r5 winner-index VJP)."""
     cfg = env.cfg
     if (
         cfg.vision is None
