@@ -48,6 +48,9 @@ from .common import (
 
 EYES_PER_PROGRAM = 8
 TILE_J = 256
+# sweep override for the raster kernel's manual eye unroll (None = the
+# r2-swept _unroll_cap rule); see WF_RASTER_TE below
+WF_RASTER_UNROLL = None
 
 
 def _unroll_cap(streaming: bool = False, aa: bool = False) -> int:
@@ -366,7 +369,8 @@ def _wireframe_raster_kernel(
         o_refs[1][pl.ds(e, 1), :] = jnp.transpose(depth)
         return 0
 
-    run_eyes_unrolled(eye_body, te, _unroll_cap(aa=aa))
+    cap = WF_RASTER_UNROLL or _unroll_cap(aa=aa)
+    run_eyes_unrolled(eye_body, te, cap)
 
 
 def _project_chunk_verts(px, py, hx, hy, tx, ty, cth, sth, mj, verts):
@@ -942,6 +946,13 @@ def _project_verts_all(pos, dirs, tgt, hdg, cfg: VisionConfig, n_pad_t: int):
 # HBM footprint matches raycast._PRECOMPUTE_MAX_ELEMS.
 _PRECOMPUTE_MAX_ELEMS = 1 << 23
 
+# raster-launcher tile knobs (r5, for the n=1024/W=64 single-env sweep —
+# VERDICT r4 #4): eyes per program and the per-(eye-block) temp element
+# budget that sets tj_p. Defaults reproduce the r2-swept launcher
+# behavior exactly; sweep on silicon with _wf_n1024_sweep.py.
+WF_RASTER_TE = 32
+WF_RASTER_TEMP_ELEMS = 1 << 16
+
 
 def _wf_num_outputs(raw: bool, has_alb: bool, aa: bool,
                     track_idx: bool = False) -> int:
@@ -1135,7 +1146,7 @@ def render_rows_wireframe_tiled(
     # force_streaming skips it: the diff path's backward kernel recomputes
     # projections with the streaming op order, and the forward must follow
     # the SAME fp route so winner/coverage decisions agree bit-for-bit
-    te_p = fit_tile(32, n, 8)
+    te_p = fit_tile(WF_RASTER_TE, n, 8)
     if (
         not force_streaming
         and not small_m_wide
@@ -1146,7 +1157,9 @@ def render_rows_wireframe_tiled(
             wb = next(d for d in (512, 256, 128) if cfg.width % d == 0)
             te_p = fit_tile(16, n, 8)
         n_pad_e_p = round_up(n, te_p)
-        tj_p = fit_tile(min(1024, max(128, (1 << 16) // wb)), m, 128)
+        tj_p = fit_tile(
+            min(1024, max(128, WF_RASTER_TEMP_ELEMS // wb)), m, 128
+        )
         n_pad_t_p = round_up(m, tj_p)
         f_v, l_v = _project_verts_all(pos, dirs, tgt, hdg, cfg, n_pad_t_p)
         if n_pad_e_p != n:
