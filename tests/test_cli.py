@@ -159,8 +159,12 @@ def test_ppo_save_normalizes_to_policy_subtree(tmp_path, capsys):
     assert rc == 0 and os.path.exists(out)
 
 
+@pytest.mark.slow
 def test_ppo_central_critic_cli(tmp_path, capsys):
-    """--critic central (MAPPO pooled V(s)) trains via the CLI with team
+    """[slow: the central-critic MECHANISM is pinned every tier by
+    tests/test_ppo.py::test_ppo_central_critic_runs_and_updates and the
+    driver dryrun runs a mesh MAPPO step; this covers only the --critic
+    arg wiring] --critic central (MAPPO pooled V(s)) trains via the CLI with team
     rewards; the save still normalizes to the policy subtree. Non-PPO algos
     reject the flag."""
     params = str(tmp_path / "mappo.npz")

@@ -36,9 +36,10 @@ def _scene(key, n, spread=40.0):
     # the large-clutter shape takes ~110 s on the CPU rig; the smaller
     # params cover the same code paths every run
     pytest.param(True, 64, 300, marks=pytest.mark.slow),
-    # width 128 / 40 targets still trips the TJ*WB <= 4096 backward tile
-    # cap (wb=128 -> TJ=32 -> 2 tiles) at half the cost of width 256
-    (True, 128, 40),
+    # width 128 / 40 targets: the winner route is width-insensitive and
+    # the default tier covers W=32/64 shapes, so the extra raster-forward
+    # compile rides the slow tier
+    pytest.param(True, 128, 40, marks=pytest.mark.slow),
 ])
 def test_kernel_vjp_matches_dense_autodiff(antialias, width, n):
     """Exact gradient parity (positions AND velocities — sprites orient to
@@ -277,11 +278,10 @@ def test_textured_compact_diff_matches_dense_autodiff():
 
 
 def test_compact_diff_edge_cases_no_nans():
-    """The compact backward's safe-division guards (empty q=0 slots, miss
-    pixels at `far`) must keep gradients finite at degenerate scenes:
-    n < COMPACT_SUB (slot + eye-tile padding), an all-miss scene (every
-    target beyond `far` -> exactly zero grads), and a single self-culled
-    agent."""
+    """The compact backward's safe-division guards (empty q=0 slots, slot +
+    eye-tile padding at n < COMPACT_SUB) must keep gradients finite — one
+    backward compile; the all-miss and single-agent degenerate scenes
+    (different shapes -> more compiles) live in the slow sibling below."""
     cfg = VisionConfig(width=512, sprite_mode="wireframe", antialias=True,
                        far=200.0)
     kp, kv = jax.random.split(jax.random.key(2))
@@ -295,6 +295,18 @@ def test_compact_diff_edge_cases_no_nans():
 
     g = np.asarray(jax.grad(loss)(pos, vel, cfg))
     assert np.isfinite(g).all() and (np.abs(g) > 0).any()
+
+
+@pytest.mark.slow
+def test_compact_diff_degenerate_scenes_no_nans():
+    """Slow-tier extension of the guard pin above: an all-miss scene
+    (every target beyond `far` -> exactly zero grads) and a single
+    self-culled agent — each a fresh compile at a degenerate shape."""
+    cfg = VisionConfig(width=512, sprite_mode="wireframe", antialias=True,
+                       far=200.0)
+
+    def loss(p, v, c):
+        return jnp.sum(wireframe.render_rows_wireframe_diff(p, v, c)[0] ** 2)
 
     # all-miss: everything beyond far -> zero gradient, never nan
     far_cfg = VisionConfig(width=512, sprite_mode="wireframe",
@@ -350,8 +362,10 @@ def test_textured_diff_narrow_routes_winner():
         assert (np.abs(np.asarray(b)) > 0).any(), f"{name} oracle grads zero"
 
 
+@pytest.mark.slow
 def test_compact_diff_narrow_matches_dense_autodiff(monkeypatch, request):
-    """COMPACT_DIFF_NARROW admits narrow rows (the RL observation shape
+    """[slow: COMPACT_DIFF_NARROW is a measured-negative, default-OFF route;
+    the wide-row compact pin runs every tier] COMPACT_DIFF_NARROW admits narrow rows (the RL observation shape
     class, W=64) to the compact diff route — the streaming backward costs
     full n x m vjp work at ANY width, so backward-bound narrow shapes are
     where the culled compact backward pays off most. Same strict gradient
@@ -394,6 +408,7 @@ def test_compact_diff_narrow_matches_dense_autodiff(monkeypatch, request):
     assert (np.abs(np.asarray(gk[1])) > 0).any()
 
 
+@pytest.mark.slow
 def test_compact_bwd_candidate_chunking_matches_unchunked(monkeypatch,
                                                           request):
     """K > COMPACT_BWD_K_CHUNK splits the backward's candidate axis across

@@ -142,6 +142,7 @@ def test_batched_diff_matches_vmapped_single():
     np.testing.assert_array_equal(np.asarray(d0), np.asarray(d1))
 
 
+@pytest.mark.slow
 def test_batched_diff_textured_albedo_matches_dense():
     """Per-env albedo + shared texture through the batched diff entry:
     gradients (texture cotangent summed over envs) match the dense textured
@@ -174,6 +175,7 @@ def test_batched_diff_textured_albedo_matches_dense():
         assert (np.abs(np.asarray(b)) > 0).any(), f"{name} oracle grads zero"
 
 
+@pytest.mark.slow
 def test_batched_diff_streaming_grid_route(monkeypatch, request):
     """Above the raster element budget the batched forward folds the env
     axis into the streaming kernel's grid — the winner index must stay
