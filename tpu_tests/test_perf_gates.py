@@ -297,6 +297,74 @@ def test_wireframe_batched_gate():
     assert rate >= 2.2e6, f"batched wireframe rate {rate:.3e} < 2.2e6"
 
 
+@requires_tpu
+def test_config3_fused_step_observe_gate():
+    """BASELINE config 3 (BASELINE.md: N=4,096 flocking + neighbor-
+    visibility observations, the boids-4096 preset shape at W=256): the
+    fused boids-step + disc-render chain must hold its measured order.
+    Measured on v5e (r5, bench label config3-boids4096-vision256):
+    3.18e5 agent-frames/s with every agent's 256-px eye rendered every
+    step — work the reference's own frame loop never attempts at this N
+    (it renders eyes for N=100, main.rs:653-654). Floor ~18% under."""
+    from nenbody_tpu.config import BoidsConfig, VisionConfig
+    from nenbody_tpu.ops import boids as boids_ops
+    from nenbody_tpu.ops import raycast
+
+    bcfg = BoidsConfig()
+    vcfg = VisionConfig(width=256)
+    kp, kv = jax.random.split(jax.random.key(23))
+    pos = jax.random.uniform(kp, (4096, 2), minval=-100, maxval=100,
+                             dtype=jnp.float32)
+    vel = jax.random.uniform(kv, (4096, 2), minval=-1, maxval=1,
+                             dtype=jnp.float32)
+
+    def body(c):
+        p, v = c
+        nv = boids_ops.boids_velocity_tiled(p, v, bcfg)
+        pn = p + nv * bcfg.dt
+        s = raycast.render_rows_tiled(pn, nv, vcfg)[0]
+        return pn + 1e-7 * s[:, :2], nv
+
+    dt = _scan_time(body, (pos, vel), steps=50, sync=lambda c: c[0][:1])
+    rate = 4096 / dt
+    assert rate >= 2.6e5, f"config-3 rate {rate:.3e} < 2.6e5 (was 3.18e5)"
+
+
+@requires_tpu
+def test_wireframe_batched_diff_gate():
+    """VERDICT r4 #1: batched DIFFERENTIABLE exact-sprite vision must be
+    usable at training scale. Measured on v5e (r5):
+    render_rows_wireframe_batched_diff — batched-router forward +
+    winner-index O(N*W) pullback — 2.19e5 af/s fwd+bwd at the bench
+    shape B=1024 x n=256 x W=64 AA (the r4 vmap-serialized streaming
+    route measured ~1.3e4 at the SINGLE-env shape). Gate ~18% under; the
+    1e5 ask from VERDICT r4 #1 sits 2.2x below measurement."""
+    from nenbody_tpu.config import VisionConfig
+    from nenbody_tpu.ops import wireframe
+
+    benvs, bn = 1024, 256
+    vcfg = VisionConfig(width=64, sprite_mode="wireframe", antialias=True)
+    kp, kv = jax.random.split(jax.random.key(31))
+    pos = jax.random.uniform(kp, (benvs, bn, 2), minval=-100, maxval=100,
+                             dtype=jnp.float32)
+    vel = jax.random.uniform(kv, (benvs, bn, 2), minval=-1, maxval=1,
+                             dtype=jnp.float32)
+
+    def body(c):
+        p, v = c
+
+        def loss(pq):
+            s, d = wireframe.render_rows_wireframe_batched_diff(pq, v, vcfg)
+            return jnp.sum(s * s) + 1e-3 * jnp.sum(d)
+
+        g = jax.grad(loss)(p)
+        return p + 1e-6 * g, v
+
+    dt = _scan_time(body, (pos, vel), steps=5, sync=lambda c: c[0][:1, :1])
+    rate = benvs * bn / dt
+    assert rate >= 1.8e5, f"batched wireframe diff {rate:.3e} < 1.8e5"
+
+
 def _wireframe_ref_rate(aa, texture, steps=400):
     from nenbody_tpu.config import VisionConfig
     from nenbody_tpu.ops import wireframe
@@ -423,13 +491,16 @@ def test_wireframe_diff_gates():
     """VERDICT r2 #6: differentiable exact-sprite perception (forward +
     backward through the wireframe VJP kernels) holds its measured order.
 
-    Measured on v5e: N=1024/W=64 (streaming backward) 1.14e4 r2 -> 1.34e4
-    r4 with trusted_depth=True shipped (pass-1 recompute skipped; canary
-    bit-exact). N=100/W=1024 routes the COMPACT backward: 1.23e4 r2
-    streaming -> 2.17e5 r3 (group-range-culled compact bwd) -> 1.06e5 r4
-    (an UNACKNOWLEDGED regression: the always-sort prologue switch made
-    the backward's jax.vjp recompute pull cotangents through lax.sort's
-    scatter transpose) -> 2.09e5 r5 (COMPACT_BWD_SORT_MIN_M keeps the
+    Measured on v5e: N=1024/W=64 1.14e4 r2 streaming backward -> 1.34e4
+    r4 with trusted_depth=True -> 2.21e5 r5 (the WINNER-INDEX backward:
+    the forward tracks the winning target index as one more min-reduced
+    payload stream and the VJP is O(N*W) elementwise fragment
+    re-evaluation + segment_sum — no n x m work at all). N=100/W=1024
+    routes the COMPACT backward: 1.23e4 r2 streaming -> 2.17e5 r3
+    (group-range-culled compact bwd) -> 1.06e5 r4 (an UNACKNOWLEDGED
+    regression: the always-sort prologue switch made the backward's
+    jax.vjp recompute pull cotangents through lax.sort's scatter
+    transpose) -> 2.06e5 r5 (COMPACT_BWD_SORT_MIN_M keeps the
     rank/one-hot edition — whose transpose is an einsum — in the three
     backward builds; bit-identical editions, so fwd stays on sort).
     Floors sit ~18% under the BEST measured rate per shape, never a
@@ -437,7 +508,7 @@ def test_wireframe_diff_gates():
     from nenbody_tpu.config import VisionConfig
     from nenbody_tpu.ops import wireframe
 
-    for n, w, steps, floor in ((1024, 64, 20, 1.1e4), (100, 1024, 20, 1.7e5)):
+    for n, w, steps, floor in ((1024, 64, 20, 1.8e5), (100, 1024, 20, 1.7e5)):
         vcfg = VisionConfig(width=w, sprite_mode="wireframe", antialias=True,
                             far=200.0)
         kp, kv = jax.random.split(jax.random.key(17))
