@@ -60,7 +60,14 @@ def run_eyes_unrolled(eye_body, te: int, cap: int) -> None:
     eye loop costs ~2.5x in throughput; unroll groups give both. `cap` is
     variant-specific and swept on hardware at each call site (CLAUDE.md:
     re-check caps on REAL hardware whenever a kernel variant adds select
-    streams — interpret mode will not catch the scoped-vmem OOM)."""
+    streams — interpret mode will not catch the scoped-vmem OOM).
+
+    Interpret mode (the CPU suite) always runs ue=1: the unroll is a
+    Mosaic-throughput knob whose groups are bit-identical by construction,
+    and the statically-duplicated bodies only inflate trace/compile time
+    on the XLA-compile-bound CI box (CLAUDE.md)."""
+    if interpret_mode():
+        cap = 1
     ue = 1
     while ue * 2 <= min(te, cap) and te % (ue * 2) == 0:
         ue *= 2

@@ -500,7 +500,8 @@ def _wireframe_rasterq_kernel(
     # class this kernel exists for) keep the full cap (swept on v5e at
     # N=1024/W=64: cap 8 -> 1.05e6, cap 16 -> 1.10e6 af/s, cap 32 flat;
     # re-check on silicon per CLAUDE.md's scoped-vmem invariant before
-    # deepening — interpret mode will NOT catch an OOM)
+    # deepening — interpret mode will NOT catch an OOM; interpret runs
+    # ue=1 via run_eyes_unrolled's global rule)
     cap = WF_RASTER_UNROLL or (
         _unroll_cap(aa=aa) if wb <= 128 else max(1, _unroll_cap(aa=aa) // 2)
     )
@@ -2837,10 +2838,14 @@ def _winner_rows_textured(pos, vel, albedo, texture, cfg):
     """Textured exact-sprite rows with the winner-index VJP — the
     any-shape sibling of _compact_raw_rows + decode (which stays the
     compact-eligible route). Gradients flow to pos, vel, albedo AND the
-    texture (the per-pixel fragment recompute samples it under autodiff)."""
-    return render_rows_wireframe_tiled(
-        pos, vel, cfg, albedo=albedo, texture=texture
+    texture (the per-pixel fragment recompute samples it under autodiff).
+
+    Primal mirrors _wrt_fwd's track_idx launch (custom_vjp semantics —
+    see render_rows_wireframe_diff)."""
+    shade, depth, _ = render_rows_wireframe_tiled(
+        pos, vel, cfg, albedo=albedo, texture=texture, track_idx=True
     )
+    return shade, depth
 
 
 def _wrt_fwd(pos, vel, albedo, texture, cfg):
@@ -2877,10 +2882,15 @@ def render_rows_wireframe_batched_diff(pos, vel, cfg: VisionConfig,
     measured 2.03e6 af/s non-diff); the backward is the per-env winner
     pullback, vmapped — pure XLA elementwise + segment_sum, so the env
     axis costs nothing extra. `albedo` [B, N]; `texture` [Ht, Wt] shared
-    (its cotangent sums over envs)."""
-    return render_rows_wireframe_batched(
-        pos, vel, cfg, albedo=albedo, texture=texture
+    (its cotangent sums over envs).
+
+    The primal runs the SAME track_idx launch as _rrwbd_fwd (custom_vjp
+    semantics: f(x) must equal fwd(x)[0]; the plain batched API's rasterq
+    route may flip near-tie winners vs the track_idx division route)."""
+    shade, depth, _ = render_rows_wireframe_batched(
+        pos, vel, cfg, albedo=albedo, texture=texture, track_idx=True
     )
+    return shade, depth
 
 
 def _rrwbd_fwd(pos, vel, cfg, albedo=None, texture=None):
@@ -2925,8 +2935,23 @@ def render_rows_wireframe_diff(pos: jax.Array, vel: jax.Array,
     """render_rows_wireframe_tiled with a kernel-speed custom VJP —
     differentiable perception with the reference's EXACT sprite (the dense
     wireframe autodiff is the oracle; use cfg.antialias=True for
-    meaningful coverage gradients, as with the disc's render_rows_diff)."""
-    return render_rows_wireframe_tiled(pos, vel, cfg)
+    meaningful coverage gradients, as with the disc's render_rows_diff).
+
+    The primal mirrors _rrwd_fwd's routing EXACTLY (custom_vjp semantics:
+    f(x) must equal fwd(x)[0], or grad/no-grad contexts see different
+    renders) — winner-route shapes run the track_idx division-route
+    launch here too, NOT the rasterq default the plain API picks."""
+    route = _wf_diff_route(cfg, pos.shape[0])
+    if route == "winner":
+        shade, depth, _ = render_rows_wireframe_tiled(
+            pos, vel, cfg, track_idx=True
+        )
+        return shade, depth
+    return render_rows_wireframe_tiled(
+        pos, vel, cfg,
+        force_streaming=route == "streaming",
+        force_compact=route == "compact",
+    )
 
 
 def _rrwd_fwd(pos, vel, cfg):

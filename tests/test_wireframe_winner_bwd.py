@@ -143,10 +143,19 @@ def test_batched_diff_matches_vmapped_single():
                                       err_msg=name)
         assert (np.abs(np.asarray(a)) > 0).any()
 
-    s0, d0 = wireframe.render_rows_wireframe_batched(pos, vel, cfg)
+    # the diff primal rides the track_idx division-route launch (it must
+    # bit-match its own grad-context forward, custom_vjp semantics), so
+    # pin THAT identity exactly; the plain batched API rides rasterq and
+    # agrees at fp32 tolerances only (near-tie winners may flip)
+    s0, d0, _ = wireframe.render_rows_wireframe_batched(
+        pos, vel, cfg, track_idx=True)
     s1, d1 = wireframe.render_rows_wireframe_batched_diff(pos, vel, cfg)
     np.testing.assert_array_equal(np.asarray(s0), np.asarray(s1))
     np.testing.assert_array_equal(np.asarray(d0), np.asarray(d1))
+    sq, dq = wireframe.render_rows_wireframe_batched(pos, vel, cfg)
+    np.testing.assert_allclose(np.asarray(sq), np.asarray(s1), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(dq), np.asarray(d1), atol=2e-4,
+                               rtol=1e-4)
 
 
 @pytest.mark.slow
