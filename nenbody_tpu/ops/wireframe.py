@@ -1923,6 +1923,8 @@ def _render_compact_outs(pos, dirs, tgt, hdg, cfg: VisionConfig, te, albedo,
     # Bit-identical at any R (see the kernel's unroll invariance note).
     gu = (COMPACT_GROUP_UNROLL_MANY if K // COMPACT_SUB >= COMPACT_MANY_G
           else None)
+    if interpret_mode():
+        gu = 1  # pure Mosaic-throughput knob; trace cost only on CPU
     kernel = functools.partial(
         _wireframe_compact_kernel, cfg=cfg, n_fields=F, K=K,
         has_alb=has_alb, raw=raw, group_unroll=gu,
@@ -2774,6 +2776,20 @@ def _winner_fragment_rows(px, py, hx, hy, tx, ty, cth, sth, alb, texture,
     return shade, d_m
 
 
+# the winner pullback's index plumbing, two editions (r5): XLA dynamic
+# gather/scatter cost ~60-80 cycles PER ELEMENT on TPU — a device trace of
+# the batched diff step showed 4 gather fusions at ~890 ms and the
+# scatter fusions at ~250 ms of the 1,195 ms total, with the fragment-vjp
+# math itself nearly free. WF_WINNER_ONEHOT routes both through ONE
+# materialized per-pixel one-hot and two Precision.HIGHEST contractions
+# (gathered = oh @ table, dtgt = oh^T @ grads) — exact selection (the
+# compact prologue's bf16x3-split argument: f32-by-0/1 products
+# reconstruct exactly) and exactly-one-hot rows make the sums
+# order-trivial, so gradients are bit-comparable per env. False keeps the
+# gather/segment_sum edition for A/B.
+WF_WINNER_ONEHOT = True
+
+
 def _winner_pullback(pos, vel, widx, us, ud, cfg: VisionConfig,
                      albedo=None, texture=None):
     """(d shade, d depth) [N, W] -> (d pos, d vel[, d albedo][, d texture])
@@ -2782,8 +2798,9 @@ def _winner_pullback(pos, vel, widx, us, ud, cfg: VisionConfig,
     widx is the forward kernels' winner stream (+inf at background pixels,
     whose cotangents are zeroed here — forward shade/depth are constants
     there). Eye grads arrive pre-reduced by vjp broadcasting ([N, 1]
-    inputs); target/heading/albedo grads scatter-add by winner index with a
-    drop bucket for background."""
+    inputs); target/heading/albedo grads route by winner index — one-hot
+    MXU contractions (with a drop bucket for background) or gather +
+    segment_sum, WF_WINNER_ONEHOT above."""
     n = pos.shape[0]
     w = cfg.width
     u_p = row(2.0 * (jnp.arange(w, dtype=jnp.float32) + 0.5) / w - 1.0)
@@ -2795,12 +2812,35 @@ def _winner_pullback(pos, vel, widx, us, ud, cfg: VisionConfig,
     dirs, pull_dirs = jax.vjp(camera.unit_heading, vel)
     has_alb = albedo is not None
     has_tex = texture is not None
+    hi = jax.lax.Precision.HIGHEST
+    if WF_WINNER_ONEHOT:
+        # [N, W, n+1] exact one-hot; invalid pixels land in the drop
+        # bucket, so their gathered fields are 0 (their cotangents are
+        # masked anyway) and their grads never reach a real target
+        jk = jnp.where(valid, j, n)
+        oh = (jk[:, :, None] == jnp.arange(n + 1, dtype=jnp.int32)).astype(
+            jnp.float32
+        )
+        table = [pos[:, 0], pos[:, 1], dirs[:, 0], dirs[:, 1]]
+        if has_alb:
+            table.append(albedo)
+        table = jnp.stack(
+            [jnp.pad(tcol, (0, 1)) for tcol in table], axis=0
+        )  # [F, n+1]
+        gath = jnp.einsum("nwk,fk->fnw", oh, table, precision=hi)
+        tgt_fields = [gath[0], gath[1], gath[2], gath[3]]
+        alb_field = gath[4] if has_alb else None
+    else:
+        tgt_fields = [pos[:, 0][j], pos[:, 1][j], dirs[:, 0][j],
+                      dirs[:, 1][j]]
+        alb_field = albedo[j] if has_alb else None
+
     diff_args = [
         pos[:, 0:1], pos[:, 1:2], dirs[:, 0:1], dirs[:, 1:2],
-        pos[:, 0][j], pos[:, 1][j], dirs[:, 0][j], dirs[:, 1][j],
+        *tgt_fields,
     ]
     if has_alb:
-        diff_args.append(albedo[j])
+        diff_args.append(alb_field)
     if has_tex:
         diff_args.append(texture)
 
@@ -2814,20 +2854,32 @@ def _winner_pullback(pos, vel, widx, us, ud, cfg: VisionConfig,
 
     _, pull = jax.vjp(frag, *diff_args)
     grads = pull((usm, udm))
-    seg = jnp.where(valid, j, n).reshape(-1)
 
-    def scat(g):
-        return jax.ops.segment_sum(g.reshape(-1), seg, num_segments=n + 1)[:n]
+    if WF_WINNER_ONEHOT:
+        gstack = [grads[4], grads[5], grads[6], grads[7]]
+        if has_alb:
+            gstack.append(grads[8])
+        scats = jnp.einsum(
+            "nwk,fnw->fk", oh, jnp.stack(gstack, axis=0), precision=hi
+        )[:, :n]  # [F, n]: drop bucket discarded
+        scat_list = [scats[i] for i in range(len(gstack))]
+    else:
+        seg = jnp.where(valid, j, n).reshape(-1)
+        scat_list = [
+            jax.ops.segment_sum(g.reshape(-1), seg, num_segments=n + 1)[:n]
+            for g in ([grads[4], grads[5], grads[6], grads[7]]
+                      + ([grads[8]] if has_alb else []))
+        ]
 
     deye = jnp.concatenate([grads[0], grads[1]], axis=1)
     ddirs = jnp.concatenate([grads[2], grads[3]], axis=1)
-    dtgt = jnp.stack([scat(grads[4]), scat(grads[5])], axis=1)
-    dhdg = jnp.stack([scat(grads[6]), scat(grads[7])], axis=1)
+    dtgt = jnp.stack([scat_list[0], scat_list[1]], axis=1)
+    dhdg = jnp.stack([scat_list[2], scat_list[3]], axis=1)
     # eyes look along AND sprites orient to the same unit_heading(vel)
     (dvel,) = pull_dirs(ddirs + dhdg)
     out = [deye + dtgt, dvel]
     if has_alb:
-        out.append(scat(grads[8]))
+        out.append(scat_list[4])
     if has_tex:
         out.append(grads[-1])
     return tuple(out)
@@ -2900,23 +2952,49 @@ def _rrwbd_fwd(pos, vel, cfg, albedo=None, texture=None):
     return (shade, depth), (pos, vel, albedo, texture, widx)
 
 
+# env-chunking budget for the batched winner pullback: the one-hot
+# edition materializes [c, N, W, n+1] f32 per chunk (the two contractions
+# share it), so the vmap runs in lax.map chunks of the largest divisor of
+# B that stays under this element budget (1 << 28 f32 = 1 GB). B under
+# the budget runs one plain vmap — bit-identical to vmap(single-env diff),
+# which the batched-vs-vmapped test pins.
+WF_WINNER_PULL_ELEMS = 1 << 28
+
+
 def _rrwbd_bwd(cfg, res, cot):
     pos, vel, albedo, texture, widx = res
     us, ud = cot
     has_alb = albedo is not None
     has_tex = texture is not None
     if has_alb:
-        grads = jax.vmap(
+        pull_v = jax.vmap(
             lambda p, v, w, a, b, al: _winner_pullback(
                 p, v, w, a, b, cfg, albedo=al, texture=texture
             )
-        )(pos, vel, widx, us, ud, albedo)
+        )
+        args = (pos, vel, widx, us, ud, albedo)
     else:
-        grads = jax.vmap(
+        pull_v = jax.vmap(
             lambda p, v, w, a, b: _winner_pullback(
                 p, v, w, a, b, cfg, texture=texture
             )
-        )(pos, vel, widx, us, ud)
+        )
+        args = (pos, vel, widx, us, ud)
+    b, n = pos.shape[0], pos.shape[1]
+    per_env = n * cfg.width * (n + 1)
+    if WF_WINNER_ONEHOT and b * per_env > WF_WINNER_PULL_ELEMS:
+        c = max(1, WF_WINNER_PULL_ELEMS // per_env)
+        while b % c:
+            c -= 1
+        chunked = jax.tree.map(
+            lambda x: x.reshape((b // c, c) + x.shape[1:]), args
+        )
+        grads = jax.lax.map(lambda ch: pull_v(*ch), chunked)
+        grads = jax.tree.map(
+            lambda x: x.reshape((b,) + x.shape[2:]), grads
+        )
+    else:
+        grads = pull_v(*args)
     i = 2
     dalb = None
     if has_alb:
