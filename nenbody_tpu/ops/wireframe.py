@@ -381,6 +381,7 @@ def _wireframe_rasterq_kernel(
     tj: int,
     has_alb: bool = False,
     raw: bool = False,
+    track_idx: bool = False,
 ):
     """Inverse-depth raster kernel (r5, VERDICT r4 #4): the raster layout
     (pixels on sublanes, targets on lanes, the XLA per-vert precompute —
@@ -443,10 +444,17 @@ def _wireframe_rasterq_kernel(
                 lambda fi: fields[fi], u_p, u_lo_px, u_hi_px, cfg, raw,
                 has_alb,
             )  # (WB, TJ)
+            if track_idx:
+                idx = jnp.float32(j0) + jax.lax.broadcasted_iota(
+                    jnp.int32, (1, tj), 1
+                ).astype(jnp.float32)
+                pays = pays + (jnp.broadcast_to(idx, q_m.shape),)
             # per-chunk cross-target (lane) reduce, folded into the
             # (WB, 1) running best — the chunk count is tiny here (usually
             # 1), so a deferred full-tile accumulator would only grow the
-            # scoped-vmem live set
+            # scoped-vmem live set. The idx stream's min-over-win +
+            # strictly-greater chunk merge selects the LOWEST index among
+            # equal-depth winners, the division-route kernels' tie rule.
             q_c = jnp.max(q_m, axis=1, keepdims=True)  # (WB, 1)
             win = (q_m == q_c) & (q_c > qfar)
             pays_c = tuple(
@@ -459,11 +467,15 @@ def _wireframe_rasterq_kernel(
             )
             return jnp.maximum(best_q, q_c), best_p
 
-        init = (
-            jnp.zeros((wb, 1), jnp.float32),
-            tuple(jnp.zeros((wb, 1), jnp.float32) for _ in range(n_pay)),
-        )
+        init_p = [jnp.zeros((wb, 1), jnp.float32) for _ in range(n_pay)]
+        if track_idx:
+            init_p.append(jnp.full((wb, 1), jnp.inf, jnp.float32))
+        init = (jnp.zeros((wb, 1), jnp.float32), tuple(init_p))
         best_q, best_p = jax.lax.fori_loop(0, num_chunks, body, init)
+        o_refs = out_refs
+        if track_idx:
+            o_refs[-1][pl.ds(e, 1), :] = jnp.transpose(best_p[-1])
+            best_p, o_refs = best_p[:-1], o_refs[:-1]
 
         # epilogue: undo the q-homogenization once per (eye, pixel) —
         # mirrors _wireframe_compact_kernel's epilogue exactly
@@ -490,7 +502,7 @@ def _wireframe_rasterq_kernel(
                 val = cfg.background + cov * (val - cfg.background)
             shade = jnp.where(hit, val, cfg.background)
             outs = [shade, depth]
-        for ref, v in zip(out_refs, outs):
+        for ref, v in zip(o_refs, outs):
             ref[pl.ds(e, 1), :] = jnp.transpose(v)
         return 0
 
@@ -1088,10 +1100,11 @@ _PRECOMPUTE_MAX_ELEMS = 1 << 23
 WF_RASTER_TE = 32
 WF_RASTER_TEMP_ELEMS = 1 << 16
 # route the raster branch through the inverse-depth rasterq kernel (r5;
-# measured on v5e at N=1024/W=64 — see DESIGN 4g). track_idx launches keep
-# the division-route kernel: the winner-index diff forward must stay on
-# one fp route with its residual, and near-tie flips there would be
-# GRADIENT flips, not tolerance noise.
+# measured on v5e at N=1024/W=64 — see DESIGN 4g). track_idx launches ride
+# it too: the winner residual is an index and the pullback re-evaluates
+# the fragment independently, so the diff forward needs no fp-route
+# matching (near-tie index flips route the cotangent to the other tied
+# fragment — a valid subgradient, the documented winner-route tie rule).
 WF_RASTERQ = True
 
 
@@ -1309,10 +1322,16 @@ def render_rows_wireframe_tiled(
             l_v = [jnp.pad(x, padw, constant_values=0.0) for x in l_v]
 
         grid = (n_pad_e_p // te_p, cfg.width // wb)
-        if WF_RASTERQ and not track_idx:
+        if WF_RASTERQ:
+            # track_idx rides rasterq too (r5): the winner residual is an
+            # INDEX and the pullback re-evaluates the fragment
+            # independently (_winner_fragment_rows), so no fp-route
+            # matching is needed — near-tie index flips vs the division
+            # route hand the cotangent to the other tied fragment, a valid
+            # subgradient (DESIGN 4d winner-index notes)
             kernel = functools.partial(
                 _wireframe_rasterq_kernel, cfg=cfg, tj=tj_p,
-                has_alb=has_alb, raw=raw,
+                has_alb=has_alb, raw=raw, track_idx=track_idx,
             )
         else:
             kernel = functools.partial(

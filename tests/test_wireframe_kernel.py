@@ -396,17 +396,19 @@ def test_compact_group_unroll_bit_identical():
         np.testing.assert_array_equal(outs[ur][1], outs[1][1])
 
 
+@pytest.mark.slow
 def test_compact_interval_hit_matches_dense():
     """COMPACT_INTERVAL_HIT op-diet (the slab-clipped screen intervals ARE
     the hit region — see the flag's comment): same oracle parity as the
     default route in both sprite-payload modes. Not bit-identical to
     ih=False (interval endpoints ride a division fp route), so this pins
     against the DENSE oracle at the compact route's usual tolerance.
-    COMPACT_GROUP_UNROLL=2 rides along so the unrolled group-loop branch
-    has DEFAULT-tier coverage at zero extra compiles (its bit-identity to
-    unroll=1 is the slow-tier test above). The clear_caches() pair is
-    unavoidable (trace-time globals); keeping this test last in the file's
-    default tier limits what the final clear costs later files."""
+
+    Slow tier (r5 re-tier): the test's unique coverage is the NON-default
+    plain-mode ih=True flag state (ih resolves to aa by default, so every
+    default-tier AA compact test already runs the interval-hit core, and
+    every compact test runs the R=2 group unroll this test used to carry);
+    31 s of forced-flag compiles moved out of the default tier."""
     pos, vel = _spawnish(jax.random.key(31), 40)
     tex = render.checker_texture(8, 2)
     configs = [

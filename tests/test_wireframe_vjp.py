@@ -76,8 +76,11 @@ def test_kernel_vjp_forward_matches_oracle():
     pos, vel = _scene(jax.random.key(5), 100)
     fs, fd = map(np.asarray, wireframe.render_rows_wireframe_diff(pos, vel, cfg))
     ws, wd = map(np.asarray, render.render_rows(pos, vel, cfg))
-    np.testing.assert_allclose(fd, wd, rtol=1e-5, atol=2e-4)
-    np.testing.assert_allclose(fs, ws, rtol=1e-5, atol=2e-4)
+    # rasterq fp route: a bounded near-tie flip fraction vs the division-
+    # route oracle (tests/test_wireframe_kernel._assert_rows_close)
+    bad = np.abs(fd - wd) > (2e-4 + 1e-5 * np.abs(wd))
+    bad |= np.abs(fs - ws) > (2e-4 + 1e-5 * np.abs(ws))
+    assert bad.mean() <= 1e-3, f"{bad.mean():.2e} beyond near-tie allowance"
 
 
 @pytest.mark.slow
@@ -532,11 +535,18 @@ def test_compact_diff_vmap_matches_dense():
                                    rtol=5e-4, atol=5e-4, err_msg=name)
 
 
+@pytest.mark.slow
 def test_remat_flag_compiles_and_grads_live():
     """Fast sibling of the bit-equal pin below: the WF_BWD_REMAT branch
     (jax.checkpoint around the vjp tile) compiles and produces finite,
     nonzero gradients at a micro shape — one compile; exactness vs the
-    default path is the slow test's job."""
+    default path is the slow test's job.
+
+    Slow tier (r5 re-tier): the flag is a MEASURED-DEAD branch on v5e
+    (r4: Mosaic has no remat lowering in kernel bodies; the host-level
+    checkpoint compiled slower) kept only against bit-rot — a 10 s
+    default-tier compile bought no live-route coverage. The default-route
+    backward is pinned by every other test in this file."""
     cfg = VisionConfig(width=16, sprite_mode="wireframe", antialias=True,
                        far=200.0)
     pos, vel = _scene(jax.random.key(11), 12)

@@ -41,19 +41,21 @@ def test_winner_route_is_default_for_narrow_shapes():
     assert wireframe._wf_diff_route(wide, 100) == expected
 
 
-@pytest.mark.parametrize("aa", [False, True])
-def test_track_idx_forward_parity_and_self_consistency(aa, monkeypatch):
-    """The index stream must not perturb (shade, depth) — same kernels, one
-    more payload — and must be SELF-consistent: re-evaluating the indexed
-    fragment (the backward's exact recompute) reproduces the forward's
-    depth at every hit pixel.
-
-    WF_RASTERQ is pinned OFF: the bit-equality claim is a property of the
-    division-route raster kernel (track_idx launches always use it — the
-    residual must share its forward's fp route); the default plain forward
-    rides the inverse-depth rasterq kernel, which agrees only at fp32
-    tolerances (near-tie winners may flip, tests/test_wireframe_kernel)."""
-    monkeypatch.setattr(wireframe, "WF_RASTERQ", False)
+@pytest.mark.parametrize("aa,rasterq", [
+    (False, True), (True, True),
+    pytest.param(False, False, marks=pytest.mark.slow),
+    pytest.param(True, False, marks=pytest.mark.slow),
+])
+def test_track_idx_forward_parity_and_self_consistency(aa, rasterq,
+                                                       monkeypatch):
+    """The index stream must not perturb (shade, depth) — same kernel, one
+    more payload, on BOTH raster editions (rasterq default-tier, the
+    division route slow-tier) — and must be SELF-consistent: re-evaluating
+    the indexed fragment (the backward's exact recompute) reproduces the
+    forward's depth at every hit pixel (allclose, not bit-equal: the
+    recompute is the division route while the rasterq forward derives
+    depth from the inverse-depth constants)."""
+    monkeypatch.setattr(wireframe, "WF_RASTERQ", rasterq)
     cfg = VisionConfig(width=64, sprite_mode="wireframe", antialias=aa,
                        far=200.0)
     pos, vel = _scene(jax.random.key(3), 48)
