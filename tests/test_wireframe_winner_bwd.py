@@ -160,6 +160,36 @@ def test_batched_diff_matches_vmapped_single():
                                rtol=1e-4)
 
 
+def test_batched_pullback_chunking_matches_vmap(monkeypatch):
+    """The one-hot pullback's lax.map env-chunking (WF_WINNER_PULL_ELEMS)
+    must reproduce the plain-vmap gradients — the budget never trips at
+    test sizes, so this pins the reshape/lax.map plumbing with a tiny
+    patched budget (B=4 -> 2 chunks of 2). Same per-env program on both
+    sides, so the comparison is tight."""
+    cfg = VisionConfig(width=32, sprite_mode="wireframe", antialias=True,
+                       far=200.0)
+    pos, vel = _scene(jax.random.key(21), 16, batch=4)
+
+    @jax.jit  # jit BOTH sides: XLA reassociates the dtgt pixel sums, so
+    # eager-vs-compiled gradients differ at summation-order level (the
+    # per-env contributions cancel; measured ~1e-3 rel on CPU) — the
+    # chunking comparison must hold the compilation regime fixed
+    def grads(p, v):
+        def loss(pq, vq):
+            s, d = wireframe.render_rows_wireframe_batched_diff(pq, vq, cfg)
+            return jnp.sum(s * s) + 1e-3 * jnp.sum(d)
+        return jax.grad(loss, argnums=(0, 1))(p, v)
+
+    g_vmap = jax.tree.map(np.asarray, grads(pos, vel))
+    per_env = 16 * cfg.width * 17
+    monkeypatch.setattr(wireframe, "WF_WINNER_PULL_ELEMS", 2 * per_env)
+    jax.clear_caches()  # trace-time global
+    g_chunk = jax.tree.map(np.asarray, grads(pos, vel))
+    for a, b, name in zip(g_chunk, g_vmap, ("pos", "vel")):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5, err_msg=name)
+        assert (np.abs(a) > 0).any()
+
+
 @pytest.mark.slow
 def test_batched_diff_textured_albedo_matches_dense():
     """Per-env albedo + shared texture through the batched diff entry:
