@@ -2733,10 +2733,14 @@ def render_rows_wireframe_vjp_cross(
 
 WF_WINNER_BWD = True
 # prefer winner-index over the compact backward on compact-eligible wide
-# shapes too (the compact pair measured 2.09e5 af/s at n=100/W=1024; the
-# winner route's backward is ~free but its forward falls back to
-# raster/streaming) — default set by silicon A/B, see DESIGN §4f.
-WF_WINNER_OVER_COMPACT = False
+# shapes too. Silicon A/B (r5 session 2, `_wf_diff_r5_sweep.py`, one
+# scene, both variants): winner 2.03e5 / textured 1.91e5 af/s vs compact
+# 1.85e5 / 1.77e5 at n=100/W=1024 AA — the winner route's ~free one-hot
+# pullback beats the compact backward's culled recompute even though its
+# forward rides the streaming kernel instead of the compact one. The
+# compact pair stays fully tested (forced-route parity pins + the
+# silicon gate) as the cross-check edition.
+WF_WINNER_OVER_COMPACT = True
 
 
 def _wf_diff_route(cfg: VisionConfig, m: int) -> str:

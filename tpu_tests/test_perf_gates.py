@@ -335,10 +335,12 @@ def test_wireframe_batched_diff_gate():
     """VERDICT r4 #1: batched DIFFERENTIABLE exact-sprite vision must be
     usable at training scale. Measured on v5e (r5):
     render_rows_wireframe_batched_diff — batched-router forward +
-    winner-index O(N*W) pullback — 2.19e5 af/s fwd+bwd at the bench
-    shape B=1024 x n=256 x W=64 AA (the r4 vmap-serialized streaming
-    route measured ~1.3e4 at the SINGLE-env shape). Gate ~18% under; the
-    1e5 ask from VERDICT r4 #1 sits 2.2x below measurement."""
+    winner-index pullback — 2.19e5 af/s fwd+bwd at the bench shape
+    B=1024 x n=256 x W=64 AA (the r4 vmap-serialized streaming route
+    measured ~1.3e4 at the SINGLE-env shape), then 1.63e6 with the
+    one-hot pullback (gathers/scatters -> MXU contractions) and 1.96e6
+    with the rasterq track_idx forward (DESIGN 4d/4g). Gate ~18% under;
+    the 1e5 ask from VERDICT r4 #1 sits ~20x below measurement."""
     from nenbody_tpu.config import VisionConfig
     from nenbody_tpu.ops import wireframe
 
@@ -362,7 +364,7 @@ def test_wireframe_batched_diff_gate():
 
     dt = _scan_time(body, (pos, vel), steps=5, sync=lambda c: c[0][:1, :1])
     rate = benvs * bn / dt
-    assert rate >= 1.8e5, f"batched wireframe diff {rate:.3e} < 1.8e5"
+    assert rate >= 1.6e6, f"batched wireframe diff {rate:.3e} < 1.6e6"
 
 
 def _wireframe_ref_rate(aa, texture, steps=400):
@@ -495,20 +497,21 @@ def test_wireframe_diff_gates():
     r4 with trusted_depth=True -> 2.21e5 r5 (the WINNER-INDEX backward:
     the forward tracks the winning target index as one more min-reduced
     payload stream and the VJP is O(N*W) elementwise fragment
-    re-evaluation + segment_sum — no n x m work at all). N=100/W=1024
-    routes the COMPACT backward: 1.23e4 r2 streaming -> 2.17e5 r3
-    (group-range-culled compact bwd) -> 1.06e5 r4 (an UNACKNOWLEDGED
-    regression: the always-sort prologue switch made the backward's
-    jax.vjp recompute pull cotangents through lax.sort's scatter
-    transpose) -> 2.06e5 r5 (COMPACT_BWD_SORT_MIN_M keeps the
-    rank/one-hot edition — whose transpose is an einsum — in the three
-    backward builds; bit-identical editions, so fwd stays on sort).
-    Floors sit ~18% under the BEST measured rate per shape, never a
-    regressed one."""
+    re-evaluation) -> 6.12e5 r5 session 2 (rasterq track_idx forward +
+    the ONE-HOT pullback: XLA dynamic gather/scatter at ~60-80
+    cycles/element replaced by two Precision.HIGHEST einsums, DESIGN 4d).
+    N=100/W=1024: 1.23e4 r2 streaming -> 2.17e5 r3 (group-range-culled
+    compact bwd) -> 1.06e5 r4 (an UNACKNOWLEDGED regression: the
+    always-sort prologue switch made the backward's jax.vjp recompute
+    pull cotangents through lax.sort's scatter transpose) -> 2.06e5 r5
+    (COMPACT_BWD_SORT_MIN_M keeps the rank edition in the backward
+    builds) -> winner route A/B'd 9% faster and made the wide default
+    (WF_WINNER_OVER_COMPACT, 2.03e5 same-scene). Floors sit ~18% under
+    the BEST measured rate per shape, never a regressed one."""
     from nenbody_tpu.config import VisionConfig
     from nenbody_tpu.ops import wireframe
 
-    for n, w, steps, floor in ((1024, 64, 20, 1.8e5), (100, 1024, 20, 1.7e5)):
+    for n, w, steps, floor in ((1024, 64, 20, 5e5), (100, 1024, 20, 1.7e5)):
         vcfg = VisionConfig(width=w, sprite_mode="wireframe", antialias=True,
                             far=200.0)
         kp, kv = jax.random.split(jax.random.key(17))
